@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when the semantics are
+  * SQL-expressible deterministically) an equivalent DuckDB oracle SQL used
+  * by the driver's correctness gate.
+  *
+  * Oracle parity rules (SURVEY.md §7.5):
+  *  - total ORDER BY on every query (deterministic row order),
+  *  - identical column aliases on both sides,
+  *  - no order-dependent float reductions: money/doubles are scaled to
+  *    exact integers (see [[graft.ops.ColumnOps.cents]]) before summing;
+  *    any remaining double math is a fixed chain of IEEE ops on identical
+  *    inputs (bit-identical across engines),
+  *  - timestamps leave the query as formatted strings.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Registry {
+  lazy val all: Seq[Q] =
+    queries.RefCoreQ.all ++
+      queries.RelationalQ.all ++
+      queries.FunctionsQ.all ++
+      queries.DedupQ.all ++
+      queries.SimilarityQ.all ++
+      queries.TextQ.all ++
+      queries.StreamingBatchQ.all ++
+      queries.MultimodalQ.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft._
+import graft.ops.TextHash._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication family over `documents` (north-star ops): exact dedup,
+  * token-multiset dedup, exact n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: exact/token dedup are one hash-aggregate over the
+  * content fingerprint — the 100 TB shape (shuffle once on a 16-byte
+  * key, never on the full text). The pairwise ops (jaccard / minhash /
+  * simhash verification joins) run on a bounded candidate subset here
+  * (doc_id < 100) so the bench measures operator cost, not an O(n^2)
+  * blowup; at scale the LSH band-bucket join IS the pruning mechanism
+  * (candidates only within equal band signatures).
+  */
+object DedupQ {
+
+  private def docs100(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+
+  // Exact dedup on content hash: representative = min doc_id per distinct text.
+  val dExact: Q = Q(
+    "d_exact_dedup",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_md5"),
+    Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin))
+
+  // Order-insensitive dedup: fingerprint = md5 of the sorted token list.
+  val dTokenDedup: Q = Q(
+    "d_token_dedup",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(md5(array_join(array_sort(split(col("text"), " ")), " ")).as("token_fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("token_fp"),
+    Some("""SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS token_fp,
+           | MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY token_fp""".stripMargin))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.25, integer
+    * cross-multiplied compare — no float division). */
+  val dNgramJaccard: Q = Q(
+    "d_ngram_jaccard",
+    (spark, dir) => {
+      val d = docs100(spark, dir)
+      val sh = d.select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(col("shared") * 100 >= lit(25) * (col("na") + col("nb") - col("shared")))
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            |sh AS (SELECT DISTINCT doc_id, ${"unnest(list_transform(range(1, length(text) - 3), i -> substring(text, CAST(i AS INT), 5)))"} AS sh FROM d),
+            |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |           GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, shared, ca.n AS na, cb.n AS nb
+            |FROM shared JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+            |WHERE shared * 100 >= 25 * (ca.n + cb.n - shared)
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** MinHash + LSH candidate pairs. Spark side is the real scale shape:
+    * shingle -> polynomial hash -> 12 min-hashes -> 6 band signatures ->
+    * shuffle on (band, signature) -> pairs within buckets. The oracle is
+    * the semantically-equal O(n^2) formulation (fine at oracle scale). */
+  val dMinhashLsh: Q = Q(
+    "d_minhash_lsh",
+    (spark, dir) => {
+      val d = docs100(spark, dir)
+      val sh = d.select(col("doc_id"), explode(shingles(col("text"), ShingleLen)).as("sh"))
+        .select(col("doc_id"), polyHash(col("sh"), ShingleLen).as("h0"))
+      val mins = sh.groupBy(col("doc_id"))
+        .agg(
+          min(minHashOf(col("h0"), 0)).as("mh0"),
+          (1 until NumHashes).map(j => min(minHashOf(col("h0"), j)).as(s"mh$j")): _*)
+      val bandSigs = (0 until Bands).map { b =>
+        val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"mh$j").cast("string"))
+        struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+      }
+      val buckets = mins.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val minExprs = (0 until NumHashes)
+        .map(j => s"MIN(${minHashOfSql("h0", j)}) AS mh$j").mkString(",\n  ")
+      val bandEq = (0 until Bands).map { b =>
+        (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => s"a.mh$j = b.mh$j").mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |sh AS (SELECT DISTINCT doc_id, ${shinglesSqlFrom(ShingleLen)} AS sh FROM d),
+         |h AS (SELECT doc_id, ${polyHashSql("sh", ShingleLen)} AS h0 FROM sh),
+         |mins AS (SELECT doc_id,
+         |  $minExprs
+         |  FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM mins a JOIN mins b ON a.doc_id < b.doc_id AND $bandEq
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
+
+  /** 16-bit SimHash over tokens; near-dup = hamming distance <= 2.
+    * Token hash = polynomial over the token right-padded to 4 chars,
+    * plus a length term (keeps it cheap AND expressible in the oracle). */
+  val dSimhash: Q = Q(
+    "d_simhash",
+    (spark, dir) => {
+      val d = docs100(spark, dir)
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("th",
+          (polyHash(rpad(col("tok"), 4, "x"), 4) + length(col("tok")) * 7L) % 65536L)
+      val bits = tok.select(col("doc_id"), col("th"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("contrib",
+          when(expr("shiftright(th, cast(b as int)) % 2") === 1, 1L).otherwise(-1L))
+      val fp = bits.groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0,
+          expr("cast(shiftleft(cast(1 as bigint), cast(b as int)) as bigint)")).otherwise(0L)).as("fp"))
+      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 2)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            |tok AS (SELECT doc_id,
+            |  (${polyHashSql("rpad(t.tok, 4, 'x')", 4)} + length(t.tok) * 7) % 65536 AS th
+            |  FROM d, unnest(string_split(d.text, ' ')) AS t(tok)),
+            |bits AS (SELECT doc_id, b.b AS b,
+            |    CASE WHEN (th >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+            |  FROM tok, unnest(range(0, 16)) AS b(b)),
+            |sums AS (SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b),
+            |fp AS (SELECT doc_id,
+            |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS fp
+            |  FROM sums GROUP BY doc_id)
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash)
+}

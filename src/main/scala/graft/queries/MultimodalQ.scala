@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+import org.apache.spark.sql.functions._
+
+/** Multimodal/binary-column surface. `documents.text` is encoded to an
+  * opaque binary column (the container ships no media files), and the
+  * typed decode pipeline treats it exactly as it would image bytes.
+  */
+object MultimodalQ {
+
+  /** Binary column metadata via pure column expressions. */
+  val mmBinaryMeta: Q = Q(
+    "mm_binary_meta",
+    (spark, dir) => {
+      val bin = encode(col("text"), "UTF-8")
+      Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        length(bin).cast("long").as("size_bytes"),
+        lower(hex(substring(bin, 1, 4))).as("magic_hex"),
+        sha2(bin, 256).as("sha256_hex"),
+        md5(col("text")).as("md5_hex"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+           | lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+           | sha256(encode(text)) AS sha256_hex,
+           | md5(text) AS md5_hex
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Typed binary decode pipeline (stubbed codec — see Multimodal): the
+    * oracle recomputes the same deterministic fake features in SQL. */
+  val mmFakeDecode: Q = Q(
+    "mm_fake_decode",
+    (spark, dir) => {
+      val spark2 = spark; import spark2.implicits._
+      val rows = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          MediaRow(id, bytes, MediaMeta("text/fake", bytes.length.toLong))
+        }
+      Multimodal.decodeAll(rows)
+        .toDF()
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(length(text) AS BIGINT) AS size_bytes,
+           | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS width,
+           | CAST(ascii(substring(text, 2, 1)) AS BIGINT) AS height,
+           | CAST(length(text) % 7 AS BIGINT) AS n_frames,
+           | CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+           |    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS sum64,
+           | CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+           |    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS DOUBLE)
+           |   / CAST(least(length(text), 64) AS DOUBLE) AS mean64
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode)
+}

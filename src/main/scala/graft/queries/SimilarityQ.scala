@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over `embeddings` (north-star ops).
+  *
+  * Determinism strategy: embeddings are quantized to integers
+  * (round(x*1000)), so dot products and norms are EXACT integer values in
+  * both engines (held in doubles they are still exact: |dot| < 2^53).
+  * Cosine is then a fixed chain of IEEE double ops on identical inputs —
+  * bit-identical across Spark and DuckDB — reported as round(cos*1e6).
+  *
+  * Scale design: brute-force top-k is the correctness baseline with a
+  * bounded query set (the 100 TB pattern is: broadcast the query block,
+  * stream the base vectors, per-partition top-k heap via the window).
+  * The LSH/IVF variant prunes candidates by sign-bucket equality — the
+  * bucket join replaces the cross product, which is the actual ANN scale
+  * path.
+  */
+object SimilarityQ {
+
+  /** round(x*1000) per element, as long. */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  private val qvecSql = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+
+  private def base(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+
+  private val cosMicro: Column = {
+    val cos = col("dot").cast("double") /
+      sqrt(col("qn2").cast("double") * col("bn2").cast("double"))
+    round(cos * 1000000).cast("long")
+  }
+
+  /** Brute-force cosine top-k for a sampled query set (vec_id % 25 = 0). */
+  val simTopk: Q = Q(
+    "sim_topk_cosine",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      val q = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"))
+      val pairs = q.join(b.select(col("vec_id"), col("qv"), col("n2").as("bn2")),
+        col("q_id") =!= col("vec_id"))
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id").as("neighbor_id"), col("cos_micro"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+            |p AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+            |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            | FROM n q JOIN n b ON q.vec_id % 25 = 0 AND q.vec_id <> b.vec_id),
+            |r AS (SELECT q_id, neighbor_id, cos_micro,
+            |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn
+            | FROM p)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos_micro
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+
+  /** Embedding-cosine near-dup pairs: all (a<b) with cos >= 0.35. */
+  val simNearDup: Q = Q(
+    "d_embed_neardup",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      // bound the pair explosion the same way the dedup family does
+      val s = b.filter(col("vec_id") < 200)
+      s.as("a").join(s.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          dotL(col("a.qv"), col("b.qv")).as("dot"),
+          col("a.n2").as("qn2"), col("b.n2").as("bn2"))
+        .withColumn("cos_micro", cosMicro)
+        .filter(col("cos_micro") >= 350000)
+        .select(col("vec_a"), col("vec_b"), col("cos_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings WHERE vec_id < 200),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v)
+            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            | CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            |FROM n a JOIN n b ON a.vec_id < b.vec_id
+            |WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000
+            |ORDER BY vec_a, vec_b""".stripMargin))
+
+  /** LSH-bucketed ANN: bucket = sign bits of the first 6 dims (an
+    * axis-aligned hyperplane LSH). Candidates only within equal buckets —
+    * the join that replaces the cross product at scale. */
+  val simIvf: Q = Q(
+    "sim_lsh_bucket",
+    (spark, dir) => {
+      val b = base(spark, dir).withColumn(
+        "bucket",
+        aggregate(
+          zip_with(
+            slice(col("qv"), 1, 6),
+            array((0 until 6).map(i => lit(1L << i)): _*),
+            (x, w) => when(x > 0, w).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      val q = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"), col("bucket"))
+      val pairs = q.join(
+        b.select(col("vec_id"), col("qv"), col("n2").as("bn2"), col("bucket")),
+        Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id").as("neighbor_id"), col("cos_micro"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2,
+            |   CAST(list_sum(list_transform(range(0, 6),
+            |     i -> CASE WHEN qv[CAST(i AS INT) + 1] > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+            | FROM v),
+            |p AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+            |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            | FROM n q JOIN n b ON q.bucket = b.bucket AND q.vec_id % 25 = 0 AND q.vec_id <> b.vec_id),
+            |r AS (SELECT q_id, neighbor_id, cos_micro,
+            |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn
+            | FROM p)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos_micro
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
+
+  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf)
+}

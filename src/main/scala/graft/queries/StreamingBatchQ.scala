@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Batch-mode versions of the streaming window operators, so the exact
+  * same window semantics get a DuckDB oracle. The true streaming path
+  * (readStream + watermark + state) lives in graft.streaming.StreamingOps
+  * and is pinned by MemoryStream tests; Spark defines window()/
+  * session_window() identically in both modes, so this IS the oracle for
+  * the streaming semantics too.
+  */
+object StreamingBatchQ {
+
+  private val tsSec = "yyyy-MM-dd HH:mm:ss"
+
+  val gTumble: Q = Q(
+    "g_window_tumbling",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .select(
+          date_format(col("window.start"), tsSec).as("w_start"),
+          col("event_type"), col("n_events"), col("value_cents"))
+        .orderBy("w_start", "event_type"),
+    Some("""SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+           | event_type, COUNT(*) AS n_events,
+           | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+
+  /** Sliding window 10min/5min: every event belongs to exactly two
+    * windows; the oracle materializes both candidate starts. */
+  val gSlide: Q = Q(
+    "g_window_sliding",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .select(
+          date_format(col("window.start"), tsSec).as("w_start"),
+          col("n_events"), col("value_cents"))
+        .orderBy("w_start"),
+    Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events,
+           | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM (SELECT value,
+           |   unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+           |           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes']) AS ws
+           | FROM events) t
+           |GROUP BY ws ORDER BY w_start""".stripMargin))
+
+  /** Session windows (30 min gap) per user; oracle via the classic
+    * gaps-and-islands formulation. New session iff gap >= 30 min —
+    * matching Spark's exclusive session end (start + gap). */
+  val gSession: Q = Q(
+    "g_window_session",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), tsSec).as("w_start"),
+          col("n_events"))
+        .orderBy("user_id", "w_start"),
+    Some("""WITH x AS (SELECT user_id, ts,
+           |   CASE WHEN lag(ts) OVER w IS NULL
+           |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |y AS (SELECT user_id, ts,
+           |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM x)
+           |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
+           |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin))
+
+  val all: Seq[Q] = Seq(gTumble, gSlide, gSession)
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents` (north-star ops): token counting,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * All pure column expressions (codegen'd, shuffle-free scans).
+  */
+object TextQ {
+
+  val tTokens: Q = Q(
+    "t_tokens",
+    (spark, dir) =>
+      Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+           | CAST(length(text) AS BIGINT) AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // Marker-token sets for the n-gram language-ID heuristic. The synthetic
+  // corpus shares one vocabulary, so these are "dialect" markers; the
+  // operator shape (per-class token-hit counting + argmax) is the real one.
+  private val enSet = Seq("the", "a", "fast", "slow")
+  private val dbSet = Seq("table", "scan", "join", "merge", "hash")
+  private val sparkSet = Seq("spark", "stream", "batch", "vector")
+  private def hits(set: Seq[String]) =
+    size(filter(split(col("text"), " "), t => t.isin(set: _*))).cast("long")
+  private def hitsSql(set: Seq[String]) = {
+    val in = set.map(s => s"'$s'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS BIGINT)"
+  }
+
+  val tLangId: Q = Q(
+    "t_langid",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          hits(enSet).as("n_en"), hits(dbSet).as("n_db"), hits(sparkSet).as("n_spark"))
+        .withColumn("lang_guess",
+          when(col("n_en") >= col("n_db") && col("n_en") >= col("n_spark"), "en")
+            .when(col("n_db") >= col("n_spark"), "db")
+            .otherwise("spark"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, n_en, n_db, n_spark,
+            | CASE WHEN n_en >= n_db AND n_en >= n_spark THEN 'en'
+            |      WHEN n_db >= n_spark THEN 'db' ELSE 'spark' END AS lang_guess
+            |FROM (SELECT doc_id,
+            |   ${hitsSql(enSet)} AS n_en,
+            |   ${hitsSql(dbSet)} AS n_db,
+            |   ${hitsSql(sparkSet)} AS n_spark
+            |  FROM documents) t ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: length band, stopword ratio band, mean token length.
+    * Ratios derived as single double divisions of exact ints. */
+  val tQuality: Q = Q(
+    "t_quality",
+    (spark, dir) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val nStop = hits(enSet)
+      val totalTokChars = (length(col("text")).cast("long") - (nTok - 1))
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stop"),
+          (totalTokChars.cast("double") / nTok.cast("double")).as("mean_tok_len"),
+          (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+          (when(nTok.between(20, 300), 1L).otherwise(0L) +
+            when(nStop * 10 >= nTok, 1L).otherwise(0L)).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, n_tokens, n_stop,
+            | CAST(tot_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+            | CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+            | (CASE WHEN n_tokens BETWEEN 20 AND 300 THEN 1 ELSE 0 END
+            |  + CASE WHEN n_stop * 10 >= n_tokens THEN 1 ELSE 0 END) AS quality_score
+            |FROM (SELECT doc_id,
+            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            |   ${hitsSql(enSet)} AS n_stop,
+            |   CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS tot_chars
+            |  FROM documents) t ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprints: exact (md5), order-insensitive (md5 of sorted
+    * tokens), and a short prefix fingerprint for sharding. */
+  val tFingerprint: Q = Q(
+    "t_fingerprint",
+    (spark, dir) =>
+      Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(array_join(array_sort(split(col("text"), " ")), " ")).as("fp_content"),
+        substring(md5(col("text")), 1, 8).as("fp_short"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS fp_exact,
+           | md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_content,
+           | substring(md5(text), 1, 8) AS fp_short
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint)
+}
