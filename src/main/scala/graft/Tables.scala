@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   * All queries take the scale-factor directory as a parameter so the same
@@ -12,5 +14,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a
+    * nanos-since-epoch long (legacy conf, runtime-settable) and convert to
+    * TimestampType at microsecond precision. Integer `div` is mandatory:
+    * ns values (~1.7e18) exceed double's 53-bit mantissa, so a float
+    * divide would corrupt low-order digits.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
 }

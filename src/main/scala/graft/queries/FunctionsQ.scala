@@ -78,7 +78,7 @@ object FunctionsQ {
         abs(cents(col("l_extendedprice")) - 5000000L).as("abs_diff_cents"),
         floor(col("l_extendedprice")).cast("long").as("price_floor"),
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
+        round(col("l_extendedprice") * 10).cast("long").as("price_dec1"),
         sqrt(qty.cast("double")).as("sqrt_qty"),
         (qty * qty).as("qty_sq"),
         (col("l_orderkey") % 7).as("mod7"))
@@ -88,7 +88,7 @@ object FunctionsQ {
            | abs(CAST(round(l_extendedprice*100) AS BIGINT) - 5000000) AS abs_diff_cents,
            | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-           | round(l_extendedprice, 1) AS price_r1,
+           | CAST(round(l_extendedprice*10) AS BIGINT) AS price_dec1,
            | sqrt(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)) AS sqrt_qty,
            | CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS qty_sq,
            | l_orderkey % 7 AS mod7

@@ -27,7 +27,7 @@ object MultimodalQ {
     Some("""SELECT doc_id,
            | CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
            | lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
-           | sha256(encode(text)) AS sha256_hex,
+           | sha256(text) AS sha256_hex,
            | md5(text) AS md5_hex
            |FROM documents ORDER BY doc_id""".stripMargin))
 
@@ -51,14 +51,14 @@ object MultimodalQ {
     },
     Some("""SELECT doc_id,
            | CAST(length(text) AS BIGINT) AS size_bytes,
-           | CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS width,
-           | CAST(ascii(substring(text, 2, 1)) AS BIGINT) AS height,
+           | CAST(COALESCE(ascii(substring(text, 1, 1)), 0) AS BIGINT) AS width,
+           | CAST(COALESCE(ascii(substring(text, 2, 1)), 0) AS BIGINT) AS height,
            | CAST(length(text) % 7 AS BIGINT) AS n_frames,
-           | CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
-           |    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS BIGINT) AS sum64,
-           | CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
-           |    i -> ascii(substring(text, CAST(i AS INT), 1)))) AS DOUBLE)
-           |   / CAST(least(length(text), 64) AS DOUBLE) AS mean64
+           | CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+           |    i -> ascii(substring(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum64,
+           | CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+           |    i -> ascii(substring(text, CAST(i AS INT), 1)))), 0) AS DOUBLE)
+           |   / CAST(greatest(least(length(text), 64), 1) AS DOUBLE) AS mean64
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode)

@@ -64,12 +64,12 @@ object StreamingBatchQ {
           date_format(col("session_window.start"), tsSec).as("w_start"),
           col("n_events"))
         .orderBy("user_id", "w_start"),
-    Some("""WITH x AS (SELECT user_id, ts,
+    Some("""WITH x AS (SELECT user_id, ts, event_id,
            |   CASE WHEN lag(ts) OVER w IS NULL
            |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |y AS (SELECT user_id, ts,
-           |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
            |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            |  FROM x)
            |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
