@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.Shims
+
+/** Column wrappers for graft's native Catalyst expressions. */
+package object functions {
+  private[graft] def column(e: Expression): Column = Shims.column(e)
+
+  /** payload binary -> float32[width] in [0,1] (pad/truncate + /255). */
+  def packet_vector(payload: Column, width: Int): Column =
+    column(PacketVector(Shims.expression(payload), width))
+}

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * same operator serves Long user ids (events) and String IPs (pcap).
   */
 final case class LabelRule(
-    tsLo: String,
-    tsHi: String,
+    tsLo: Any, // timestamp string for TimestampType keys, epoch Double for the pcap pipeline
+    tsHi: Any,
     attackers: Seq[Any],
     victims: Seq[Any],
     label: String)

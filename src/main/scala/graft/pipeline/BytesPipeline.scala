@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.functions.packet_vector
+import graft.ops.{LabelRule, RangeFilter, RuleLabeler}
+import graft.pcap.{Packet, PcapSource}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The flagship workload: the reference's whole program
+  * (/root/reference/BytesProcessor.py:48-194) as ONE declarative Spark
+  * pipeline — pcap scan -> decode/anonymize -> multi-range time filter ->
+  * rule labeling -> vectorize -> dual parquet sink.
+  *
+  * Execution shape (SURVEY.md §3.4): a single narrow stage per sink, zero
+  * shuffles — the pipeline is embarrassingly parallel, so at 100 TB it
+  * scales linearly with executors; there is no driver-side loop, no
+  * collect, no chunk bookkeeping (Spark partitioning subsumes the
+  * reference's chunk/pool/gather machinery, :62-94,:121-158).
+  *
+  * Ordering within the reference is preserved where it is load-bearing:
+  * the range filter runs BEFORE vectorization ("avoid processing bytes
+  * outside ranges given", :144-145) — declaratively Catalyst does this via
+  * predicate pushdown, and vectorize being after filter in the plan
+  * guarantees no wasted byte work either way.
+  */
+object BytesPipeline {
+
+  final case class Config(
+      rules: Seq[LabelRule],
+      rangesToExtract: Seq[(Double, Double)],
+      width: Int = 1525, // README.md:8 — initial 1525 B of the IP layer
+      widen: Boolean = true, // byte(i) columns at the sink for schema parity (§7.4)
+      splittable: Boolean = false,
+      targetSplitBytes: Long = 128L * 1024 * 1024)
+
+  def forwardMask(rules: Seq[LabelRule]): Column =
+    RuleLabeler.forwardMask(col("timestamp"), col("src_ip"), rules)
+
+  /** decode output -> labeled feature table (columns: metadata + label +
+    * features float32[width]); `payload` never reaches the sink (:167).
+    */
+  def features(packets: Dataset[Packet], cfg: Config): DataFrame =
+    packets.toDF()
+      .filter(RangeFilter.inRanges(
+        col("timestamp"),
+        cfg.rangesToExtract.map { case (lo, hi) => (lit(lo), lit(hi)) }))
+      .withColumn("label",
+        RuleLabeler.labelCol(col("timestamp"), col("src_ip"), col("dst_ip"), cfg.rules))
+      .withColumn("features", packet_vector(col("payload"), cfg.width))
+      .drop("payload")
+
+  /** Widen features to the reference's `byte(0)..byte(width-1)` columns
+    * (:183-184). Kept optional: 1532 top-level columns split whole-stage
+    * codegen, so internal stages stay ArrayType and only the sink widens.
+    */
+  def widen(df: DataFrame, width: Int): DataFrame = {
+    val meta = Seq("timestamp", "src_ip", "dst_ip", "src_port", "dst_port", "protocol", "label")
+      .map(col)
+    val bytes = (0 until width).map(i => col("features").getItem(i).as(s"byte($i)"))
+    df.select(meta ++ bytes: _*)
+  }
+
+  /** Run end-to-end: returns (dataPath, Some(advPath) if any adversarial
+    * rows). Two sinks share one persisted upstream so decode+vectorize
+    * run once (:110-119 writes both tables from one in-memory chunk).
+    */
+  def run(spark: SparkSession, pcapPaths: Seq[String], outDir: String, cfg: Config)
+      : (String, Option[String]) = {
+    val packets =
+      if (cfg.splittable) PcapSource.packetsSplittable(spark, pcapPaths, cfg.targetSplitBytes)
+      else PcapSource.packets(spark, pcapPaths)
+    val labeled = features(packets, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = if (cfg.widen) widen(labeled, cfg.width) else labeled
+      val dataPath = s"$outDir/data"
+      out.write.mode("overwrite").parquet(dataPath)
+      val adv = labeled.filter(forwardMask(cfg.rules))
+      val advPath =
+        if (adv.isEmpty) None // adversarial table only when non-empty (:115-117)
+        else {
+          val p = s"$outDir/adversarial"
+          (if (cfg.widen) widen(adv, cfg.width) else adv).write.mode("overwrite").parquet(p)
+          Some(p)
+        }
+      (dataPath, advPath)
+    } finally labeled.unpersist()
+  }
+}

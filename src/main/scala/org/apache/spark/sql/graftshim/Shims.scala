@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column <-> Expression converters so
+  * graft's native Catalyst expressions (e.g. graft.functions.PacketVector)
+  * can surface as ordinary Columns. This is the one place the build peeks
+  * under org.apache.spark.sql; everything else uses public API.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,110 @@
+package graft.pcap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for pcap framing + packet decode/anonymize, pinning the
+  * reference semantics listed in SURVEY.md §1.3 / §5.2.
+  */
+class PcapSpec extends AnyFunSuite {
+  import Fixtures._
+
+  private val tcp = frame("10.0.0.1", "10.0.0.2", 1234, 80, 6,
+    appPayload = Array.tabulate[Byte](5)(i => (0xF0 + i).toByte))
+  private val udp = frame("192.168.1.9", "8.8.8.8", 5353, 53, 17,
+    appPayload = Array[Byte](1, 2, 3))
+
+  test("pcap roundtrip: write then read records (micro + nano, BE)") {
+    for (nanos <- Seq(false, true)) {
+      val img = PcapFormat.write(Seq(
+        PcapRecord(1000.25, tcp), PcapRecord(1001.5, udp)), nanos = nanos)
+      val out = PcapFormat.records(img).toSeq
+      assert(out.map(_.ts) == Seq(1000.25, 1001.5))
+      assert(out(0).frame.sameElements(tcp))
+      assert(out(1).frame.sameElements(udp))
+    }
+  }
+
+  test("little-endian pcap images parse") {
+    val be = PcapFormat.write(Seq(PcapRecord(7.0, tcp)))
+    // byte-swap the 32-bit words of header + record header by rewriting
+    val bb = java.nio.ByteBuffer.allocate(be.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val src = java.nio.ByteBuffer.wrap(be).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(src.getInt()) // magic: LE writer flips its representation
+    bb.putShort(src.getShort()).putShort(src.getShort())
+    bb.putInt(src.getInt()).putInt(src.getInt()).putInt(src.getInt()).putInt(src.getInt())
+    bb.putInt(src.getInt()).putInt(src.getInt()).putInt(src.getInt()).putInt(src.getInt())
+    val rest = new Array[Byte](src.remaining()); src.get(rest); bb.put(rest)
+    val out = PcapFormat.records(bb.array()).toSeq
+    assert(out.size == 1 && out.head.ts == 7.0 && out.head.frame.sameElements(tcp))
+  }
+
+  test("truncated trailing record = flush-and-finish, not failure") {
+    val img = PcapFormat.write(Seq(PcapRecord(1.0, tcp), PcapRecord(2.0, udp)))
+    val cut = img.dropRight(3) // cut into the last record's bytes
+    val out = PcapFormat.records(cut).toSeq
+    assert(out.size == 1 && out.head.ts == 1.0)
+  }
+
+  test("non-pcap bytes yield no records") {
+    assert(PcapFormat.records("not a pcap at all".getBytes).isEmpty)
+    assert(PcapFormat.records(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decode TCP: metadata read before anonymization") {
+    val p = PacketDecoder.decode(42.5, tcp).get
+    assert(p.timestamp == 42.5)
+    assert(p.src_ip == "10.0.0.1" && p.dst_ip == "10.0.0.2")
+    assert(p.src_port == 1234L && p.dst_port == 80L)
+    assert(p.protocol == "6" && p.label == "benign")
+  }
+
+  test("anonymization zeroes addresses+ports in payload, keeps checksums stale") {
+    val p = PacketDecoder.decode(0.0, tcp).get
+    val pl = p.payload
+    assert(pl.length == 20 + 20 + 5) // full IP datagram: hdr + tcp + app
+    assert((12 until 20).forall(pl(_) == 0))          // src+dst zeroed
+    assert(pl(20) == 0 && pl(21) == 0 && pl(22) == 0 && pl(23) == 0) // ports zeroed
+    assert((pl(10) & 0xff) == 0xBE && (pl(11) & 0xff) == 0xEF) // IP checksum untouched
+    assert((pl(36) & 0xff) == 0xCA && (pl(37) & 0xff) == 0xFE) // TCP checksum untouched
+    assert((pl(40) & 0xff) == 0xF0) // app payload intact
+  }
+
+  test("UDP decode") {
+    val p = PacketDecoder.decode(1.0, udp).get
+    assert(p.protocol == "17" && p.src_port == 5353L && p.dst_port == 53L)
+    assert(p.payload.length == 20 + 8 + 3)
+    assert(p.payload(20) == 0 && p.payload(23) == 0) // udp ports zeroed
+  }
+
+  test("Ethernet padding is trimmed to the IP total-length (dpkt parity)") {
+    val padded = frame("1.2.3.4", "5.6.7.8", 1, 2, 17, Array[Byte](9), padTo = 60)
+    val p = PacketDecoder.decode(0.0, padded).get
+    assert(p.payload.length == 20 + 8 + 1) // pad bytes excluded
+  }
+
+  test("single 802.1Q VLAN tag is unwrapped") {
+    val v = frame("10.0.0.1", "10.0.0.2", 1234, 80, 6, vlan = true)
+    val p = PacketDecoder.decode(0.0, v).get
+    assert(p.src_ip == "10.0.0.1" && p.protocol == "6")
+  }
+
+  test("filter cascade: non-IP, IPv6, non-TCP/UDP, truncated all drop") {
+    assert(PacketDecoder.decode(0.0, arpFrame).isEmpty)
+    assert(PacketDecoder.decode(0.0, ipv6Frame).isEmpty)
+    val icmp = frame("1.1.1.1", "2.2.2.2", 0, 0, 17).clone()
+    icmp(14 + 9) = 1 // rewrite proto to ICMP
+    assert(PacketDecoder.decode(0.0, icmp).isEmpty)
+    assert(PacketDecoder.decode(0.0, tcp.take(20)).isEmpty) // truncated IP header
+    assert(PacketDecoder.decode(0.0, tcp.take(14 + 20 + 10)).isEmpty) // truncated TCP header
+    assert(PacketDecoder.decode(0.0, Array.empty[Byte]).isEmpty)
+  }
+
+  test("decode is total on arbitrary bytes (never throws)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val n = rnd.nextInt(80)
+      val junk = new Array[Byte](n); rnd.nextBytes(junk)
+      PacketDecoder.decode(0.0, junk) // must not throw
+    }
+  }
+}
