@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed view of the events table for streaming paths. */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** One closed per-user session (flatMapGroupsWithState output). */
+final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+private final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2.2
+  * streaming rows). Batch-mode twins with DuckDB oracles live in
+  * graft.queries.StreamingBatchQ — Spark defines window()/session_window()
+  * identically in both modes, so these functions are intentionally just
+  * the watermarked composition, shared by both tests and production.
+  *
+  * 100 TB rules (SURVEY.md §7.5): every stateful op is watermark-bounded,
+  * so state store size is O(active windows/sessions), not O(stream
+  * history); processing is keyed (hash-partitioned by group) and scales
+  * with executors; no driver-side state.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts+sums per event_type, late data dropped by
+    * watermark. Append mode emits only finalized windows. */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Sliding-window counts (overlapping windows). */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+                    slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("n_events"))
+
+  /** Session windows per user (gap-based), watermark-bounded state. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("w_start"), col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup on event_id with bounded state — the streaming
+    * face of the dedup north star. */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state machine via flatMapGroupsWithState: per-user session
+    * reassembly with an event-time timeout — the streaming analogue of the
+    * reference's per-flow packet view. Emits a UserSession when the gap
+    * elapses (timeout fires past the watermark). State per key is O(1).
+    */
+  def userSessions(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                   watermark: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.startMs, s.lastMs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= UserSession(userId, s.startMs, s.lastMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Deterministic MemoryStream replays pinning the streaming semantics:
+  * window finalization under watermark, late-data drop, stateful dedup,
+  * and the flatMapGroupsWithState session machine with event-time timeout.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+  private def ev(id: Long, min: Long, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Event(id, ts(min), user, typ, v)
+
+  /** Run a query over a MemoryStream to a memory sink, processing each
+    * batch of inputs as its own micro-batch. */
+  private def runBatches(mode: OutputMode, build: DataFrame => DataFrame,
+                         batches: Seq[Seq[Event]], name: String): Array[org.apache.spark.sql.Row] = {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q: StreamingQuery = build(in.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling windows finalize under the watermark; late rows dropped") {
+    val out = runBatches(OutputMode.Append(), df => StreamingOps.tumblingCounts(df, "10 minutes", "10 minutes"),
+      Seq(
+        Seq(ev(1, 1), ev(2, 5), ev(3, 12)),  // windows [0,10) and [10,20)
+        Seq(ev(4, 35)),                      // watermark -> 25: finalizes [0,10), [10,20)
+        Seq(ev(5, 2)),                       // LATE (before watermark): must be dropped
+        Seq(ev(6, 60))                       // finalizes [30,40)
+      ), "t_tumble")
+    val rows = out.map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2))).sortBy(_._1)
+    // [0,10) has events 1,2 only — the late event 5 did NOT land
+    assert(rows.toSeq == Seq((0L, 2L), (10L, 1L), (30L, 1L)))
+  }
+
+  test("sliding windows emit overlapping finalized windows") {
+    val out = runBatches(OutputMode.Append(), df => StreamingOps.slidingCounts(df, "10 minutes", "5 minutes", "5 minutes"),
+      Seq(Seq(ev(1, 7)), Seq(ev(2, 40))), "t_slide")
+    val rows = out.map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1))).sortBy(_._1)
+    // event at min 7 belongs to [0,10) and [5,15)
+    assert(rows.toSeq.take(2) == Seq((0L, 1L), (5L, 1L)))
+  }
+
+  test("session windows merge within gap and close after it") {
+    val out = runBatches(OutputMode.Append(), df => StreamingOps.sessionCounts(df, "10 minutes", "10 minutes"),
+      Seq(
+        Seq(ev(1, 0), ev(2, 5), ev(3, 14)), // one session: gaps < 10
+        Seq(ev(4, 60)),                     // watermark far ahead -> closes it
+        Seq(ev(5, 100))                     // closes the min-60 session
+      ), "t_session")
+    val rows = out.map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.head == (0L, 1L, 3L)) // one 3-event session starting at 0
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    val out = runBatches(OutputMode.Append(), df => StreamingOps.dedupEvents(df, "30 minutes"),
+      Seq(
+        Seq(ev(1, 0), ev(1, 1), ev(2, 2)), // duplicate id=1 in-batch
+        Seq(ev(1, 3), ev(3, 4))            // duplicate id=1 across batches
+      ), "t_dedup")
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState session machine: event-time timeout closes sessions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.userSessions(in.toDS(), gapMs = 10 * 60000L, watermark = "0 minutes")
+      .writeStream.format("memory").queryName("t_fmgws").outputMode(OutputMode.Append()).start()
+    try {
+      // minute 1, not 0: the initial watermark is epoch 0 and a row AT the
+      // watermark is dropped as late, an edge worth pinning here
+      in.addData(Seq(ev(1, 1, user = 7), ev(2, 5, user = 7), ev(3, 6, user = 8)))
+      q.processAllAvailable()
+      in.addData(Seq(ev(4, 40, user = 9))) // watermark -> 40 > lastMs+gap: timeouts fire
+      q.processAllAvailable()
+      in.addData(Seq(ev(5, 80, user = 9))) // close user 9's first session too
+      q.processAllAvailable()
+      val rows = spark.table("t_fmgws").as[UserSession].collect()
+        .map(s => (s.user_id, s.start_ms / 60000, s.end_ms / 60000, s.n_events)).sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((7L, 1L, 5L, 2L), (8L, 6L, 6L, 1L), (9L, 40L, 40L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling == batch tumbling on the same data (mode parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = (0 until 200).map(i => ev(i.toLong, (i % 37).toLong, typ = if (i % 2 == 0) "a" else "b"))
+    val stream = runBatches(OutputMode.Append(),
+      df => StreamingOps.tumblingCounts(df, "10 minutes", "0 minutes"),
+      Seq(events, Seq(ev(999, 500))), "t_parity") // sentinel advances watermark past all
+    val streamRows = stream.map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      .filter(_._1 < 500).sortBy(r => (r._1, r._2))
+    val batchRows = StreamingOps.tumblingCounts(events.toDF(), "10 minutes", "0 minutes")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(streamRows.toSeq == batchRows.toSeq)
+  }
+}
