@@ -11,4 +11,9 @@ package object functions {
   /** payload binary -> float32[width] in [0,1] (pad/truncate + /255). */
   def packet_vector(payload: Column, width: Int): Column =
     column(PacketVector(Shims.expression(payload), width))
+
+  /** Fused integer dot product over two ARRAY<BIGINT> columns (equal
+    * dimensions) — allocation-free codegen loop. */
+  def vec_dot_long(a: Column, b: Column): Column =
+    column(LongVecDot(Shims.expression(a), Shims.expression(b)))
 }

@@ -24,8 +24,11 @@ object SimilarityQ {
   /** round(x*1000) per element, as long. */
   private def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
+  /** Fused codegen dot product (graft.functions.LongVecDot): the
+    * composable aggregate(zip_with(...)) allocates an intermediate array
+    * per candidate pair — millions of allocations in the pair stages. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.vec_dot_long(a, b)
   private val qvecSql = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
 
   private def base(spark: SparkSession, dir: String): DataFrame =
