@@ -29,7 +29,9 @@ object Registry {
       queries.SimilarityQ.all ++
       queries.TextQ.all ++
       queries.StreamingBatchQ.all ++
-      queries.MultimodalQ.all
+      queries.MultimodalQ.all ++
+      queries.ScanQ.all ++
+      queries.AdvancedQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

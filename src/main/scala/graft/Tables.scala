@@ -26,6 +26,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.NanosPushdown.register(spark) // ts predicates stay prunable
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

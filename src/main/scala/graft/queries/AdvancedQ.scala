@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Second relational wave: the §2.2 rows beyond the first cut, each with
+  * an explicit 100 TB note.
+  */
+object AdvancedQ {
+
+  /** Right outer join (dim on the left so the RIGHT side is the fact —
+    * planner should still broadcast the small side). */
+  val jRightOuter: Q = Q(
+    "j_right_outer",
+    (spark, dir) => {
+      val nation = Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      nation.join(cust, col("n_nationkey") === col("c_nationkey"), "right")
+        .select(col("c_custkey"), coalesce(col("n_name"), lit("?")).as("nation_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, COALESCE(n_name, '?') AS nation_name
+           |FROM nation RIGHT JOIN customer ON n_nationkey = c_nationkey
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Exact percentiles over integer cents — linear interpolation on
+    * exact integers is a fixed double chain, identical across engines.
+    * At scale: single shuffle, sort-based percentile per group. */
+  val aPercentile: Q = Q(
+    "a_percentile",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(cents(col("l_extendedprice")), lit(0.5)).as("p50_cents"),
+          percentile(cents(col("l_extendedprice")), lit(0.9)).as("p90_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           | quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5) AS p50_cents,
+           | quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9) AS p90_cents,
+           | COUNT(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Pivot (explicit value list => static schema, map-side combinable). */
+  val gPivot: Q = Q(
+    "g_pivot",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_extendedprice"))))
+        .na.fill(0L, Seq("F", "O"))
+        .select(col("l_returnflag"), col("F").as("f_cents"), col("O").as("o_cents"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           | CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_extendedprice*100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+           | CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_extendedprice*100) AS BIGINT) END), 0) AS BIGINT) AS o_cents
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Skew-mitigated join: 3 artificially hot keys, dim replicated x8 and
+    * probe side salted, so no single task owns a hot key. Result is
+    * provably identical to the unsalted join — which is what the oracle
+    * runs. The 100 TB pattern when AQE skew-split isn't enough. */
+  val jSkewSalted: Q = Q(
+    "j_skew_salted",
+    (spark, dir) => {
+      val salts = 8
+      val fact = Tables(spark, dir, "lineitem")
+        .select(
+          (col("l_orderkey") % 3).as("hot_key"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
+      val dim = Tables(spark, dir, "region")
+        .select((col("r_regionkey") % 3).as("hot_key"), col("r_name"))
+        .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+      fact.join(dim, Seq("hot_key", "salt"))
+        .groupBy(col("hot_key"), col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("hot_key", "r_name")
+    },
+    Some("""SELECT l_orderkey % 3 AS hot_key, r_name,
+           | COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem JOIN region ON l_orderkey % 3 = r_regionkey % 3
+           |GROUP BY 1, 2 ORDER BY hot_key, r_name""".stripMargin))
+
+  /** Hive-style partitioned parquet sink + partition-pruned read-back:
+    * the write path that makes 100 TB scans cheap (prune before IO). */
+  val sinkPartitioned: Q = Q(
+    "sink_partitioned",
+    (spark, dir) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sink_partitioned"
+      Tables(spark, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      spark.read.parquet(path)
+        .filter(col("o_orderstatus") === "F") // prunes to one directory
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+           |FROM orders WHERE o_orderstatus = 'F'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned)
+}

@@ -83,7 +83,10 @@ object RelationalQ {
     "j_shuffle",
     (spark, dir) => {
       val li = Tables(spark, dir, "lineitem")
-      val o = Tables(spark, dir, "orders")
+      // merge hint: at bench scale AQE would broadcast orders and this
+      // query would stop exercising the shuffle-join path it exists for;
+      // at 100 TB both sides are huge and sort-merge IS the real plan.
+      val o = Tables(spark, dir, "orders").hint("merge")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(cents(col("l_extendedprice"))).as("revenue_cents"))
