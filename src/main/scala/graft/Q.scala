@@ -31,7 +31,8 @@ object Registry {
       queries.StreamingBatchQ.all ++
       queries.MultimodalQ.all ++
       queries.ScanQ.all ++
-      queries.AdvancedQ.all
+      queries.AdvancedQ.all ++
+      queries.PipelineQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
