@@ -58,6 +58,25 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream inner join: pairs each left event with
+    * right events of the same user within `maxGap` AFTER it. Both sides
+    * watermarked so the join state is evictable — without the time bound
+    * and watermarks a stream-stream join buffers forever (the 100 TB
+    * non-negotiable).
+    */
+  def timeBoundJoin(left: DataFrame, right: DataFrame, maxGap: String = "30 minutes",
+                    watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * reassembly with an event-time timeout — the streaming analogue of the
     * reference's per-flow packet view. Emits a UserSession when the gap

@@ -94,6 +94,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream time-bound join pairs within the gap only") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = StreamingOps.timeBoundJoin(clicks.toDF(), buys.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Seq(ev(1, 10, user = 1), ev(2, 30, user = 2)))
+      buys.addData(Seq(
+        ev(101, 15, user = 1),  // within 10 min of click 1 -> match
+        ev(102, 25, user = 1),  // 15 min after click 1 -> no match
+        ev(103, 29, user = 2))) // BEFORE click 2 -> no match
+      q.processAllAvailable()
+      clicks.addData(Seq(ev(3, 100, user = 9))) // advance watermark, flush state
+      buys.addData(Seq(ev(104, 100, user = 9)))
+      q.processAllAvailable()
+      val got = spark.table("t_ssjoin")
+        .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 101L), (3L, 104L)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling == batch tumbling on the same data (mode parity)") {
     val spark2 = spark
     import spark2.implicits._
