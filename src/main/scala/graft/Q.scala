@@ -32,7 +32,8 @@ object Registry {
       queries.MultimodalQ.all ++
       queries.ScanQ.all ++
       queries.AdvancedQ.all ++
-      queries.PipelineQ.all
+      queries.PipelineQ.all ++
+      queries.SketchQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

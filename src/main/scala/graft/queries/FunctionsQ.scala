@@ -144,5 +144,27 @@ object FunctionsQ {
            | json_extract_string(props, '$.missing') AS missing_attr
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson)
+  /** Structured JSON parse + map functions: from_json into a typed map,
+    * then map_keys/map_values/element access. */
+  val fMap: Q = Q(
+    "f_map",
+    (spark, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      Tables(spark, dir, "events").select(
+        col("event_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        element_at(m, "k").as("k_val"),
+        coalesce(element_at(m, "absent"), lit(-1L)).as("absent_val"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+           | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           | COALESCE(CAST(json_extract(props, '$.absent') AS BIGINT), -1) AS absent_val
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson, fMap)
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated operators. The Bloom join is the load-bearing one:
+  * build a Bloom filter on the dim keys, pre-filter the fact table before
+  * the shuffle — no false negatives, so the post-join result is EXACTLY
+  * the plain join (which is what the oracle runs), but at 100 TB the
+  * shuffle moves only rows that can match. approx quantile/distinct are
+  * rows-only checks (approximate by nature).
+  */
+object SketchQ {
+
+  /** Bloom-pruned semi-join shape: orders with c_acctbal > 9000 customers. */
+  val jBloomPrune: Q = Q(
+    "j_bloom_prune",
+    (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"))
+      val bloom = cust.stat.bloomFilter("c_custkey", 5000, 0.03)
+      val bloomB = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+      Tables(spark, dir, "orders")
+        .filter(mightContain(col("o_custkey"))) // sketch prune: no false negatives
+        .join(cust, col("o_custkey") === col("c_custkey")) // exact join cleans up FPs
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+           |FROM orders JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+           |  ON o_custkey = c_custkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** approx_percentile sketch (rows-only: approximate, no hash oracle;
+    * the exact twin a_percentile carries the oracle). */
+  val aApproxQuantile: Q = Q(
+    "a_approx_quantile",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(cents(col("l_extendedprice")), lit(0.5), lit(1000)).as("p50_approx"),
+          approx_percentile(cents(col("l_extendedprice")), lit(0.99), lit(1000)).as("p99_approx"))
+        .orderBy("l_returnflag"),
+    oracle = None)
+
+  /** Corpus-wide top-k tokens (text-analysis star): explode -> count ->
+    * top-k. Ties broken by token for determinism. */
+  val tTopTokens: Q = Q(
+    "t_top_tokens",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+    Some("""SELECT tok, COUNT(*) AS n
+           |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+           |WHERE length(tok) > 0
+           |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens)
+}
