@@ -39,6 +39,29 @@ object PcapSource {
     rawRecords(spark, paths).flatMap(r => PacketDecoder.decode(r.ts, r.frame))
   }
 
+  /** Continuous ingestion: watch a directory for new pcap files and
+    * stream their decoded packets (Structured Streaming over the
+    * binaryFile source — each new capture file becomes a micro-batch).
+    * The 100 TB operational mode: capture hosts drop finished pcap
+    * files into object storage; this source picks them up exactly-once
+    * via the file-stream checkpoint log.
+    */
+  def packetsStream(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Int = 16): Dataset[Packet] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.pcap")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("path", "string").add("modificationTime", "timestamp")
+        .add("length", "long").add("content", "binary"))
+      .load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(PcapFormat.records(_))
+      .flatMap(r => PacketDecoder.decode(r.ts, r.frame))
+  }
+
   /** One byte-range split of one pcap file. */
   final case class PcapSplit(
       path: String, start: Long, end: Long, fileLen: Long,

@@ -61,6 +61,35 @@ object BytesPipeline {
     df.select(meta ++ bytes: _*)
   }
 
+  /** Continuous flagship: stream packets from a watched directory and
+    * maintain BOTH sinks per micro-batch via foreachBatch (the streaming
+    * engine allows one sink per query; foreachBatch gives the dual write
+    * the batch path has, with the same persist-once shape). Append-only
+    * parquet, exactly-once per input file via the checkpoint log.
+    */
+  def runStreaming(spark: SparkSession, watchDir: String, outDir: String, cfg: Config,
+                   checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val packets = PcapSource.packetsStream(spark, watchDir)
+    val fwd = forwardMask(cfg.rules)
+    features(packets, cfg)
+      .writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$outDir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val labeled = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val out = if (cfg.widen) widen(labeled, cfg.width) else labeled
+          out.write.mode("append").parquet(s"$outDir/data")
+          val adv = labeled.filter(fwd)
+          if (!adv.isEmpty)
+            (if (cfg.widen) widen(adv, cfg.width) else adv)
+              .write.mode("append").parquet(s"$outDir/adversarial")
+        } finally labeled.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Run end-to-end: returns (dataPath, Some(advPath) if any adversarial
     * rows). Two sinks share one persisted upstream so decode+vectorize
     * run once (:110-119 writes both tables from one in-memory chunk).
