@@ -75,15 +75,22 @@ object BytesPipeline {
     features(packets, cfg)
       .writeStream
       .option("checkpointLocation", checkpoint.getOrElse(s"$outDir/_checkpoint"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent on micro-batch REPLAY (crash between the two writes):
+        // each batch lands in its own batch_id=N partition with dynamic
+        // partition overwrite, so a replayed batch overwrites its own
+        // partition instead of appending duplicates.
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val labeled = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val out = if (cfg.widen) widen(labeled, cfg.width) else labeled
-          out.write.mode("append").parquet(s"$outDir/data")
+          def sink(df: DataFrame, path: String): Unit =
+            (if (cfg.widen) widen(df, cfg.width) else df)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+          sink(labeled, s"$outDir/data")
           val adv = labeled.filter(fwd)
-          if (!adv.isEmpty)
-            (if (cfg.widen) widen(adv, cfg.width) else adv)
-              .write.mode("append").parquet(s"$outDir/adversarial")
+          if (!adv.isEmpty) sink(adv, s"$outDir/adversarial")
         } finally labeled.unpersist()
         ()
       }

@@ -41,7 +41,8 @@ class StreamingPipelineSpec extends SparkSpec {
       q.processAllAvailable()
       val d = spark.read.parquet(s"$out/data")
       assert(d.count() == 3)
-      assert(d.columns.length == 7 + 32) // widened streaming output too
+      assert(d.columns.length == 7 + 32 + 1) // widened + batch_id partition
+      assert(d.select("batch_id").distinct().count() == 2) // one per micro-batch
       // adversarial unchanged by the benign batch
       assert(spark.read.parquet(s"$out/adversarial").count() == 1)
     } finally q.stop()
