@@ -16,4 +16,10 @@ package object functions {
     * dimensions) — allocation-free codegen loop. */
   def vec_dot_long(a: Column, b: Column): Column =
     column(LongVecDot(Shims.expression(a), Shims.expression(b)))
+
+  /** Distinct k-gram polynomial hashes of a text in one pass (exact
+    * value parity with TextHash.polyHash over TextHash.shingles; hash-
+    * space dedup — min-aggregation consumers only). */
+  def shingle_hashes(text: Column, k: Int): Column =
+    column(ShingleHashes(Shims.expression(text), k))
 }

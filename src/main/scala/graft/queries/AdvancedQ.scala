@@ -107,5 +107,47 @@ object AdvancedQ {
            |FROM orders WHERE o_orderstatus = 'F'
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned)
+  /** Column profiling (engine utility every pipeline needs before
+    * touching 100 TB): one aggregation pass per profiled column —
+    * rows/nulls/distincts/min/max — emitted long-format. Values are
+    * explicitly formatted (no raw casts) so both engines print
+    * identically. */
+  val qProfile: Q = Q(
+    "q_profile",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      def prof(name: String, key: org.apache.spark.sql.Column, fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(key.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(key).as("n_distinct"),
+          fmt(min(key)).as("min_s"),
+          fmt(max(key)).as("max_s"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      prof("l_orderkey", col("l_orderkey"), _.cast("string"))
+        .unionAll(prof("l_returnflag", col("l_returnflag"), c => c))
+        .unionAll(prof("l_shipdate", col("l_shipdate"),
+          c => date_format(c, "yyyy-MM-dd")))
+        .orderBy("col_name")
+    },
+    Some("""SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+           |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_returnflag', COUNT(*),
+           |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_shipdate', COUNT(*),
+           |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  COUNT(DISTINCT l_shipdate),
+           |  strftime(MIN(l_shipdate), '%Y-%m-%d'), strftime(MAX(l_shipdate), '%Y-%m-%d')
+           |FROM lineitem
+           |ORDER BY col_name""".stripMargin))
+
+  val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned, qProfile)
 }

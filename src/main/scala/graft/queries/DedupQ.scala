@@ -81,8 +81,10 @@ object DedupQ {
     "d_minhash_lsh",
     (spark, dir) => {
       val d = docs100(spark, dir)
-      val sh = d.select(col("doc_id"), explode(shingles(col("text"), ShingleLen)).as("sh"))
-        .select(col("doc_id"), polyHash(col("sh"), ShingleLen).as("h0"))
+      // fused one-pass shingle hashing (graft.functions.ShingleHashes);
+      // hash-space dedup is min-agg-safe (scaladoc there)
+      val sh = d.select(col("doc_id"),
+        explode(graft.functions.shingle_hashes(col("text"), ShingleLen)).as("h0"))
       val mins = sh.groupBy(col("doc_id"))
         .agg(
           min(minHashOf(col("h0"), 0)).as("mh0"),
@@ -160,5 +162,54 @@ object DedupQ {
             |WHERE bit_count(xor(a.fp, b.fp)) <= 2
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash)
+  /** Full-corpus LSH buckets (NO doc_id bound): every document shingled,
+    * minhashed, band-bucketed; output = the collision buckets (band, sig,
+    * size, representative). Linear-size output regardless of how dense
+    * the near-dup clusters are — the exact aggregation a 100 TB dedup
+    * keeps (bucket -> keep-min), with the pair expansion left to the
+    * verification stage. The oracle runs the SAME bucket formulation
+    * (not the O(n^2) pair check), both sides built from TextHash's
+    * shared Spark/SQL builders.
+    */
+  val dLshBuckets: Q = Q(
+    "d_lsh_buckets",
+    (spark, dir) => {
+      val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val sh = d.select(col("doc_id"),
+        explode(graft.functions.shingle_hashes(col("text"), ShingleLen)).as("h0"))
+      val mins = sh.groupBy(col("doc_id"))
+        .agg(
+          min(minHashOf(col("h0"), 0)).as("mh0"),
+          (1 until NumHashes).map(j => min(minHashOf(col("h0"), j)).as(s"mh$j")): _*)
+      val bandSigs = (0 until Bands).map { b =>
+        val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"mh$j").cast("string"))
+        struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+      }
+      mins.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+        .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("band", "sig")
+    },
+    Some {
+      val minExprs = (0 until NumHashes)
+        .map(j => s"MIN(${minHashOfSql("h0", j)}) AS mh$j").mkString(",\n  ")
+      val bandRows = (0 until Bands).map { b =>
+        val sig = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mins"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${shinglesSqlFrom(ShingleLen)} AS sh
+         |            FROM documents),
+         |h AS (SELECT doc_id, ${polyHashSql("sh", ShingleLen)} AS h0 FROM sh),
+         |mins AS (SELECT doc_id,
+         |  $minExprs
+         |  FROM h GROUP BY doc_id),
+         |buckets AS ($bandRows)
+         |SELECT band, sig, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+         |FROM buckets GROUP BY band, sig HAVING COUNT(*) > 1
+         |ORDER BY band, sig""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets)
 }
