@@ -149,5 +149,33 @@ object AdvancedQ {
            |FROM lineitem
            |ORDER BY col_name""".stripMargin))
 
-  val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned, qProfile)
+  /** first/last/nth_value analytic window functions (full frame for
+    * last/nth so the answer is frame-independent and engine-agnostic). */
+  val wFirstLast: Q = Q(
+    "w_first_last",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(spark, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          first(col("o_orderkey")).over(wFull).as("first_key"),
+          last(col("o_orderkey")).over(wFull).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+           | first_value(o_orderkey) OVER w AS first_key,
+           | last_value(o_orderkey) OVER w AS last_key,
+           | nth_value(o_orderkey, 2) OVER w AS second_key
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned,
+    qProfile, wFirstLast)
 }

@@ -99,6 +99,24 @@ class PcapSpec extends AnyFunSuite {
     assert(PacketDecoder.decode(0.0, Array.empty[Byte]).isEmpty)
   }
 
+  test("IPv4 options (ihl > 20) shift the transport offset correctly") {
+    // hand-build: eth + 24-byte IP header (ihl=6, 4 option bytes) + UDP
+    val bb = java.nio.ByteBuffer.allocate(14 + 24 + 8)
+    bb.put(macs); bb.putShort(0x0800.toShort)
+    bb.put(0x46.toByte).put(0.toByte).putShort((24 + 8).toShort) // ihl=6
+    bb.putShort(0x1234.toShort).putShort(0x4000.toShort)
+    bb.put(64.toByte).put(17.toByte).putShort(0xBEEF.toShort)
+    bb.put(ipBytes("1.2.3.4")).put(ipBytes("5.6.7.8"))
+    bb.putInt(0x01010100) // NOP NOP NOP EOL options
+    bb.putShort(1111.toShort).putShort(2222.toShort) // UDP at offset ihl*4
+    bb.putShort(8.toShort).putShort(0xCAFE.toShort)
+    val p = PacketDecoder.decode(0.0, bb.array()).get
+    assert(p.src_port == 1111L && p.dst_port == 2222L)
+    // ports zeroed at the SHIFTED offset, options untouched
+    assert(p.payload(24) == 0 && p.payload(27) == 0)
+    assert((p.payload(20) & 0xff) == 1) // first option byte intact
+  }
+
   test("decode is total on arbitrary bytes (never throws)") {
     val rnd = new scala.util.Random(42)
     (0 until 2000).foreach { _ =>
