@@ -31,8 +31,12 @@ final class PcapDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pcap"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PcapTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PcapTable(PcapTable.paths(properties))
+                        properties: util.Map[String, String]): Table = {
+    val paths = PcapTable.paths(properties)
+    require(paths.nonEmpty,
+      "pcap source requires a path: spark.read.format(\"pcap\").load(\"/path/capture.pcap\")")
+    new PcapTable(paths)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 

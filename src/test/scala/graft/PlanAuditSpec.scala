@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape regression tests: the properties PLANS.md showcases must
+  * survive refactors. Each assertion is about the EXECUTED plan (AQE
+  * final where applicable) of a registered query at sf0.001.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlanString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // resolve AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("events ts predicates reach parquet PushedFilters as raw longs") {
+    val p = executedPlanString("r7_range_filter")
+    assert(p.contains("GreaterThanOrEqual(ts,"), "raw lower bound missing")
+    assert(p.contains("LessThanOrEqual(ts,"), "raw upper bound missing")
+  }
+
+  test("dim-fact joins broadcast the small side") {
+    assert(executedPlanString("j_broadcast").contains("BroadcastHashJoin"))
+    assert(executedPlanString("j_right_outer").contains("BroadcastHashJoin"))
+  }
+
+  test("j_shuffle stays a sort-merge join (merge hint holds)") {
+    assert(executedPlanString("j_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("grouped aggregation is partial+final") {
+    val p = executedPlanString("a_agg")
+    assert(p.contains("partial_sum") || p.contains("partial"), "no map-side partial agg")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(executedPlanString("s_topk").contains("TakeOrdered"))
+  }
+
+  test("LSH queries never fall back to a cartesian product") {
+    assert(!executedPlanString("sim_lsh_bucket").contains("Cartesian"))
+    assert(!executedPlanString("d_lsh_buckets").contains("Cartesian"))
+    assert(!executedPlanString("d_minhash_lsh").contains("Cartesian"))
+  }
+
+  test("flagship feature pipeline is shuffle-free") {
+    val df = graft.pipeline.BytesPipeline.features(
+      graft.pcap.PcapSource.packets(spark, Seq(queries.PipelineQ.pcapPath())),
+      queries.PipelineQ.cfg)
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "flagship pipeline acquired a shuffle")
+  }
+
+  test("lineitem scans prune columns (projection pushdown)") {
+    val p = executedPlanString("q_project")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"scan reads more than the projection needs: $read")
+  }
+}
