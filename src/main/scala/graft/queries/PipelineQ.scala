@@ -82,5 +82,36 @@ object PipelineQ {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(pipeFlagship)
+  /** Classic NIDS flow aggregation over the decoded capture: group by
+    * the 5-tuple, per-flow packet/byte/duration stats plus a per-flow
+    * byte-value-entropy proxy via the ByteHistogram UDAF. One shuffle on
+    * the flow key — at 100 TB flows are the natural partitioning unit.
+    * No SQL oracle (binary input); pinned by unit/spec + rows-only.
+    */
+  val pipeFlows: Q = Q(
+    "pipe_flows",
+    (spark, _) => {
+      import org.apache.spark.sql.functions._
+      val spark2 = spark; import spark2.implicits._
+      val pk = PcapSource.packets(spark, Seq(pcapPath()))
+      val hist = udaf(graft.ops.ByteHistogram)
+      pk.toDF()
+        .groupBy(col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"), col("protocol"))
+        .agg(
+          count(lit(1)).as("n_packets"),
+          sum(length(col("payload"))).as("sum_bytes"),
+          min(col("timestamp")).as("ts_first"),
+          max(col("timestamp")).as("ts_last"),
+          hist(col("payload")).as("byte_hist"))
+        .select(
+          col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"), col("protocol"),
+          col("n_packets"), col("sum_bytes"),
+          round((col("ts_last") - col("ts_first")) * 1000).cast("long").as("duration_ms"),
+          element_at(col("byte_hist"), 1).as("n_zero_bytes"), // histogram[0]
+          aggregate(col("byte_hist"), lit(0L), (a, x) => a + x).as("total_bytes_hist"))
+        .orderBy("src_ip", "src_port", "dst_ip", "dst_port", "protocol")
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(pipeFlagship, pipeFlows)
 }
