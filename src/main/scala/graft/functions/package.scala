@@ -22,4 +22,9 @@ package object functions {
     * space dedup — min-aggregation consumers only). */
   def shingle_hashes(text: Column, k: Int): Column =
     column(ShingleHashes(Shims.expression(text), k))
+
+  /** Fused float dot product over two ARRAY<FLOAT> columns (double
+    * accumulator, fixed order) — unquantized ANN scoring. */
+  def vec_dot_float(a: Column, b: Column): Column =
+    column(FloatVecDot(Shims.expression(a), Shims.expression(b)))
 }

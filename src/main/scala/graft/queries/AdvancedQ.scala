@@ -176,6 +176,39 @@ object AdvancedQ {
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key (external tables, data in tmp), so the join runs with NO
+    * exchange on either side — the bucketing strategy that amortizes one
+    * shuffle across every future join at 100 TB. Result must equal the
+    * plain parquet join (the oracle). */
+  val jBucketed: Q = Q(
+    "j_bucketed",
+    (spark, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+      def bucketize(name: String, df: org.apache.spark.sql.DataFrame, key: String): String = {
+        val table = s"graft_b_$name"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name")
+          .saveAsTable(table)
+        table
+      }
+      val li = bucketize("lineitem", Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents")), "l_orderkey")
+      val o = bucketize("orders", Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+      spark.table(li)
+        .join(spark.table(o).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned,
-    qProfile, wFirstLast)
+    qProfile, wFirstLast, jBucketed)
 }

@@ -139,5 +139,33 @@ object SimilarityQ {
             |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos_micro
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
 
-  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf)
+  /** Unquantized float-path top-k (production ANN scoring shape): raw
+    * float32 embeddings scored with the fused double-accumulator dot
+    * product. No SQL oracle — float reduction isn't cross-engine
+    * hash-stable; spec-checked against the quantized ranking instead,
+    * rows-only here. */
+  val simTopkFloat: Q = Q(
+    "sim_topk_float",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val norm2 = graft.functions.vec_dot_float(col("embedding"), col("embedding"))
+      val b = e.select(col("vec_id"), col("embedding"), norm2.as("n2"))
+      val q = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+      val pairs = q.join(b.select(col("vec_id"), col("embedding"), col("n2").as("bn2")),
+          col("q_id") =!= col("vec_id"))
+        .withColumn("cos",
+          graft.functions.vec_dot_float(col("q_emb"), col("embedding")) /
+            sqrt(col("qn2") * col("bn2")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("long").as("rn"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy("q_id", "rn")
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simTopkFloat)
 }

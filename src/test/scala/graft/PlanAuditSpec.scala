@@ -54,6 +54,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toString.contains("Exchange"), "flagship pipeline acquired a shuffle")
   }
 
+  test("bucketed join has no exchange on the join keys") {
+    val df = SparkEntry.queries("j_bucketed")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val keyExchanges =
+      "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).length
+    assert(keyExchanges == 0, s"bucketed join re-shuffled its keys:\n$plan")
+    assert(plan.contains("SortMergeJoin"))
+  }
+
+  test("float and quantized cosine top-k agree on almost all neighbors") {
+    val a = SparkEntry.queries("sim_topk_cosine")(spark, dir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SparkEntry.queries("sim_topk_float")(spark, dir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (a intersect b).size.toDouble / a.size
+    assert(overlap >= 0.9, s"quantized vs float neighbor overlap only $overlap")
+  }
+
   test("lineitem scans prune columns (projection pushdown)") {
     val p = executedPlanString("q_project")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
