@@ -139,6 +139,73 @@ object SimilarityQ {
             |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos_micro
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
 
+  /** IVF two-stage ANN (the 100 TB similarity path): 16 coarse centroids
+    * (deterministically the first 16 vectors — offline k-means would
+    * refine them, but seeding keeps the oracle expressible), every base
+    * vector assigned to its max-cosine cell, queries probe their nprobe=2
+    * nearest cells and brute-force only those inverted lists. At scale:
+    * centroids broadcast (map-side argmax via partial-aggregable
+    * max(struct)), the corpus is hash-partitioned by cell, and each query
+    * touches nprobe/k of the data — here 2/16 = 12.5% of candidates vs
+    * the cross product. */
+  val simIvfTopk: Q = Q(
+    "sim_ivf_topk",
+    (spark, dir) => {
+      val b = base(spark, dir)
+      val c = b.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn2"))
+      // affinity of every vector to every centroid (broadcast NLJ, no shuffle)
+      val aff = b.crossJoin(broadcast(c))
+        .withColumn("a",
+          round(dotL(col("qv"), col("cv")).cast("double") /
+            sqrt(col("n2").cast("double") * col("cn2").cast("double")) * 1000000).cast("long"))
+      // assignment = argmax_c affinity, tie-break lowest c_id; expressed as a
+      // partial-aggregable max(struct) — the shape that stays map-side at scale
+      val assign = aff.groupBy(col("vec_id"))
+        .agg(max(struct(col("a"), (-col("c_id")).as("neg_cid"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_cid")).cast("long").as("cell"))
+      // queries probe their top-2 cells (tiny side — a window is fine)
+      val wAff = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("a").desc, col("c_id"))
+      val probes = aff.filter(col("vec_id") % 25 === 0)
+        .withColumn("rnk", row_number().over(wAff))
+        .filter(col("rnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("c_id").cast("long").as("cell"))
+      val cand = probes.join(assign, "cell")
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      val qv = b.select(col("vec_id"), col("qv"), col("n2"))
+      val scored = cand
+        .join(qv.select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2")), "q_id")
+        .join(qv.select(col("vec_id").as("neighbor_id"), col("qv"), col("n2").as("bn2")), "neighbor_id")
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("neighbor_id"), col("cos_micro"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+            |c AS (SELECT vec_id AS c_id, qv AS cv, n2 AS cn2 FROM n WHERE vec_id < 16),
+            |aff AS (SELECT b.vec_id, c.c_id,
+            |   CAST(round(list_dot_product(b.qv, c.cv) / sqrt(b.n2 * c.cn2) * 1000000) AS BIGINT) AS a
+            | FROM n b CROSS JOIN c),
+            |rk AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, c_id) AS rnk FROM aff),
+            |assign AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM rk WHERE rnk = 1),
+            |probes AS (SELECT vec_id AS q_id, CAST(c_id AS BIGINT) AS cell FROM rk WHERE vec_id % 25 = 0 AND rnk <= 2),
+            |cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
+            | FROM probes p JOIN assign a USING (cell) WHERE p.q_id <> a.vec_id),
+            |scored AS (SELECT cand.q_id, cand.neighbor_id,
+            |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            | FROM cand JOIN n q ON q.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.neighbor_id),
+            |r AS (SELECT q_id, neighbor_id, cos_micro,
+            |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn FROM scored)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos_micro
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
+
   /** Unquantized float-path top-k (production ANN scoring shape): raw
     * float32 embeddings scored with the fused double-accumulator dot
     * product. No SQL oracle — float reduction isn't cross-engine
@@ -167,5 +234,5 @@ object SimilarityQ {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simTopkFloat)
+  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat)
 }
