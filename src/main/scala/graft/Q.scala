@@ -32,6 +32,7 @@ object Registry {
       queries.MultimodalQ.all ++
       queries.ScanQ.all ++
       queries.AdvancedQ.all ++
+      queries.SampleQ.all ++
       queries.CompositeQ.all ++
       queries.PipelineQ.all ++
       queries.SketchQ.all

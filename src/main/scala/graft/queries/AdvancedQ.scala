@@ -214,6 +214,68 @@ object AdvancedQ {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Unpivot/melt (inverse of g_pivot): wide per-flag measures back to
+    * long (measure, value) rows via Dataset.unpivot — a Generate, purely
+    * narrow after the aggregation. */
+  val gUnpivot: Q = Q(
+    "g_unpivot",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("price_cents"), col("qty"), col("n")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+    Some("""WITH a AS (SELECT l_returnflag,
+           |   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+           |   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           |   COUNT(*) AS n
+           | FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, measure, value FROM (
+           | SELECT l_returnflag, 'price_cents' AS measure, price_cents AS value FROM a
+           | UNION ALL SELECT l_returnflag, 'qty', qty FROM a
+           | UNION ALL SELECT l_returnflag, 'n', n FROM a)
+           |ORDER BY l_returnflag, measure""".stripMargin))
+
+  /** Dynamic partition pruning: fact partitioned on o_year, dim filtered
+    * at runtime — the scan's PartitionFilters gains a
+    * dynamicpruningexpression, so only the matching year directories are
+    * read. THE mechanism that turns a 100 TB partitioned-fact join into a
+    * 1-partition read (PlanAuditSpec pins the plan shape). */
+  val jDpp: Q = Q(
+    "j_dpp",
+    (spark, dir) => {
+      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_dpp$dirTag"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables(spark, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      }
+      // Dim must be a REAL scan with a selective Filter node (a literal
+      // local relation gets constant-folded and DPP sees no predicate):
+      // region(0..4) → years 1994..1998, filtered to two names.
+      val dim = Tables(spark, dir, "region")
+        .filter(col("r_name").isin("ASIA", "AMERICA"))
+        .select((lit(1994) + col("r_regionkey")).cast("int").as("d_year"))
+      spark.read.parquet(path)
+        .join(broadcast(dim), col("o_year") === col("d_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+           |FROM orders JOIN region
+           |  ON year(o_orderdate) = 1994 + r_regionkey
+           | AND r_name IN ('ASIA', 'AMERICA')
+           |GROUP BY 1 ORDER BY o_year""".stripMargin))
+
   val all: Seq[Q] = Seq(jRightOuter, aPercentile, gPivot, jSkewSalted, sinkPartitioned,
-    qProfile, wFirstLast, jBucketed)
+    qProfile, wFirstLast, jBucketed, gUnpivot, jDpp)
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sampling & dataset-splitting operators — the training-data-pipeline
+  * surface (hold-out splits, stratified subsamples, cheap row samples)
+  * that a 100 TB corpus run needs before any training job.
+  *
+  * All three are DETERMINISTIC: sampling decisions come from a
+  * multiplicative (Knuth) hash of the row key, not an RNG, so results are
+  * reproducible across runs, engines, and partitionings — which is (a)
+  * what makes them oracle-checkable and (b) what production data-split
+  * pipelines want anyway (resharding the input must not reshuffle the
+  * split assignment).
+  *
+  * Scale notes: every operator here is a narrow map + filter (or one
+  * window per group for the stratified k); no shuffle for the Bernoulli
+  * sample/split, one partial-aggregable shuffle for the summaries. The
+  * hash inputs are reduced mod 1e6+3 BEFORE the multiply so the product
+  * stays < 2^51 — exact in int64 on any engine, no overflow at any key
+  * magnitude.
+  */
+object SampleQ {
+
+  /** Knuth multiplicative hash → bucket in [0, 1000). */
+  private def hashBucket(key: Column): Column =
+    (key % 1000003L) * 2654435761L % 1000L
+  private def hashBucketSql(key: String): String =
+    s"(($key % 1000003) * 2654435761) % 1000"
+
+  /** Deterministic 5% Bernoulli row sample of lineitem (hash-gated, no
+    * RNG): survives re-partitioning and re-runs bit-identically. */
+  val sampleHash: Q = Q(
+    "s_sample_hash",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(hashBucket(col("l_orderkey") * 7 + col("l_linenumber")) < 50)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""SELECT l_orderkey, l_linenumber,
+            | CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+            |FROM lineitem
+            |WHERE ${hashBucketSql("(l_orderkey * 7 + l_linenumber)")} < 50
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Exact stratified sample: k=10 orders per o_orderstatus stratum,
+    * chosen by hash order (deterministic "random" within the stratum).
+    * One window per stratum — at 100 TB this is a WindowGroupLimit
+    * (partial top-k per partition, then per group), not a full sort. */
+  val sampleStratified: Q = Q(
+    "s_sample_stratified",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(hashBucket(col("o_orderkey")), col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(
+          col("o_orderstatus"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus", "rn")
+    },
+    Some(s"""WITH r AS (SELECT o_orderstatus, o_orderkey,
+            |   CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+            |   row_number() OVER (PARTITION BY o_orderstatus
+            |     ORDER BY ${hashBucketSql("o_orderkey")}, o_orderkey) AS rn
+            | FROM orders)
+            |SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, total_cents
+            |FROM r WHERE rn <= 10 ORDER BY o_orderstatus, rn""".stripMargin))
+
+  /** Train/val/test split of the documents corpus (80/10/10 by doc_id
+    * hash) with per-split size/quality stats — the canonical hold-out
+    * split. Assignment is a pure row-local expression (no shuffle); the
+    * summary is one partial+final agg. */
+  val splitTrainTest: Q = Q(
+    "s_split_train_test",
+    (spark, dir) => {
+      val b = hashBucket(col("doc_id"))
+      Tables(spark, dir, "documents")
+        .withColumn("split",
+          when(b < 800, "train").when(b < 900, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    },
+    Some(s"""SELECT CASE WHEN ${hashBucketSql("doc_id")} < 800 THEN 'train'
+            |            WHEN ${hashBucketSql("doc_id")} < 900 THEN 'val'
+            |            ELSE 'test' END AS split,
+            | COUNT(*) AS n_docs,
+            | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+            | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            |FROM documents GROUP BY 1 ORDER BY split""".stripMargin))
+
+  val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest)
+}

@@ -89,6 +89,12 @@ class PlanAuditSpec extends SparkSpec {
       "l_quantity bound not in PushedFilters")
   }
 
+  test("j_dpp partitioned scan is dynamically pruned by the dim filter") {
+    val p = executedPlanString("j_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("float and quantized cosine top-k agree on almost all neighbors") {
     val a = SparkEntry.queries("sim_topk_cosine")(spark, dir)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
