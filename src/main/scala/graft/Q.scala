@@ -35,7 +35,10 @@ object Registry {
       queries.SampleQ.all ++
       queries.CompositeQ.all ++
       queries.PipelineQ.all ++
-      queries.SketchQ.all
+      queries.SketchQ.all ++
+      queries.SubqueryQ.all ++
+      queries.StatsQ.all ++
+      queries.FunctionsExtQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Second wave of scalar function families: string-distance/padding,
+  * calendar arithmetic, bitwise ops. All codegen'd built-ins — no UDFs —
+  * so they stay inside whole-stage codegen at any scale.
+  */
+object FunctionsExtQ {
+
+  /** String family 2: levenshtein, lpad/rpad, reverse, instr, translate. */
+  val fString2: Q = Q(
+    "f_string2",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          levenshtein(substring(col("text"), 1, 8), lit("the quic")).cast("long").as("lev"),
+          lpad(col("lang"), 5, "_").as("l5"),
+          rpad(col("source"), 8, ".").as("r8"),
+          reverse(substring(col("text"), 1, 6)).as("rev6"),
+          instr(col("text"), "e").cast("long").as("pos_e"),
+          translate(substring(col("text"), 1, 10), "aeiou", "_____").as("tr"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | CAST(levenshtein(substr(text,1,8), 'the quic') AS BIGINT) AS lev,
+           | lpad(lang, 5, '_') AS l5, rpad(source, 8, '.') AS r8,
+           | reverse(substr(text,1,6)) AS rev6,
+           | CAST(strpos(text, 'e') AS BIGINT) AS pos_e,
+           | translate(substr(text,1,10), 'aeiou', '_____') AS tr
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Calendar family 2: last_day, quarter trunc, ISO week, day diffs. */
+  val fDate2: Q = Q(
+    "f_date2",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+           | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+           | CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+           | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Bitwise family: and/or/xor, shifts, popcount — the primitives under
+    * hash partitioning, bloom filters and simhash banding. */
+  val fBitwise: Q = Q(
+    "f_bitwise",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(
+          col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("lo8"),
+          col("event_id").bitwiseOR(lit(4096L)).as("set12"),
+          col("event_id").bitwiseXOR(lit(21845L)).as("x"),
+          shiftleft(col("event_id"), 2).as("shl"),
+          shiftright(col("event_id"), 3).as("shr"),
+          bit_count(col("event_id")).cast("long").as("nbits"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, event_id & 255 AS lo8, event_id | 4096 AS set12,
+           | xor(event_id, 21845) AS x, event_id << 2 AS shl, event_id >> 3 AS shr,
+           | CAST(bit_count(event_id) AS BIGINT) AS nbits
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise)
+}
