@@ -38,7 +38,8 @@ object Registry {
       queries.SketchQ.all ++
       queries.SubqueryQ.all ++
       queries.StatsQ.all ++
-      queries.FunctionsExtQ.all
+      queries.FunctionsExtQ.all ++
+      queries.SinkQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: ORC interchange, sort-clustered parquet for
+  * row-group skipping, and snapshot merge (upsert-by-rewrite) — the three
+  * layout moves a parquet-lake engine needs at 100 TB.
+  */
+object SinkQ {
+
+  private def tmp(name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** ORC write + read-back (columnar interchange beyond parquet; same
+    * vectorized reader + predicate pushdown machinery). */
+  val scanOrc: Q = Q(
+    "scan_orc",
+    (spark, dir) => {
+      val path = tmp("scan_orc", dir)
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+        .write.mode("overwrite").orc(path)
+      spark.read.orc(path)
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+           |FROM orders WHERE o_orderstatus <> 'P'
+           |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+
+  /** Sort-clustered parquet: range-repartition + sortWithinPartitions on
+    * l_shipdate before writing, so every row group covers a narrow
+    * shipdate band and the read-back range filter prunes most row groups
+    * via parquet min/max stats (PushedFilters does the skipping). The
+    * lakehouse clustering move — without it a 100 TB scan reads every
+    * row group no matter how selective the predicate. */
+  val sinkClustered: Q = Q(
+    "sink_clustered",
+    (spark, dir) => {
+      val path = tmp("sink_clustered", dir)
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_extendedprice")).as("price_cents"))
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions(col("l_shipdate"))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+        .filter(col("l_shipdate").between("1996-03-01", "1996-03-31"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("day_cents"))
+        .orderBy("ship_day")
+    },
+    Some("""SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |FROM lineitem
+           |WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01 00:00:00' AND TIMESTAMP '1996-03-31 00:00:00'
+           |GROUP BY 1 ORDER BY ship_day""".stripMargin))
+
+  /** Snapshot merge / upsert-by-rewrite: updates win over the base
+    * snapshot via full outer join + coalesce — the parquet-lake MERGE
+    * pattern (rewrite the joined result as the new snapshot). Shuffles
+    * only on the key; at 100 TB with a partitioned snapshot this joins
+    * per-partition and rewrites only partitions that received updates. */
+  val sinkUpsert: Q = Q(
+    "sink_upsert",
+    (spark, dir) => {
+      val snap = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus").as("status"))
+      val updates = Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), (cents(col("o_totalprice")) * 2).as("price_cents"),
+          lit("U").as("status"))
+        .unionAll(
+          Tables(spark, dir, "orders")
+            .filter(col("o_orderkey") % 97 === 0)
+            .select((col("o_orderkey") + 1000000).as("k"),
+              cents(col("o_totalprice")).as("price_cents"), lit("I").as("status")))
+      val merged = snap.as("s")
+        .join(updates.as("u"), col("s.k") === col("u.k"), "full")
+        .select(
+          coalesce(col("u.k"), col("s.k")).as("k"),
+          coalesce(col("u.price_cents"), col("s.price_cents")).as("price_cents"),
+          coalesce(col("u.status"), col("s.status")).as("status"))
+      val path = tmp("sink_upsert", dir)
+      merged.write.mode("overwrite").parquet(path) // the rewritten snapshot
+      spark.read.parquet(path).orderBy("k")
+    },
+    Some("""WITH snap AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus AS status FROM orders),
+           |upd AS (
+           |  SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT)*2 AS price_cents, 'U' AS status
+           |  FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 1000000 AS k, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, 'I' AS status
+           |  FROM orders WHERE o_orderkey % 97 = 0)
+           |SELECT COALESCE(u.k, s.k) AS k,
+           |  COALESCE(u.price_cents, s.price_cents) AS price_cents,
+           |  COALESCE(u.status, s.status) AS status
+           |FROM snap s FULL JOIN upd u ON s.k = u.k
+           |ORDER BY k""".stripMargin))
+
+  val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert)
+}

@@ -103,5 +103,45 @@ object TextQ {
            | substring(md5(text), 1, 8) AS fp_short
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint)
+  /** TF-IDF top-3 terms per document. Two aggregations (term freq per doc,
+    * doc freq per term) + one broadcast-able join on term + a bounded
+    * per-doc window. log() runs once per (doc,term) on exact integers and
+    * is micro-quantized, so both engines agree. At 100 TB: tf and df are
+    * partial-aggregated map-side; df (vocabulary-sized) broadcasts. */
+  val tTfidf: Q = Q(
+    "t_tfidf",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 1000000)
+            .cast("long").as("tfidf_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf_micro").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("tok"), col("tfidf_micro"))
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+           |t AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2),
+           |d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+           |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+           |s AS (SELECT t.doc_id, t.tok,
+           |        CAST(round(t.tf * ln(n.n_docs * 1.0 / d.df) * 1000000) AS BIGINT) AS tfidf_micro
+           |      FROM t JOIN d USING (tok) CROSS JOIN n),
+           |r AS (SELECT doc_id, tok, tfidf_micro,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, tok) AS rn
+           |      FROM s)
+           |SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, tfidf_micro
+           |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf)
 }
