@@ -39,7 +39,8 @@ object Registry {
       queries.SubqueryQ.all ++
       queries.StatsQ.all ++
       queries.FunctionsExtQ.all ++
-      queries.SinkQ.all
+      queries.SinkQ.all ++
+      queries.GraphQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

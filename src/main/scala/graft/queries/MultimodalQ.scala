@@ -61,5 +61,27 @@ object MultimodalQ {
            |   / CAST(greatest(least(length(text), 64), 1) AS DOUBLE) AS mean64
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode)
+  /** Frame-sampling stub: treat the payload as a fixed-frame "video"
+    * (16-byte frames), sample every 4th frame (offsets 0/64/128/192), and
+    * fingerprint the sampled frames. Pure column expressions — the exact
+    * plumbing shape (stride sampling + per-sample digest) a real video
+    * pipeline runs per row, with the codec swapped in for substring. */
+  val mmFrameSample: Q = Q(
+    "mm_frame_sample",
+    (spark, dir) => {
+      val t = col("text")
+      Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        expr("CAST(ceil(length(text) / 16.0) AS BIGINT)").as("n_frames"),
+        md5(concat(substring(t, 1, 16), substring(t, 65, 16),
+          substring(t, 129, 16), substring(t, 193, 16))).as("sample_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
+           | md5(concat(substr(text,1,16), substr(text,65,16),
+           |            substr(text,129,16), substr(text,193,16))) AS sample_md5
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample)
 }
