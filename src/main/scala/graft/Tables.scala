@@ -13,9 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Session-scoped catalog cache: resolving a table = parquet footer read
+  // + file listing + scan-relation build, identical every call. Real
+  // engines cache catalog state; keyed per session so different
+  // SparkSessions (tests) never share plans. DataFrames are immutable, so
+  // memoizing is semantics-free.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a
