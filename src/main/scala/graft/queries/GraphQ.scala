@@ -32,6 +32,12 @@ object GraphQ {
       var labels = edges.select(col("vec_a").as("id")).distinct()
         .select(col("id"), col("id").as("comp"))
         .localCheckpoint()
+      // Convergence probe: labels only ever decrease (min-propagation), so
+      // the label sum is strictly monotone until fixpoint — one cheap agg
+      // per superstep instead of a join + isEmpty.
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(col("comp"))).head.getLong(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -41,8 +47,9 @@ object GraphQ {
         val next = labels.select(col("id"), col("comp")).unionAll(propagated)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("comp", "old"), "id")
-          .filter(col("comp") =!= col("old")).isEmpty
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
         labels = next
         iter += 1
       }

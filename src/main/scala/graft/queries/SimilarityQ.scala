@@ -234,5 +234,31 @@ object SimilarityQ {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat)
+  /** Brute-force cosine top-k via the TopKPairs bounded-heap Aggregator
+    * instead of a window sort: map-side partial aggregation caps every
+    * partition's candidates at k before the shuffle, so k×partitions rows
+    * move instead of every scored pair — the formulation that wins when
+    * one query has millions of candidates. Same oracle as
+    * sim_topk_cosine: the two formulations must agree exactly. */
+  val simTopkAgg: Q = Q(
+    "sim_topk_agg",
+    (spark, dir) => {
+      val topk = udaf(new graft.ops.TopKPairs(5))
+      val b = base(spark, dir)
+      val q = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"))
+      val pairs = q.join(b.select(col("vec_id"), col("qv"), col("n2").as("bn2")),
+        col("q_id") =!= col("vec_id"))
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      pairs.groupBy(col("q_id"))
+        .agg(topk(col("cos_micro"), col("vec_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("col")(1).as("neighbor_id"), col("col")(0).as("cos_micro"))
+        .orderBy("q_id", "rn")
+    },
+    simTopk.oracle)
+
+  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg)
 }

@@ -116,8 +116,10 @@ object TextQ {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
       val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      // tf is one row per (doc, tok) and doc_id is the table's key, so both
+      // "distinct" counts are plain counts — no distinct-expand needed.
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"),
           round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 1000000)
