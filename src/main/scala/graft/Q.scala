@@ -40,7 +40,8 @@ object Registry {
       queries.StatsQ.all ++
       queries.FunctionsExtQ.all ++
       queries.SinkQ.all ++
-      queries.GraphQ.all
+      queries.GraphQ.all ++
+      queries.QualityQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

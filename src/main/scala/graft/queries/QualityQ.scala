@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: declarative constraint audit and histogram
+  * binning — the pre-flight pass every pipeline runs before committing
+  * 100 TB of output.
+  */
+object QualityQ {
+
+  /** Constraint audit: each rule is a conditional count (single scan per
+    * table, conditions fused), FK orphans via anti-join counts. One long
+    * row per rule. The fused-scan shape matters at scale: N column rules
+    * cost one pass, not N. (l_quantity_le_45 is a deliberately tight
+    * threshold so the audit demonstrably reports nonzero violations.) */
+  val qConstraints: Q = Q(
+    "q_constraints",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val ord = Tables(spark, dir, "orders")
+      val cust = Tables(spark, dir, "customer")
+      val colRules = li.agg(
+        count_if(col("l_quantity").isNull || col("l_quantity") <= 0).as("l_quantity_pos"),
+        count_if(col("l_discount") < 0 || col("l_discount") > lit(0.1)).as("l_discount_range"),
+        count_if(col("l_quantity") > 45).as("l_quantity_le_45"))
+        .unpivot(Array.empty, Array(col("l_quantity_pos"), col("l_discount_range"),
+          col("l_quantity_le_45")), "rule", "n_viol")
+      val fkLineitem = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(lit("lineitem_fk_orders").as("rule"), count(lit(1)).as("n_viol"))
+      val fkOrders = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(lit("orders_fk_customer").as("rule"), count(lit(1)).as("n_viol"))
+      colRules.unionAll(fkLineitem).unionAll(fkOrders).orderBy("rule")
+    },
+    Some("""SELECT 'l_quantity_pos' AS rule,
+           |  COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0) AS n_viol FROM lineitem
+           |UNION ALL SELECT 'l_discount_range',
+           |  COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) FROM lineitem
+           |UNION ALL SELECT 'l_quantity_le_45',
+           |  COUNT(*) FILTER (WHERE l_quantity > 45) FROM lineitem
+           |UNION ALL SELECT 'lineitem_fk_orders',
+           |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           |UNION ALL SELECT 'orders_fk_customer',
+           |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           |ORDER BY rule""".stripMargin))
+
+  /** Fixed-width histogram with a clamped top bin: one hash aggregation,
+    * bin count independent of data size. */
+  val aHistogram: Q = Q(
+    "a_histogram",
+    (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy(least(floor(col("l_extendedprice") / 10000), lit(9)).cast("long").as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(cents(col("l_extendedprice"))).as("min_cents"),
+          max(cents(col("l_extendedprice"))).as("max_cents"))
+        .orderBy("bin"),
+    Some("""SELECT least(CAST(floor(l_extendedprice / 10000) AS BIGINT), 9) AS bin,
+           |  COUNT(*) AS n,
+           |  MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS min_cents,
+           |  MAX(CAST(round(l_extendedprice*100) AS BIGINT)) AS max_cents
+           |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram)
+}
