@@ -71,5 +71,31 @@ object FunctionsExtQ {
            | CAST(bit_count(event_id) AS BIGINT) AS nbits
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise)
+  /** Conditional/null-handling family: CASE, nullif, ifnull, least /
+    * greatest — all fold into codegen'd branches, no UDF. */
+  val fCond: Q = Q(
+    "f_cond",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("price_band"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_filled"),
+          least(col("o_orderkey") % 1000, lit(500L)).as("lo"),
+          greatest(col("o_orderkey") % 1000, lit(500L)).as("hi"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           | CASE WHEN o_totalprice > 300000 THEN 'high'
+           |      WHEN o_totalprice > 100000 THEN 'mid'
+           |      ELSE 'low' END AS price_band,
+           | nullif(o_orderstatus, 'P') AS status_or_null,
+           | COALESCE(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           | least(o_orderkey % 1000, 500) AS lo,
+           | greatest(o_orderkey % 1000, 500) AS hi
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond)
 }
