@@ -104,6 +104,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(overlap >= 0.9, s"quantized vs float neighbor overlap only $overlap")
   }
 
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val p = executedPlanString("sub_exists_corr")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice"), "inner predicate not pushed to the orders scan")
+  }
+
+  test("lateral ORDER BY LIMIT per group rewrites to a window, not a loop join") {
+    val p = executedPlanString("sub_lateral")
+    assert(p.contains("row_number"), s"lateral subquery not rewritten via window:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "lateral subquery fell back to a nested-loop join")
+  }
+
+  test("top-k aggregator runs map-side partial aggregation") {
+    val p = executedPlanString("sim_topk_agg")
+    assert(p.contains("partial_topkpairs"),
+      s"TopKPairs did not partial-aggregate before the shuffle:\n$p")
+  }
+
+  test("clustered sink read-back pushes the range predicate to the scan") {
+    val p = formattedPlanString("sink_clustered")
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
+      "l_shipdate range not in PushedFilters of the clustered read-back")
+  }
+
+  test("top-k window and top-k aggregator agree exactly") {
+    val a = SparkEntry.queries("sim_topk_cosine")(spark, dir).collect().map(_.toSeq)
+    val b = SparkEntry.queries("sim_topk_agg")(spark, dir).collect().map(_.toSeq)
+    assert(a.sameElements(b), "aggregator top-k diverged from window top-k")
+  }
+
   test("lineitem scans prune columns (projection pushdown)") {
     val p = executedPlanString("q_project")
     val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse("")
