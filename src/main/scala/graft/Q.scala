@@ -41,7 +41,8 @@ object Registry {
       queries.FunctionsExtQ.all ++
       queries.SinkQ.all ++
       queries.GraphQ.all ++
-      queries.QualityQ.all
+      queries.QualityQ.all ++
+      queries.PatternQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

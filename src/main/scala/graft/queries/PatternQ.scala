@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Event-sequence and join-edge patterns: funnel analysis (the canonical
+  * product-analytics query over an event stream) and null-safe equality.
+  */
+object PatternQ {
+
+  /** Three-stage funnel view→click→purchase, each step within 24h of the
+    * previous step's first occurrence. Each stage = one filtered
+    * aggregation joined to the previous stage's (tiny, per-user) result —
+    * the fact table is scanned once per stage with the event_type filter
+    * pushed down; stage outputs are one row per surviving user, so the
+    * joins broadcast at any fact scale. */
+  val gFunnel: Q = Q(
+    "g_funnel",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val one = (df: org.apache.spark.sql.DataFrame, stage: Int, name: String) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).cast("long").as("stage"), lit(name).as("name"), col("n_users"))
+      one(v, 1, "view").unionAll(one(c, 2, "click")).unionAll(one(p, 3, "purchase"))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOURS GROUP BY 1),
+           |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOURS GROUP BY 1)
+           |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, (SELECT COUNT(*) FROM v) AS n_users
+           |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+           |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+           |ORDER BY stage""".stripMargin))
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the join form dedup-by-nullable-key needs.
+    * Hash-joinable in Spark (EqualNullSafe is an equi-join key), so no
+    * nested-loop fallback. */
+  val jNullSafe: Q = Q(
+    "j_null_safe",
+    (spark, dir) => {
+      val a = Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), nullif(col("n_nationkey") % 5, lit(4)).as("k"))
+      val b = Tables(spark, dir, "region")
+        .select(col("r_regionkey"), nullif(col("r_regionkey") % 5, lit(4)).as("k"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("n_nationkey"), col("r_regionkey"))
+        .orderBy("n_nationkey", "r_regionkey")
+    },
+    Some("""WITH a AS (SELECT n_nationkey, nullif(n_nationkey % 5, 4) AS k FROM nation),
+           |b AS (SELECT r_regionkey, nullif(r_regionkey % 5, 4) AS k FROM region)
+           |SELECT a.n_nationkey, b.r_regionkey
+           |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+           |ORDER BY n_nationkey, r_regionkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(gFunnel, jNullSafe)
+}
