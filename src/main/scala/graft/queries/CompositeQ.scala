@@ -160,5 +160,39 @@ object CompositeQ {
            |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 2 AND 6
            |  AND l_quantity < 24""".stripMargin))
 
-  val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume, xRevenueForecast)
+  /** TPC-H Q18 shape (large-volume orders): IN-subquery over an
+    * aggregated HAVING, decorrelated to a semi join against the
+    * aggregate; then fact⟝fact join + broadcast dim + top-20. The
+    * HAVING aggregate runs partial+final and only qualifying orderkeys
+    * (a tiny set) flow into the semi join — at 100 TB the filter
+    * reduces the join input before any wide row is assembled. */
+  val xBigOrders: Q = Q(
+    "x_big_orders",
+    (spark, dir) => {
+      val cust = Tables(spark, dir, "customer").select(col("c_custkey"))
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val big = li.groupBy(col("l_orderkey")).agg(sum(col("qty")).as("sq"))
+        .filter(col("sq") > 150).select(col("l_orderkey").as("big_key"))
+      ord.join(big, col("o_orderkey") === col("big_key"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        .agg(sum(col("qty")).as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS od,
+           |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |WHERE o.o_orderkey IN (
+           |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+           |GROUP BY 1, 2, 3 ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume,
+    xRevenueForecast, xBigOrders)
 }
