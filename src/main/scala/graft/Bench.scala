@@ -31,7 +31,13 @@ object Bench {
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // A failed query must not abort the whole bench, but it must be
+        // LOUD: a swallowed failure shows up as a suspiciously fast time
+        // (exactly how the round-1 nanos crashes hid in BENCH_r01).
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = pass().toMap
