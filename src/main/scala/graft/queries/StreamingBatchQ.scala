@@ -75,5 +75,32 @@ object StreamingBatchQ {
            |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
            |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin))
 
-  val all: Seq[Q] = Seq(gTumble, gSlide, gSession)
+  /** Batch twin of the stream-stream time-bound join, calling the SAME
+    * operator (`StreamingOps.timeBoundJoin` — withWatermark is a no-op on
+    * batch frames), so the streaming join's pairing semantics get a
+    * DuckDB oracle: each 'view' pairs with same-user 'click's within 30
+    * minutes after it. */
+  val gStreamJoinTwin: Q = Q(
+    "g_stream_join_twin",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val joined = graft.streaming.StreamingOps.timeBoundJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+      joined.select(
+        col("user_id"), col("l_id"), col("r_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_s"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_s"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           | strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_s,
+           | strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_s
+           |FROM events l JOIN events r
+           |  ON l.user_id = r.user_id
+           | AND l.event_type = 'view' AND r.event_type = 'click'
+           | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES
+           |ORDER BY l.user_id, l_id, r_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(gTumble, gSlide, gSession, gStreamJoinTwin)
 }
