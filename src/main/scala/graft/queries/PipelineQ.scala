@@ -21,7 +21,7 @@ object PipelineQ {
   private val Attacker = "172.16.0.66"
   private val Victim = "192.168.10.50"
 
-  private def mkFrame(srcIp: String, dstIp: String, sport: Int, dport: Int,
+  def mkFrame(srcIp: String, dstIp: String, sport: Int, dport: Int,
                       proto: Int, appLen: Int, fill: Byte): Array[Byte] = {
     val transportLen = if (proto == 6) 20 else 8
     val totalLen = 20 + transportLen + appLen
