@@ -140,5 +140,65 @@ object StatsQ {
            |SELECT strftime(d.day, '%Y-%m-%d') AS day_s, COALESCE(c.n, 0) AS n_orders
            |FROM d LEFT JOIN c ON d.day = c.day ORDER BY day_s""".stripMargin))
 
-  val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill)
+  /** Pearson correlation from exact integer moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²): six longs of agg state per group. The final chain casts
+    * each exact integer to double explicitly on BOTH sides — the raw
+    * integer products (n·Σy²) would overflow int64, and both engines
+    * round the same exact integer to the same double, so the fixed IEEE
+    * chain stays bit-identical. */
+  val aCorr: Q = Q(
+    "a_corr",
+    (spark, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_extendedprice"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / sqrt((d(col("n")) * d(col("sx2")) - d(col("sx")) * d(col("sx")))
+              * (d(col("n")) * d(col("sy2")) - d(col("sy")) * d(col("sy"))))
+            * 1000000).cast("long").as("corr_micro"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+           |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
+           |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+           |  SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+           |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+           |  SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sy2
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  CAST(round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |    / sqrt((CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+           |         * (CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+           |    * 1000000) AS BIGINT) AS corr_micro
+           |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  /** lag(... IGNORE NULLS): last preceding purchase per user — the
+    * "carry last relevant event forward" analytic. */
+  val wLagIgnoreNulls: Q = Q(
+    "w_lag_ignore_nulls",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir, "events")
+        .select(
+          col("event_id"),
+          lag(when(col("event_type") === "purchase", col("event_id")), 1, null, ignoreNulls = true)
+            .over(w).as("prev_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+           |  lag(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
+    aCorr, wLagIgnoreNulls)
 }
