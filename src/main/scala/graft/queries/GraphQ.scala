@@ -40,13 +40,19 @@ object GraphQ {
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        val propagated = edges
-          .join(labels, edges("vec_b") === labels("id"))
-          .select(col("vec_a").as("id"), col("comp"))
-        val next = labels.select(col("id"), col("comp")).unionAll(propagated)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint()
+      while (!converged && iter < 10) {
+        // Two propagation rounds per checkpoint+probe: halves the job
+        // count (checkpoint and sum are whole jobs, the joins are lazy)
+        // at the cost of at most one redundant round after convergence.
+        var cur = labels.select(col("id"), col("comp"))
+        for (_ <- 0 until 2) {
+          val propagated = edges
+            .join(cur, edges("vec_b") === cur("id"))
+            .select(col("vec_a").as("id"), col("comp"))
+          cur = cur.unionAll(propagated)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        }
+        val next = cur.localCheckpoint()
         val s = labelSum(next)
         converged = s == prevSum
         prevSum = s
