@@ -509,11 +509,28 @@ object RelationalQ {
     Some("""SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier
            |ORDER BY nk""".stripMargin))
 
+  /** Multiset (bag) semantics: INTERSECT ALL keeps min(multiplicity),
+    * EXCEPT ALL subtracts multiplicities — Spark plans both as aggregated
+    * joins over (value, count), one shuffle each, no row explosion. */
+  val setIntersectAll: Q = Q(
+    "set_intersect_all",
+    (spark, dir) =>
+      custNations(spark, dir).intersectAll(suppNations(spark, dir)).orderBy("nk"),
+    Some("""SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey AS nk FROM supplier
+           |ORDER BY nk""".stripMargin))
+
+  val setExceptAll: Q = Q(
+    "set_except_all",
+    (spark, dir) =>
+      custNations(spark, dir).exceptAll(suppNations(spark, dir)).orderBy("nk"),
+    Some("""SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey AS nk FROM supplier
+           |ORDER BY nk""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qProject, qFilter,
     jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jCross,
     aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets, aUdaf,
     wRowNumber, wRankDense, wLagLead, wFrameRows, wFrameRange, wNtile,
     sTopk,
-    setUnionAll, setUnion, setIntersect, setExcept)
+    setUnionAll, setUnion, setIntersect, setExcept, setIntersectAll, setExceptAll)
 }
