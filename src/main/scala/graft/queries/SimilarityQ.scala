@@ -260,5 +260,30 @@ object SimilarityQ {
     },
     simTopk.oracle)
 
-  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg)
+  /** Per-label centroid moments (first 4 dims): posexplode + one hash agg
+    * on (label, pos); emitted as exact integer sums + counts (centroid =
+    * sum/n, derivable losslessly). The element-wise shape a k-means /
+    * class-prototype step runs at scale: shuffle moves one row per
+    * (label × dim), never per vector. */
+  val eCentroid: Q = Q(
+    "e_centroid",
+    (spark, dir) =>
+      Tables(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .filter(col("pos0") < 4)
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("v").cast("double") * 1000000).cast("long").as("vq"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("vq")).as("sum_micro"), count(lit(1)).as("n"))
+        .orderBy("label", "pos"),
+    Some("""WITH e AS (SELECT label,
+           |    unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))) AS v,
+           |    unnest(range(1, len(embedding) + 1)) AS pos
+           |  FROM embeddings)
+           |SELECT label, CAST(pos AS BIGINT) AS pos,
+           |  CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_micro, COUNT(*) AS n
+           |FROM e WHERE pos <= 4 GROUP BY 1, 2 ORDER BY label, pos""".stripMargin))
+
+  val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
+    eCentroid)
 }

@@ -199,6 +199,42 @@ object StatsQ {
            |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Least-squares regression (slope/intercept) per group from the same
+    * five-long moment state as a_corr; identical explicit-double chain
+    * discipline. price_cents ≈ slope·quantity + intercept. */
+  val aRegr: Q = Q(
+    "a_regr",
+    (spark, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_extendedprice"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val withM = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sx2"))
+      val slope = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (d(col("n")) * d(col("sx2")) - d(col("sx")) * d(col("sx")))
+      withM.select(
+        col("l_returnflag"),
+        round(slope * 1000).cast("long").as("slope_milli"),
+        round((d(col("sy")) - slope * d(col("sx"))) / d(col("n"))).cast("long").as("icept_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+           |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
+           |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+           |  SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+           |  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag,
+           |  CAST(round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |    / (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * 1000) AS BIGINT) AS slope_milli,
+           |  CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |    / (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS icept_cents
+           |FROM m ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
-    aCorr, wLagIgnoreNulls)
+    aCorr, wLagIgnoreNulls, aRegr)
 }
