@@ -235,6 +235,29 @@ object StatsQ {
            |    / (CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS icept_cents
            |FROM m ORDER BY l_returnflag""".stripMargin))
 
+  /** Deterministic mode: count per value, then argmax with a min-value
+    * tiebreak folded into the measure (native mode() tie behavior
+    * differs between engines, so the derived form is the only
+    * oracle-safe one). Two hash aggs, both partial+final. */
+  val aMode: Q = Q(
+    "a_mode",
+    (spark, dir) => {
+      val counts = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("qty"), col("cnt") * 1000 - col("qty")).as("mode_qty"),
+          max(col("cnt")).as("mode_cnt"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+           |           FROM lineitem GROUP BY 1, 2)
+           |SELECT l_returnflag,
+           |  max_by(qty, cnt * 1000 - qty) AS mode_qty,
+           |  CAST(MAX(cnt) AS BIGINT) AS mode_cnt
+           |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
-    aCorr, wLagIgnoreNulls, aRegr)
+    aCorr, wLagIgnoreNulls, aRegr, aMode)
 }
