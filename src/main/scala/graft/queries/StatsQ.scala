@@ -258,6 +258,29 @@ object StatsQ {
            |  CAST(MAX(cnt) AS BIGINT) AS mode_cnt
            |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
+  /** Rolling 7-day revenue via a time-INTERVAL range frame (vs
+    * w_frame_range's numeric range): pre-aggregate per day first, so the
+    * window walks one row per day instead of one per order — at 100 TB
+    * the frame state is bounded by the date span, not the fact size.
+    * Interval frames need the SQL surface (the Scala rangeBetween API is
+    * numeric-only), so this goes through spark.sql. */
+  val wFrameInterval: Q = Q(
+    "w_frame_interval",
+    (spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(
+        """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS day_cents FROM orders GROUP BY 1)
+          |SELECT date_format(day, 'yyyy-MM-dd') AS day_s,
+          |  CAST(SUM(day_cents) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+          |FROM d ORDER BY day_s""".stripMargin)
+    },
+    Some("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS day_cents FROM orders GROUP BY 1)
+           |SELECT strftime(day, '%Y-%m-%d') AS day_s,
+           |  CAST(SUM(day_cents) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+           |FROM d ORDER BY day_s""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
-    aCorr, wLagIgnoreNulls, aRegr, aMode)
+    aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval)
 }
