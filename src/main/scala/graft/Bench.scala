@@ -46,8 +46,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":2,"pass_totals":[${p1.values.sum},${p2.values.sum}],"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""passes":2,"pass_totals":[${p1.values.sum},${p2.values.sum}],"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver captures a bounded stdout tail,
+    // and BENCH_r02 lost its per-query head to exactly that truncation.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

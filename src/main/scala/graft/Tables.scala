@@ -17,15 +17,30 @@ object Tables {
   // + file listing + scan-relation build, identical every call. Real
   // engines cache catalog state; keyed per session so different
   // SparkSessions (tests) never share plans. DataFrames are immutable, so
-  // memoizing is semantics-free.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
-
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
-      if (name == "events") events(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
+  // memoizing is semantics-free. Keyed on sessionUUID (unique per
+  // session — identityHashCode can be reused after GC and hand a new
+  // session DataFrames bound to a dead one) and LRU-bounded so cached
+  // plans don't pin stopped sessions for the life of the JVM.
+  private val MaxEntries = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean =
+        size() > MaxEntries
     })
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (org.apache.spark.sql.graftshim.Shims.sessionUUID(spark), dir, name)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df =
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      cache.put(key, df)
+      df
+    }
+  }
 
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a

@@ -27,4 +27,14 @@ package object functions {
     * accumulator, fixed order) — unquantized ANN scoring. */
   def vec_dot_float(a: Column, b: Column): Column =
     column(FloatVecDot(Shims.expression(a), Shims.expression(b)))
+
+  /** Native Bloom-filter membership probe (BloomFilterMightContain — the
+    * codegen'd expression behind Spark's runtime row-level bloom join
+    * filters; not exposed in the public function registry, hence this
+    * wrapper). `bloom` is the util.sketch.BloomFilter serialized via
+    * writeTo — the same wire format BloomFilterImpl.readFrom expects. */
+  def might_contain(bloom: Array[Byte], key: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloom),
+      Shims.expression(key)))
 }

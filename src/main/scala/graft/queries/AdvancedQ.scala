@@ -251,7 +251,10 @@ object AdvancedQ {
     "j_dpp",
     (spark, dir) => {
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_dpp$dirTag"
+      // tmp path keyed on a content fingerprint of the source table, so a
+      // regenerated testdata dir invalidates the cached partitioned layout
+      val fp = SinkQ.fingerprint(s"$dir/orders.parquet")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_dpp${dirTag}_$fp"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")).cast("int"))

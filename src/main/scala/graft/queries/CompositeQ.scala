@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Plan expectations (audited in PlanAuditSpec):
   *  - filters reach the parquet scans (PushedFilters on date/segment),
-  *  - small dims (region/nation/customer/supplier) broadcast; only the
-  *    fact-fact join (orders⨝lineitem) shuffles,
+  *  - FIXED-size dims (region=5 rows, nation=25 rows) carry broadcast
+  *    hints; sf-PROPORTIONAL tables (customer/supplier) carry NO hint —
+  *    the planner broadcasts them while their stats fit under the
+  *    threshold, and at 100× AQE degrades to a shuffle join instead of a
+  *    multi-GB broadcast build (a hinted broadcast would OOM the driver),
   *  - aggregates are partial+final (map-side combine before exchange).
   *
   * All money math is integer-exact (ColumnOps): revenue is accumulated in
@@ -72,7 +75,7 @@ object CompositeQ {
         .select(col("l_orderkey"),
           (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(col("rev")).as("revenue_units"))
         .select(col("l_orderkey"),
@@ -113,9 +116,14 @@ object CompositeQ {
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
           (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
+      // customer/supplier grow with scale factor, so they carry NO broadcast
+      // hint: at bench scale the planner still broadcasts them (size stats
+      // under the threshold), while at 100× AQE falls back to a shuffle
+      // join instead of building a multi-GB broadcast. Only the fixed-size
+      // dims (region=5, nation=25 rows) are hinted.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -176,9 +184,11 @@ object CompositeQ {
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
       val big = li.groupBy(col("l_orderkey")).agg(sum(col("qty")).as("sq"))
         .filter(col("sq") > 150).select(col("l_orderkey").as("big_key"))
+      // customer is sf-proportional — no broadcast hint (see Q5 note above):
+      // the planner broadcasts it while its stats fit, AQE shuffles at 100×.
       ord.join(big, col("o_orderkey") === col("big_key"), "left_semi")
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
         .agg(sum(col("qty")).as("sum_qty"))

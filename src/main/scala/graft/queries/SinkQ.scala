@@ -13,6 +13,19 @@ object SinkQ {
   private def tmp(name: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Content fingerprint of a source path (recursive name+size+mtime
+    * hash). Amortized layout writes key their tmp path on this, so
+    * regenerating the testdata under the SAME path invalidates the cached
+    * layout instead of silently reusing stale data. */
+  private[queries] def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk) else Seq(f)
+    val desc = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
+    md.take(8).map("%02x".format(_)).mkString
+  }
+
   /** ORC write + read-back (columnar interchange beyond parquet; same
     * vectorized reader + predicate pushdown machinery). */
   val scanOrc: Q = Q(
@@ -42,7 +55,7 @@ object SinkQ {
   val sinkClustered: Q = Q(
     "sink_clustered",
     (spark, dir) => {
-      val path = tmp("sink_clustered", dir)
+      val path = tmp("sink_clustered", dir) + "_" + fingerprint(s"$dir/lineitem.parquet")
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_extendedprice")).as("price_cents"))
@@ -66,7 +79,11 @@ object SinkQ {
     * snapshot via full outer join + coalesce — the parquet-lake MERGE
     * pattern (rewrite the joined result as the new snapshot). Shuffles
     * only on the key; at 100 TB with a partitioned snapshot this joins
-    * per-partition and rewrites only partitions that received updates. */
+    * per-partition and rewrites only partitions that received updates.
+    * Synthesized insert keys sit at +1e10 — above any realistic orderkey
+    * (sf1 reaches 6M, sf1000 ~6B) so inserts can't collide with snapshot
+    * keys; the ORDER BY includes status+price so row order stays total
+    * even if a tie ever appeared. */
   val sinkUpsert: Q = Q(
     "sink_upsert",
     (spark, dir) => {
@@ -80,7 +97,7 @@ object SinkQ {
         .unionAll(
           Tables(spark, dir, "orders")
             .filter(col("o_orderkey") % 97 === 0)
-            .select((col("o_orderkey") + 1000000).as("k"),
+            .select((col("o_orderkey") + 10000000000L).as("k"),
               cents(col("o_totalprice")).as("price_cents"), lit("I").as("status")))
       val merged = snap.as("s")
         .join(updates.as("u"), col("s.k") === col("u.k"), "full")
@@ -90,20 +107,20 @@ object SinkQ {
           coalesce(col("u.status"), col("s.status")).as("status"))
       val path = tmp("sink_upsert", dir)
       merged.write.mode("overwrite").parquet(path) // the rewritten snapshot
-      spark.read.parquet(path).orderBy("k")
+      spark.read.parquet(path).orderBy("k", "status", "price_cents")
     },
     Some("""WITH snap AS (SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderstatus AS status FROM orders),
            |upd AS (
            |  SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT)*2 AS price_cents, 'U' AS status
            |  FROM orders WHERE o_orderkey % 7 = 0
            |  UNION ALL
-           |  SELECT o_orderkey + 1000000 AS k, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, 'I' AS status
+           |  SELECT o_orderkey + 10000000000 AS k, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, 'I' AS status
            |  FROM orders WHERE o_orderkey % 97 = 0)
            |SELECT COALESCE(u.k, s.k) AS k,
            |  COALESCE(u.price_cents, s.price_cents) AS price_cents,
            |  COALESCE(u.status, s.status) AS status
            |FROM snap s FULL JOIN upd u ON s.k = u.k
-           |ORDER BY k""".stripMargin))
+           |ORDER BY k, status, price_cents""".stripMargin))
 
   val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert)
 }

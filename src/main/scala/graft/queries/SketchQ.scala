@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object SketchQ {
 
-  /** Bloom-pruned semi-join shape: orders with c_acctbal > 9000 customers. */
+  /** Bloom-pruned semi-join shape: orders with c_acctbal > 9000 customers.
+    * The probe is Spark's NATIVE `might_contain` (BloomFilterMightContain,
+    * the expression behind runtime row-level bloom join filters) over the
+    * serialized sketch — codegen-friendly, so the fact-table scan+filter
+    * stays inside one WholeStageCodegen span instead of breaking on a
+    * per-row Scala UDF call (plan-audited). At 100 TB the same effect
+    * comes for free from spark.sql.optimizer.runtime.bloomFilter.enabled;
+    * building the sketch explicitly here exercises the operator itself. */
   val jBloomPrune: Q = Q(
     "j_bloom_prune",
     (spark, dir) => {
@@ -21,11 +28,16 @@ object SketchQ {
         .filter(col("c_acctbal") > 9000.0)
         .select(col("c_custkey"))
       val bloom = cust.stat.bloomFilter("c_custkey", 5000, 0.03)
-      val bloomB = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+      val bloomBytes = {
+        val os = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(os)
+        os.toByteArray
+      }
       Tables(spark, dir, "orders")
-        .filter(mightContain(col("o_custkey"))) // sketch prune: no false negatives
-        .join(cust, col("o_custkey") === col("c_custkey")) // exact join cleans up FPs
+        // sketch prune: no false negatives, so the exact join below sees
+        // every true match and only cleans up false positives
+        .filter(graft.functions.might_contain(bloomBytes, col("o_custkey")))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy("o_orderstatus")

@@ -43,11 +43,13 @@ object StatsQ {
   /** min_by/max_by (argmin/argmax). The ordering measure embeds the unique
     * orderkey as a tiebreaker — min_by/max_by on tied measures is
     * nondeterministic in BOTH engines, so a deterministic composite is the
-    * only oracle-safe formulation. */
+    * only oracle-safe formulation. The multiplier must exceed any
+    * orderkey or the tiebreaker outranks the price: 1e7 covers sf1
+    * (keys to 6M) and keeps max cents (~1e7) × 1e7 + key < 2^63. */
   val aMinmaxBy: Q = Q(
     "a_minmax_by",
     (spark, dir) => {
-      val measure = cents(col("l_extendedprice")) * 100000 + col("l_orderkey")
+      val measure = cents(col("l_extendedprice")) * 10000000L + col("l_orderkey")
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -56,8 +58,8 @@ object StatsQ {
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,
-           |  max_by(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*100000 + l_orderkey) AS max_price_key,
-           |  min_by(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*100000 + l_orderkey) AS min_price_key
+           |  max_by(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS max_price_key,
+           |  min_by(l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey) AS min_price_key
            |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin))
 
   /** Conditional aggregates: count_if / bool_and / bool_or. Booleans leave

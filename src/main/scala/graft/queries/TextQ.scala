@@ -104,10 +104,22 @@ object TextQ {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** TF-IDF top-3 terms per document. Two aggregations (term freq per doc,
-    * doc freq per term) + one broadcast-able join on term + a bounded
-    * per-doc window. log() runs once per (doc,term) on exact integers and
-    * is micro-quantized, so both engines agree. At 100 TB: tf and df are
-    * partial-aggregated map-side; df (vocabulary-sized) broadcasts. */
+    * doc freq per term) + one join on term + a bounded per-doc window.
+    *
+    * Determinism: the OUTPUT is exact integers only — (tf, df, n_docs) —
+    * with the ln-based score used solely to ORDER the per-doc window.
+    * ln has no IEEE correct-rounding guarantee, so emitting a rounded
+    * score risks a 1-ulp JVM-vs-libm divergence landing exactly on a
+    * rounding boundary; an ORDERING flip instead requires two distinct
+    * (tf, df) pairs whose scores differ by <1 ulp, which integer inputs
+    * make practically impossible (exact ties have equal (tf, df) and are
+    * broken by token).
+    *
+    * Scale: tf and df are partial-aggregated map-side. The df (per-token)
+    * side carries NO broadcast hint — a 100 TB corpus vocabulary can
+    * exceed broadcast limits, so the planner broadcasts it only while its
+    * stats fit and AQE falls back to a shuffle join beyond that. The
+    * one-row corpus count always broadcasts. */
   val tTfidf: Q = Q(
     "t_tfidf",
     (spark, dir) => {
@@ -120,15 +132,14 @@ object TextQ {
       // "distinct" counts are plain counts — no distinct-expand needed.
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("tok"),
-          round(col("tf") * log(col("n_docs") * lit(1.0) / col("df")) * 1000000)
-            .cast("long").as("tfidf_micro"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * log(col("n_docs") * lit(1.0) / col("df")))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("tfidf_micro").desc, col("tok"))
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("tok"), col("tfidf_micro"))
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("tok"),
+          col("tf"), col("df"), col("n_docs"))
         .orderBy("doc_id", "rn")
     },
     Some("""WITH tok AS (
@@ -136,13 +147,14 @@ object TextQ {
            |t AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok <> '' GROUP BY 1, 2),
            |d AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
            |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
-           |s AS (SELECT t.doc_id, t.tok,
-           |        CAST(round(t.tf * ln(n.n_docs * 1.0 / d.df) * 1000000) AS BIGINT) AS tfidf_micro
+           |s AS (SELECT t.doc_id, t.tok, t.tf, d.df, n.n_docs,
+           |        t.tf * ln(n.n_docs * 1.0 / d.df) AS score
            |      FROM t JOIN d USING (tok) CROSS JOIN n),
-           |r AS (SELECT doc_id, tok, tfidf_micro,
-           |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, tok) AS rn
+           |r AS (SELECT doc_id, tok, tf, df, n_docs,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
            |      FROM s)
-           |SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, tfidf_micro
+           |SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok,
+           |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, CAST(n_docs AS BIGINT) AS n_docs
            |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
 
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf)

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unique-per-session id (exposed only on the classic SparkSession
+    * subclass) — the only safe cache key for session-scoped state;
+    * identityHashCode can be reused after a stopped session is GC'd. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

@@ -81,12 +81,49 @@ class PlanAuditSpec extends SparkSpec {
       "o_orderdate range not pushed to the parquet scan")
   }
 
+  /** Simulates 100×-scale table stats by disabling the size-based
+    * broadcast thresholds: any join that STILL broadcasts must be carrying
+    * an explicit hint. Only the fixed-size dims (region=5, nation=25 rows)
+    * are allowed to — a hint on an sf-proportional table (customer,
+    * supplier, orders, lineitem) would force a multi-GB broadcast build at
+    * real scale, which this pins against reappearing. */
+  test("composites never hint-broadcast sf-proportional tables") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      val bigOrders = executedPlanString("x_big_orders")
+      assert(!bigOrders.contains("BroadcastHashJoin"),
+        s"x_big_orders still broadcasts with thresholds off (hinted sf-proportional table):\n$bigOrders")
+      val shipping = executedPlanString("x_shipping_priority")
+      assert(!shipping.contains("BroadcastHashJoin"),
+        s"x_shipping_priority still broadcasts with thresholds off:\n$shipping")
+      val q5 = executedPlanString("x_local_supplier_volume")
+      val bhj = "BroadcastHashJoin".r.findAllIn(q5).length
+      assert(bhj == 2, // exactly the hinted fixed-size dims: nation, region
+        s"x_local_supplier_volume: expected exactly 2 hinted broadcasts (nation, region), got $bhj:\n$q5")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("composite Q6-shape: all predicates reach the lineitem scan") {
     val p = formattedPlanString("x_revenue_forecast")
     assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
       "l_shipdate bounds not in PushedFilters")
     assert("LessThan\\(l_quantity".r.findFirstIn(p).isDefined,
       "l_quantity bound not in PushedFilters")
+  }
+
+  test("j_bloom_prune probes with native might_contain, no Scala UDF in the plan") {
+    val p = executedPlanString("j_bloom_prune")
+    assert(p.contains("might_contain"), s"native bloom probe missing from plan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("UDF("),
+      s"fact-scan filter fell back to a Scala UDF (breaks whole-stage codegen):\n$p")
   }
 
   test("j_dpp partitioned scan is dynamically pruned by the dim filter") {
