@@ -117,6 +117,101 @@ class PcapSpec extends AnyFunSuite {
     assert((p.payload(20) & 0xff) == 1) // first option byte intact
   }
 
+  test("snaplen truncation at exactly the TCP header: decodes, byte-exact payload") {
+    // Capture cut at 54 B = eth(14) + ip(20) + tcp(20): the 5 app bytes are
+    // lost but dpkt still parses (slices data to what's available) and the
+    // IP total-length FIELD keeps its pre-truncation value 45 (dpkt parity:
+    // re-serialization does not rewrite ip.len). Expected bytes are
+    // hand-computed against BytesProcessor.py:211-268 semantics, not
+    // derived from the input.
+    val p = PacketDecoder.decode(3.0, tcp.take(54)).get
+    assert(p.src_ip == "10.0.0.1" && p.src_port == 1234L && p.dst_port == 80L)
+    val expected: Array[Byte] = Array(
+      0x45, 0x00, 0x00, 0x2D, 0x12, 0x34, 0x40, 0x00, // vihl,tos,len=45,id,DF
+      0x40, 0x06, 0xBE, 0xEF, 0x00, 0x00, 0x00, 0x00, // ttl,tcp,STALE cksum,src=0
+      0x00, 0x00, 0x00, 0x00,                         // dst=0
+      0x00, 0x00, 0x00, 0x00,                         // ports zeroed
+      0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, // seq, ack
+      0x50, 0x18, 0x02, 0x00, 0xCA, 0xFE, 0x00, 0x00  // off,flags,win,STALE cksum,urg
+    ).map(_.toByte)
+    assert(p.payload.sameElements(expected),
+      s"payload ${p.payload.map("%02x".format(_)).mkString} != expected")
+  }
+
+  test("snaplen sweep: every prefix length decodes iff the transport header survives") {
+    // tcp is 59 B (14+20+20+5). dpkt exposes ports only with a full
+    // transport header => Some iff >= 54 captured bytes; below that the
+    // NeedData path swallows the packet. Never throws at ANY cut point.
+    for (n <- 0 to tcp.length) {
+      val r = PacketDecoder.decode(0.0, tcp.take(n))
+      assert(r.isDefined == (n >= 54), s"cut at $n: got $r")
+      r.foreach { p =>
+        assert(p.src_ip == "10.0.0.1" && p.dst_ip == "10.0.0.2")
+        assert(p.src_port == 1234L && p.dst_port == 80L)
+        assert(p.payload.length == math.min(n - 14, 45)) // trimmed to ip.len
+      }
+    }
+    val udpLen = udp.length // 14+20+8+3
+    for (n <- 0 to udpLen) {
+      val r = PacketDecoder.decode(0.0, udp.take(n))
+      assert(r.isDefined == (n >= 14 + 20 + 8), s"udp cut at $n: got $r")
+    }
+  }
+
+  test("snaplen cut inside IPv4 options (ihl=6, capture ends mid-options) drops") {
+    val bb = java.nio.ByteBuffer.allocate(14 + 24 + 8)
+    bb.put(macs); bb.putShort(0x0800.toShort)
+    bb.put(0x46.toByte).put(0.toByte).putShort((24 + 8).toShort) // ihl=6
+    bb.putShort(0x1234.toShort).putShort(0x4000.toShort)
+    bb.put(64.toByte).put(17.toByte).putShort(0xBEEF.toShort)
+    bb.put(ipBytes("1.2.3.4")).put(ipBytes("5.6.7.8"))
+    bb.putInt(0x01010100)
+    bb.putShort(1111.toShort).putShort(2222.toShort)
+    bb.putShort(8.toShort).putShort(0xCAFE.toShort)
+    val full = bb.array()
+    assert(PacketDecoder.decode(0.0, full).isDefined) // sanity: intact frame decodes
+    assert(PacketDecoder.decode(0.0, full.take(14 + 22)).isEmpty) // mid-options
+    assert(PacketDecoder.decode(0.0, full.take(14 + 24 + 4)).isEmpty) // mid-UDP
+  }
+
+  test("QinQ (stacked 802.1Q tags) drops — only a single tag is unwrapped") {
+    val inner = tcp.drop(14) // ip datagram of the tcp fixture
+    val bb = java.nio.ByteBuffer.allocate(12 + 4 + 4 + 2 + inner.length)
+    bb.put(macs)
+    bb.putShort(0x8100.toShort).putShort(0x0064.toShort) // outer tag
+    bb.putShort(0x8100.toShort).putShort(0x00C8.toShort) // inner tag
+    bb.putShort(0x0800.toShort)
+    bb.put(inner)
+    assert(PacketDecoder.decode(0.0, bb.array()).isEmpty)
+  }
+
+  test("padded UDP frame: byte-exact anonymized payload (pad excluded)") {
+    val padded = frame("1.2.3.4", "5.6.7.8", 1, 2, 17, Array[Byte](9), padTo = 60)
+    assert(padded.length == 60)
+    val p = PacketDecoder.decode(0.0, padded).get
+    val expected: Array[Byte] = Array(
+      0x45, 0x00, 0x00, 0x1D, 0x12, 0x34, 0x40, 0x00, // len=29
+      0x40, 0x11, 0xBE, 0xEF, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00,                         // udp ports zeroed
+      0x00, 0x09, 0xCA, 0xFE,                         // udp len, STALE cksum
+      0x09                                            // app byte
+    ).map(_.toByte)
+    assert(p.payload.sameElements(expected))
+  }
+
+  test("decode is total on truncations/corruptions of valid frames (never throws)") {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(tcp, udp, frame("9.9.9.9", "8.8.4.4", 443, 60000, 6,
+      Array.tabulate[Byte](12)(_.toByte), vlan = true))
+    for (base <- bases; _ <- 0 until 500) {
+      val mutated = base.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      PacketDecoder.decode(0.0, mutated)                    // corrupted byte
+      PacketDecoder.decode(0.0, mutated.take(rnd.nextInt(mutated.length + 1)))
+    }
+  }
+
   test("decode is total on arbitrary bytes (never throws)") {
     val rnd = new scala.util.Random(42)
     (0 until 2000).foreach { _ =>
