@@ -42,7 +42,8 @@ object Registry {
       queries.SinkQ.all ++
       queries.GraphQ.all ++
       queries.QualityQ.all ++
-      queries.PatternQ.all
+      queries.PatternQ.all ++
+      queries.IterativeQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
