@@ -43,7 +43,8 @@ object Registry {
       queries.GraphQ.all ++
       queries.QualityQ.all ++
       queries.PatternQ.all ++
-      queries.IterativeQ.all
+      queries.IterativeQ.all ++
+      queries.BreadthQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

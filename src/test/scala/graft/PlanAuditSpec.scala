@@ -178,4 +178,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
       s"scan reads more than the projection needs: $read")
   }
+
+  test("recursive CTE plans as UnionLoop (iterative dataflow, no driver loop)") {
+    val df = SparkEntry.queries("sql_recursive_chain")(spark, dir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "recursion did not plan as UnionLoop")
+  }
+
+  test("observe metrics ride the scan as CollectMetrics (no second pass)") {
+    val df = Tables(spark, dir, "lineitem")
+      .observe("m", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(df.queryExecution.executedPlan.toString.contains("CollectMetrics"))
+  }
+
+  test("k-means assignment step broadcasts the centroid side") {
+    val p = executedPlanString("e_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids not broadcast")
+    assert(!p.contains("CartesianProduct"), "centroid join fell back to cartesian")
+  }
+
+  test("pagination stays a bounded TakeOrdered, not a global sort") {
+    val p = executedPlanString("s_offset")
+    assert(p.contains("TakeOrdered"), s"expected TakeOrdered in: $p")
+  }
 }
