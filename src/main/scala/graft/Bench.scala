@@ -42,12 +42,16 @@ object Bench {
       }
     val p1 = pass().toMap
     val p2 = pass().toMap
+    // Millisecond precision: the driver captures a bounded stdout tail and
+    // BENCH_r03's full-precision line (3.6 KB) overflowed it (parsed:null);
+    // 3 decimals keeps the whole line inside the capture window.
+    def ms(v: Double): String = "%.3f".format(v)
     val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":2,"pass_totals":[${p1.values.sum},${p2.values.sum}],"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
+      s""""passes":2,"pass_totals":[${ms(p1.values.sum)},${ms(p2.values.sum)}],"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and BENCH_r02 lost its per-query head to exactly that truncation.

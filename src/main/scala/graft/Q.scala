@@ -44,7 +44,8 @@ object Registry {
       queries.QualityQ.all ++
       queries.PatternQ.all ++
       queries.IterativeQ.all ++
-      queries.BreadthQ.all
+      queries.BreadthQ.all ++
+      queries.TrainPrepQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

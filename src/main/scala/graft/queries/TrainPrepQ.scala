@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (round 4): PII redaction,
+  * Gopher-style document quality signals, and distribution-position
+  * windows — the scrub/filter/analyze steps a 100 TB corpus pipeline runs
+  * between ingest and tokenization. All pure column expressions over the
+  * scan (no shuffle except the final orderBy for oracle determinism).
+  */
+object TrainPrepQ {
+
+  /** PII redaction: regex-scrub emails, dotted-quad IPs and US-style phone
+    * numbers, emitting the redacted text plus per-kind match counts (the
+    * audit trail a compliance pass needs). The synthetic corpus carries no
+    * PII, so the query first plants deterministic doc_id-derived spans —
+    * identically on both engines — and then proves the scrub removes
+    * exactly what was planted. One narrow projection: at 100 TB this is a
+    * map-only pass whose cost is regex throughput, no shuffle.
+    */
+  val tPiiRedact: Q = Q(
+    "t_pii_redact",
+    (spark, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id"), lit("@example.com at "),
+        lit("10.0."), col("doc_id") % 256, lit(".7 or 555-"), format_string("%03d", col("doc_id") % 1000), lit("-4242"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), planted.as("txt"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>").as("redacted"))
+        .withColumn("clean", (col("n_email") + col("n_ip") + col("n_phone") === 0).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+           |    (doc_id % 256) || '.7 or 555-' || printf('%03d', doc_id % 1000) || '-4242' AS txt
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(txt, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           |  regexp_replace(regexp_replace(regexp_replace(txt,
+           |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+           |  CAST(CASE WHEN len(regexp_extract_all(txt, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+           |        + len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           |        + len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) = 0
+           |       THEN 1 ELSE 0 END AS BIGINT) AS clean
+           |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Gopher-style quality signals (Rae et al. 2021, arXiv:2112.11446 §A1):
+    * mean word length, symbol-to-word ratio, fraction of duplicate tokens
+    * (type/token deficit), and an accept flag combining banded rules. All
+    * exact-integer inputs with single final divisions, so doubles are
+    * bit-identical across engines. Map-only at scale, like t_quality.
+    */
+  val tGopherQuality: Q = Q(
+    "t_gopher_quality",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"),
+          (length(col("text")) - size(col("toks")) + 1).cast("long").as("n_word_chars"),
+          size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_symbols"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_types"),
+          (col("n_word_chars").cast("double") / col("n_words")).as("mean_word_len"),
+          (col("n_symbols").cast("double") / col("n_words")).as("symbol_ratio"),
+          (lit(1.0) - col("n_types").cast("double") / col("n_words")).as("dup_frac"))
+        .withColumn("accept",
+          (col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(1.0, 10.0) &&
+            col("symbol_ratio") < 0.1 &&
+            col("dup_frac") < 0.7).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           |    CAST(length(text) - len(toks) + 1 AS BIGINT) AS n_word_chars,
+           |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols
+           |  FROM t)
+           |SELECT doc_id, n_words, n_types,
+           |  CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+           |  CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+           |  1.0 - CAST(n_types AS DOUBLE) / n_words AS dup_frac,
+           |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+           |        AND (CAST(n_word_chars AS DOUBLE) / n_words) BETWEEN 1.0 AND 10.0
+           |        AND (CAST(n_symbols AS DOUBLE) / n_words) < 0.1
+           |        AND (1.0 - CAST(n_types AS DOUBLE) / n_words) < 0.7
+           |       THEN 1 ELSE 0 END AS BIGINT) AS accept
+           |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** cume_dist + percent_rank distribution positions: where each order sits
+    * inside its priority class's price distribution. Both are rank-count
+    * ratios of exact integers — bit-identical doubles. The quantile-
+    * position shape used to threshold corpora ("keep the top X% by
+    * quality score") without materializing a global sort.
+    */
+  val wCumeDist: Q = Q(
+    "w_cume_dist",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_cents"), col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          graft.ops.ColumnOps.cents(col("o_totalprice")).as("price_cents"))
+        .filter(col("o_orderkey") % 19 === 0)
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .orderBy("o_orderpriority", "price_cents", "o_orderkey")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+           |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+           |  FROM orders WHERE o_orderkey % 19 = 0)
+           |SELECT o_orderkey, o_orderpriority, price_cents,
+           |  cume_dist() OVER (PARTITION BY o_orderpriority
+           |                    ORDER BY price_cents, o_orderkey) AS cd,
+           |  percent_rank() OVER (PARTITION BY o_orderpriority
+           |                       ORDER BY price_cents, o_orderkey) AS pr
+           |FROM o ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist)
+}

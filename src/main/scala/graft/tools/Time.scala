@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual queries for hotspot iteration (bench-loop companion to
+  * [[graft.Bench]]): `sbt "runMain graft.tools.Time q1 q2 ..."` runs each
+  * named query `SPARK_GRAFT_PASSES` (default 3) times at
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1) and prints per-pass seconds.
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $name%-24s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
