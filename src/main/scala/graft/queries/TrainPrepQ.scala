@@ -136,5 +136,75 @@ object TrainPrepQ {
            |                       ORDER BY price_cents, o_orderkey) AS pr
            |FROM o ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist)
+  /** Benchmark decontamination: flag corpus documents sharing any 5-gram
+    * (token shingle) with a FIXED-SIZE eval set (doc_id < 50 stands in for
+    * a benchmark suite — its size does not grow with the corpus). The
+    * GPT-3-style n-gram overlap check. Plan shape at 100 TB: the eval
+    * shingle set is small and FIXED, so it broadcasts (scale-correct — not
+    * sf-proportional) and the corpus side stays a map-side hash probe +
+    * one partial-aggregable count shuffle; per-doc shingles are deduped
+    * BEFORE the explode so the join input is linear in corpus size.
+    */
+  val dDecontam: Q = Q(
+    "d_decontam",
+    (spark, dir) => {
+      val toks = split(col("text"), " ")
+      val sh5 = transform(sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ", slice(col("toks"), i, lit(5))))
+      val shingled = Tables(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(sh5)).as("sh"))
+      val evalSet = shingled.filter(col("doc_id") < 50).select("sh").distinct()
+      shingled.filter(col("doc_id") >= 50)
+        .join(broadcast(evalSet), "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           |           WHERE len(string_split(text, ' ')) >= 5),
+           |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |        range(1, len(l) - 3), i -> array_to_string(l[i:i+4], ' ')))) AS sh
+           |      FROM t),
+           |e AS (SELECT DISTINCT sh FROM s WHERE doc_id < 50)
+           |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |FROM s JOIN e USING (sh) WHERE s.doc_id >= 50
+           |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Weighted dataset mixing: per-source keep rates (the corpus-mixture
+    * construction step — upsample curated sources, downsample crawl)
+    * applied by a deterministic multiplicative-hash gate (reproducible
+    * across runs/engines/partitionings, the [[SampleQ]] discipline).
+    * Assignment is row-local (no shuffle); the audit summary is one
+    * partial+final agg.
+    */
+  val sMixWeighted: Q = Q(
+    "s_mix_weighted",
+    (spark, dir) => {
+      val bucket = (col("doc_id") % 1000003L) * 2654435761L % 1000L
+      val rate = when(col("source").isin("src0", "src1"), 900L)
+        .when(col("source").isin("src2", "src3", "src4"), 500L)
+        .otherwise(150L)
+      Tables(spark, dir, "documents")
+        .withColumn("kept", (bucket < rate).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .withColumn("kept_frac",
+          col("n_kept").cast("double") / col("n_total").cast("double"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source,
+           |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 <
+           |      CASE WHEN source IN ('src0','src1') THEN 900
+           |           WHEN source IN ('src2','src3','src4') THEN 500
+           |           ELSE 150 END
+           |    THEN 1 ELSE 0 END AS kept
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+           |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+           |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+           |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam, sMixWeighted)
 }

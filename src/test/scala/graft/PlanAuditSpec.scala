@@ -199,6 +199,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "centroid join fell back to cartesian")
   }
 
+  test("decontamination probes a broadcast eval-shingle set, never a cartesian") {
+    val p = executedPlanString("d_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"eval shingle set not broadcast:\n$p")
+    assert(!p.contains("Cartesian"), "decontamination fell back to a cartesian")
+  }
+
   test("pagination stays a bounded TakeOrdered, not a global sort") {
     val p = executedPlanString("s_offset")
     assert(p.contains("TakeOrdered"), s"expected TakeOrdered in: $p")
