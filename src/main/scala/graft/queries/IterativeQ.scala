@@ -30,12 +30,18 @@ object IterativeQ {
     * the standard bounded-recursion guard every production recursive query
     * carries anyway.
     */
+  // Fixed-size cohort (o_custkey < 1500, sf-independent like d_decontam's
+  // eval set): the recursion frontier is one row per cohort member, so the
+  // BROADCAST(w) hint below is scale-correct — the build side does NOT
+  // grow with the corpus. An unbounded walk would make the frontier
+  // sf-proportional and the hint a scale-killer (the exact pattern
+  // PlanAuditSpec bans from the composites).
   private val nxtSql =
     """SELECT o_custkey, o_orderkey,
       |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
       |       row_number() OVER (PARTITION BY o_custkey
       |                          ORDER BY o_orderdate, o_orderkey) AS rn
-      |FROM orders""".stripMargin
+      |FROM orders WHERE o_custkey < 1500""".stripMargin
 
   private val walkSql =
     """WITH RECURSIVE walk(o_custkey, rn, o_orderkey, running_cents) AS (
