@@ -97,5 +97,28 @@ object FunctionsExtQ {
            | greatest(o_orderkey % 1000, 500) AS hi
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond)
+  /** Error-safe (ANSI try_*) family: try_divide (null on /0), try_cast
+    * (null on malformed input), try_element_at (null past the end) — the
+    * functions that keep a 100 TB job from dying on the one malformed row
+    * in shard 40 000. Spark runs ANSI mode by default in 4.x, so these
+    * are THE idiom for lossy inputs; each has bit-identical DuckDB
+    * semantics (verified: x/0 → NULL, TRY_CAST, list OOB → NULL). */
+  val fTry: Q = Q(
+    "f_try",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          try_divide(col("n_chars"), col("doc_id") % 4).as("safe_div"),
+          expr("try_cast(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS STRING) ELSE lang END AS BIGINT)")
+            .as("safe_cast"),
+          try_element_at(split(col("text"), " "), lit(60)).as("tok60"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           | n_chars / (doc_id % 4) AS safe_div,
+           | TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) ELSE lang END AS BIGINT) AS safe_cast,
+           | string_split(text, ' ')[60] AS tok60
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry)
 }

@@ -96,5 +96,25 @@ object SubqueryQ {
            |  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
            |FROM nation n ORDER BY n_nationkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(subScalar, subExistsCorr, subNotExists, subLateral, subScalarCorr)
+  /** IN-subquery projected as a VALUE (not a filter): plans as Spark's
+    * ExistenceJoin — the fifth join variant beyond inner/outer/semi/anti,
+    * emitting a membership flag per probe row instead of filtering. The
+    * flag column is the common "tag rows against a reference set" shape
+    * (e.g. "is this doc's source in the curated list") and costs one hash
+    * join, never a per-row subquery. */
+  val subInFlag: Q = Q(
+    "sub_in_flag",
+    (spark, dir) => withViews(spark, dir, "orders", "customer")(
+      """SELECT o_orderkey,
+        |  CAST(o_custkey IN (SELECT c_custkey FROM customer
+        |                     WHERE c_acctbal > 9000) AS BIGINT) AS rich_cust
+        |FROM orders WHERE o_orderkey % 17 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  CAST(o_custkey IN (SELECT c_custkey FROM customer
+           |                     WHERE c_acctbal > 9000) AS BIGINT) AS rich_cust
+           |FROM orders WHERE o_orderkey % 17 = 0
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(subScalar, subExistsCorr, subNotExists, subLateral, subScalarCorr, subInFlag)
 }

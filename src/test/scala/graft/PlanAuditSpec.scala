@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "centroid join fell back to cartesian")
   }
 
+  test("projected IN-subquery plans as an ExistenceJoin, not a per-row subquery") {
+    val p = executedPlanString("sub_in_flag")
+    assert(p.contains("ExistenceJoin"), s"IN-as-value did not plan as ExistenceJoin:\n$p")
+  }
+
   test("decontamination probes a broadcast eval-shingle set, never a cartesian") {
     val p = executedPlanString("d_decontam")
     assert(p.contains("BroadcastHashJoin"), s"eval shingle set not broadcast:\n$p")
