@@ -25,11 +25,32 @@ object Bench {
       Tables(spark, sfDir, "lineitem").select(count(lit(1))).count()
     }
 
+    // Shuffle accounting per query ("measure, don't guess"): stage-level
+    // task metrics accumulated by a listener, snapshotted at query
+    // boundaries. Written to the metrics file only — the stdout contract
+    // line keeps its schema.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    val shuffleByQuery = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+
     // Two timed passes per query, report the min: this host shows ±40%
     // run-to-run noise from background load, and min-of-2 is the usual
     // steady-state estimator. Both pass totals are reported alongside.
-    def pass(): Seq[(String, Double)] =
+    def pass(record: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (r0, w0, s0) = (shufRead.get, shufWrite.get, spilled.get)
         val t0 = System.nanoTime()
         // A failed query must not abort the whole bench, but it must be
         // LOUD: a swallowed failure shows up as a suspiciously fast time
@@ -38,10 +59,17 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (record) {
+          // Listener events are async; drain before snapshotting.
+          org.apache.spark.sql.graftshim.Shims.drainListenerBus(spark)
+          shuffleByQuery(name) =
+            (shufRead.get - r0, shufWrite.get - w0, spilled.get - s0)
+        }
+        name -> dt
       }
-    val p1 = pass().toMap
-    val p2 = pass().toMap
+    val p1 = pass(record = false).toMap
+    val p2 = pass(record = true).toMap
     // Millisecond precision: the driver captures a bounded stdout tail and
     // BENCH_r03's full-precision line (3.6 KB) overflowed it (parsed:null);
     // 3 decimals keeps the whole line inside the capture window.
@@ -56,8 +84,11 @@ object Bench {
     // Also persist to a file: the driver captures a bounded stdout tail,
     // and BENCH_r02 lost its per-query head to exactly that truncation.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    val shufJson = shuffleByQuery.toSeq.sortBy(_._1).map { case (k, (r, w, s)) =>
+      s"""\"$k\":{"shuffle_read":$r,"shuffle_write":$w,"disk_spill":$s}"""
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+      (json + "\n" + s"""{"warm_pass_shuffle_bytes":$shufJson}""" + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }

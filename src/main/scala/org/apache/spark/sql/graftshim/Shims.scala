@@ -18,4 +18,10 @@ object Shims {
     * identityHashCode can be reused after a stopped session is GC'd. */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Block until queued listener events are delivered — needed when
+    * reading listener-accumulated metrics at a synchronous boundary
+    * (bench per-query shuffle accounting). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
