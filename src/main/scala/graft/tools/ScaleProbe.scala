@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: synthesizes N× copies of the sf0.1 documents corpus
+  * (texts uniquified per copy so dedup/vocab grow realistically) and times
+  * representative corpus operators at each factor. The point is the CURVE,
+  * not the absolute numbers: a plan that would die at 100 TB (all-pairs,
+  * driver collect, unbounded broadcast) shows super-linear growth here;
+  * the shipped plans should track input size ~linearly.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleProbe [factors...]"` (default
+  * 1 8 64). Results recorded in SCALE.md.
+  */
+object ScaleProbe {
+  private val probes = Seq(
+    "t_gopher_quality", // map-only projection
+    "d_exact_dedup",    // hash-agg on md5 fingerprint
+    "d_lsh_buckets",    // full-corpus MinHash LSH (the 100 TB dedup path)
+    "t_tfidf",          // two aggs + vocab join + per-doc window
+    "d_decontam")       // fixed-size broadcast probe
+
+  def main(args: Array[String]): Unit = {
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    factors.foreach { f =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_${f}x"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        graft.Tables(spark, srcDir, "documents")
+          .crossJoin(spark.range(f).select(col("id").as("copy")))
+          .select(
+            (col("doc_id") * f + col("copy")).as("doc_id"),
+            // uniquify: each copy appends a distinct token, so exact-dup
+            // collapse stays realistic and the vocabulary grows
+            concat(col("text"), lit(" uniq"), col("copy")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      probes.foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scale] ${f}%3dx ($rows%7d docs) $q%-18s ${times.min}%7.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
