@@ -43,7 +43,10 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long = df.agg(sum(col("comp"))).head.getLong(0)
+    // coalesce: sum over an EMPTY label set is null — an empty graph must
+    // converge immediately (sum 0 == 0), not NPE on the driver probe.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

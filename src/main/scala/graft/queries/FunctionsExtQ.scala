@@ -120,5 +120,26 @@ object FunctionsExtQ {
            | string_split(text, ' ')[60] AS tok60
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry)
+  /** Data masking: Spark's mask() (upper→X, lower→x, digit→n) — the
+    * column-level anonymization companion to t_pii_redact's span-level
+    * scrub. DuckDB oracle emulates with an ordered regexp_replace chain
+    * (upper first, then lower, then digit — later stages never touch the
+    * placeholders earlier stages introduce). */
+  val fMask: Q = Q(
+    "f_mask",
+    (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % 23 === 0)
+        .select(
+          col("o_orderkey"),
+          mask(concat_ws("-", col("o_orderpriority"), col("o_orderkey").cast("string")))
+            .as("masked"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           | regexp_replace(regexp_replace(regexp_replace(
+           |   o_orderpriority || '-' || CAST(o_orderkey AS VARCHAR),
+           |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+           |FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry, fMask)
 }

@@ -17,6 +17,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     spark.range(from, from + n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
   }
 
+  test("an empty edge set returns an empty result, not a driver NPE") {
+    assert(ConnectedComponents.run(chain(0, 2).limit(0)).count() == 0)
+  }
+
   test("999-hop chain converges to a single component inside the default cap") {
     val labels = ConnectedComponents.run(chain(0L, 1000L)).collect()
     assert(labels.length == 1000)
