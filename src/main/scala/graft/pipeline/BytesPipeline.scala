@@ -67,14 +67,22 @@ object BytesPipeline {
     * the batch path has, with the same persist-once shape). Append-only
     * parquet, exactly-once per input file via the checkpoint log.
     */
+  /** @param availableNow true = `Trigger.AvailableNow`: process every
+    *        file present, then stop — the scheduled-incremental mode
+    *        (cron-driven catch-up over a landing zone) that replaces a
+    *        full batch re-read with checkpointed incremental progress at
+    *        100 TB. false = continuous micro-batches (default). */
   def runStreaming(spark: SparkSession, watchDir: String, outDir: String, cfg: Config,
-                   checkpoint: Option[String] = None)
+                   checkpoint: Option[String] = None, availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val packets = PcapSource.packetsStream(spark, watchDir)
     val fwd = forwardMask(cfg.rules)
-    features(packets, cfg)
+    val writer = features(packets, cfg)
       .writeStream
       .option("checkpointLocation", checkpoint.getOrElse(s"$outDir/_checkpoint"))
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Idempotent on micro-batch REPLAY (crash between the two writes):
         // each batch lands in its own batch_id=N partition with dynamic

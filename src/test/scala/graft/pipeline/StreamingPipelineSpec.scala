@@ -47,4 +47,35 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(spark.read.parquet(s"$out/adversarial").count() == 1)
     } finally q.stop()
   }
+
+  test("AvailableNow trigger drains the landing zone then terminates on its own") {
+    val root = Files.createTempDirectory("graft-stream-an").toFile
+    root.deleteOnExit()
+    val watch = new java.io.File(root, "in"); watch.mkdirs()
+    val out = s"$root/out"
+    val cfg = BytesPipeline.Config(
+      rules = Seq(LabelRule(0.0, 1e12, Seq("10.0.0.66"), Nil, "bad")),
+      rangesToExtract = Seq((0.0, 1e12)),
+      width = 16)
+    Files.write(new java.io.File(watch, "a.pcap").toPath, pcapOf(
+      (100.0, frame("10.0.0.1", "10.0.0.2", 1, 2, 6)),
+      (101.0, frame("10.0.0.66", "10.0.0.2", 3, 4, 17))))
+
+    val q = BytesPipeline.runStreaming(
+      spark, watch.getAbsolutePath, out, cfg, availableNow = true)
+    // The defining property vs a continuous query: it STOPS unaided once
+    // the landing zone is drained (no q.stop() in the happy path).
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.read.parquet(s"$out/data").count() == 2)
+
+    // A second catch-up run picks up only files newer than the checkpoint.
+    Files.write(new java.io.File(watch, "b.pcap").toPath, pcapOf(
+      (200.0, frame("10.0.0.5", "10.0.0.6", 5, 6, 6))))
+    val q2 = BytesPipeline.runStreaming(
+      spark, watch.getAbsolutePath, out, cfg, availableNow = true)
+    assert(q2.awaitTermination(120000), "second catch-up did not self-terminate")
+    val d = spark.read.parquet(s"$out/data")
+    assert(d.count() == 3)
+    assert(d.select("batch_id").distinct().count() == 2)
+  }
 }
