@@ -206,5 +206,42 @@ object TrainPrepQ {
            |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
            |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam, sMixWeighted)
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs (1024 tokens) per source shard — pack_id = floor(running token
+    * cumsum / budget), the deterministic first-fit-in-order approximation
+    * (a doc spanning a boundary starts the next pack; no splitting).
+    * One window per shard; at 100 TB shards are the parallel unit and
+    * each pack assignment is a per-shard running sum — no global state.
+    * Output: per-pack doc count and token fill (packs overfill by at most
+    * one document, the no-split tradeoff).
+    */
+  val tSeqPack: Q = Q(
+    "t_seq_pack",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack_id", (col("tok_before") / 1024L).cast("long"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("source", "pack_id")
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT source, doc_id, n_tok,
+           |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+           |  FROM d)
+           |SELECT source, CAST(tok_before // 1024 AS BIGINT) AS pack_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY source, tok_before // 1024
+           |ORDER BY source, pack_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
+    sMixWeighted, tSeqPack)
 }
