@@ -24,4 +24,15 @@ object Shims {
     * (bench per-query shuffle accounting). */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Resolve the optimizer rules an extensions object would inject into a
+    * session (private[sql] builder) — lets tests assert the
+    * spark.sql.extensions deploy path without building a fresh
+    * SparkContext. */
+  def builtOptimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }
