@@ -58,6 +58,17 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: attach dimension attributes to each
+    * streaming event. The static side needs no watermark (it is re-read
+    * per micro-batch, so a dim refresh is picked up automatically) and
+    * broadcasts when small — per micro-batch this is the same broadcast
+    * hash join the batch path plans, with zero streaming state. The
+    * standard "enrich the firehose with reference data" shape at any
+    * scale.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream inner join: pairs each left event with
     * right events of the same user within `maxGap` AFTER it. Both sides
     * watermarked so the join state is evictable — without the time bound

@@ -118,6 +118,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dim attributes onto each micro-batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingOps.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Seq(ev(1, 1, user = 1), ev(2, 2, user = 2), ev(3, 3, user = 7)))
+      q.processAllAvailable()
+      val got = spark.table("t_enrich")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSet
+      // left join: unknown user 7 survives with no tier (stream rows are
+      // never dropped by a dim miss)
+      assert(got == Set((1L, "gold"), (2L, "basic"), (3L, "-")))
+    } finally q.stop()
+  }
+
   test("streaming tumbling == batch tumbling on the same data (mode parity)") {
     val spark2 = spark
     import spark2.implicits._
