@@ -166,5 +166,29 @@ object FunctionsQ {
            | COALESCE(CAST(json_extract(props, '$.absent') AS BIGINT), -1) AS absent_val
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson, fMap)
+  /** explode_outer: generator rows for EMPTY arrays survive as null rows
+    * (plain explode silently drops them — losing the parent row is the
+    * classic flatten bug in ingest pipelines). Every 7th doc's token
+    * array is emptied to exercise both paths; DuckDB emulates outer
+    * semantics by substituting [NULL] for the empty list. */
+  val fExplodeOuter: Q = Q(
+    "f_explode_outer",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+            .otherwise(slice(split(col("text"), " "), 1, 3)).as("toks"))
+        .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first),
+    Some("""WITH t AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split(text, ' ')[1:3] END AS toks
+           |  FROM documents WHERE doc_id < 60)
+           |SELECT doc_id,
+           |  unnest(CASE WHEN len(toks) = 0 THEN CAST([NULL] AS VARCHAR[])
+           |              ELSE toks END) AS tok
+           |FROM t ORDER BY doc_id, tok NULLS FIRST""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson, fMap, fExplodeOuter)
 }
