@@ -108,27 +108,38 @@ object AdvancedQ {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** Column profiling (engine utility every pipeline needs before
-    * touching 100 TB): one aggregation pass per profiled column —
-    * rows/nulls/distincts/min/max — emitted long-format. Values are
-    * explicitly formatted (no raw casts) so both engines print
-    * identically. */
+    * touching 100 TB): ALL profiled columns in ONE aggregation pass —
+    * rows/nulls/distincts/min/max per column as one wide row, exploded to
+    * long format. N columns cost one scan, not N (the multi-distinct is
+    * planned via Expand: rows×columns into partial aggs, still a single
+    * pass over storage). Values are explicitly formatted (no raw casts)
+    * so both engines print identically. */
   val qProfile: Q = Q(
     "q_profile",
     (spark, dir) => {
       val li = Tables(spark, dir, "lineitem")
-      def prof(name: String, key: org.apache.spark.sql.Column, fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        li.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(key.isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(key).as("n_distinct"),
-          fmt(min(key)).as("min_s"),
-          fmt(max(key)).as("max_s"))
-          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_s"), col("max_s"))
-      prof("l_orderkey", col("l_orderkey"), _.cast("string"))
-        .unionAll(prof("l_returnflag", col("l_returnflag"), c => c))
-        .unionAll(prof("l_shipdate", col("l_shipdate"),
-          c => date_format(c, "yyyy-MM-dd")))
+      def nulls(c: org.apache.spark.sql.Column) = sum(when(c.isNull, 1L).otherwise(0L))
+      val wide = li.agg(
+        count(lit(1)).as("n_rows"),
+        nulls(col("l_orderkey")).as("k_null"),
+        countDistinct(col("l_orderkey")).as("k_nd"),
+        min(col("l_orderkey")).cast("string").as("k_min"),
+        max(col("l_orderkey")).cast("string").as("k_max"),
+        nulls(col("l_returnflag")).as("f_null"),
+        countDistinct(col("l_returnflag")).as("f_nd"),
+        min(col("l_returnflag")).as("f_min"),
+        max(col("l_returnflag")).as("f_max"),
+        nulls(col("l_shipdate")).as("d_null"),
+        countDistinct(col("l_shipdate")).as("d_nd"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("d_min"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("d_max"))
+      def row(name: String, p: String) = struct(
+        lit(name).as("col_name"), col("n_rows"),
+        col(s"${p}_null").as("n_null"), col(s"${p}_nd").as("n_distinct"),
+        col(s"${p}_min").as("min_s"), col(s"${p}_max").as("max_s"))
+      wide.select(explode(array(
+          row("l_orderkey", "k"), row("l_returnflag", "f"), row("l_shipdate", "d"))).as("r"))
+        .select("r.*")
         .orderBy("col_name")
     },
     Some("""SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
