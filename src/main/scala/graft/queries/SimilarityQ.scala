@@ -13,7 +13,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * bit-identical across Spark and DuckDB — reported as round(cos*1e6).
   *
   * Scale design: brute-force top-k is the correctness baseline with a
-  * bounded query set (the 100 TB pattern is: broadcast the query block,
+  * FIXED-SIZE query set (vec_id < 2000 cohort, sf-independent like d_decontam's eval set — the pair stage is linear in base size, never quadratic; the 100 TB pattern is: broadcast the query block,
   * stream the base vectors, per-partition top-k heap via the window).
   * The LSH/IVF variant prunes candidates by sign-bucket equality — the
   * bucket join replaces the cross product, which is the actual ANN scale
@@ -42,12 +42,12 @@ object SimilarityQ {
     round(cos * 1000000).cast("long")
   }
 
-  /** Brute-force cosine top-k for a sampled query set (vec_id % 25 = 0). */
+  /** Brute-force cosine top-k for the fixed query cohort (vec_id % 25 = 0, vec_id < 2000). */
   val simTopk: Q = Q(
     "sim_topk_cosine",
     (spark, dir) => {
       val b = base(spark, dir)
-      val q = b.filter(col("vec_id") % 25 === 0)
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"))
       val pairs = q.join(b.select(col("vec_id"), col("qv"), col("n2").as("bn2")),
         col("q_id") =!= col("vec_id"))
@@ -64,7 +64,7 @@ object SimilarityQ {
             |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
             |p AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
             |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
-            | FROM n q JOIN n b ON q.vec_id % 25 = 0 AND q.vec_id <> b.vec_id),
+            | FROM n q JOIN n b ON q.vec_id % 25 = 0 AND q.vec_id < 2000 AND q.vec_id <> b.vec_id),
             |r AS (SELECT q_id, neighbor_id, cos_micro,
             |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn
             | FROM p)
@@ -110,7 +110,7 @@ object SimilarityQ {
             array((0 until 6).map(i => lit(1L << i)): _*),
             (x, w) => when(x > 0, w).otherwise(0L)),
           lit(0L), (acc, x) => acc + x))
-      val q = b.filter(col("vec_id") % 25 === 0)
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"), col("bucket"))
       val pairs = q.join(
         b.select(col("vec_id"), col("qv"), col("n2").as("bn2"), col("bucket")),
@@ -132,7 +132,7 @@ object SimilarityQ {
             | FROM v),
             |p AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
             |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
-            | FROM n q JOIN n b ON q.bucket = b.bucket AND q.vec_id % 25 = 0 AND q.vec_id <> b.vec_id),
+            | FROM n q JOIN n b ON q.bucket = b.bucket AND q.vec_id % 25 = 0 AND q.vec_id < 2000 AND q.vec_id <> b.vec_id),
             |r AS (SELECT q_id, neighbor_id, cos_micro,
             |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn
             | FROM p)
@@ -167,7 +167,7 @@ object SimilarityQ {
       // queries probe their top-2 cells (tiny side — a window is fine)
       val wAff = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("a").desc, col("c_id"))
-      val probes = aff.filter(col("vec_id") % 25 === 0)
+      val probes = aff.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .withColumn("rnk", row_number().over(wAff))
         .filter(col("rnk") <= 2)
         .select(col("vec_id").as("q_id"), col("c_id").cast("long").as("cell"))
@@ -195,7 +195,7 @@ object SimilarityQ {
             | FROM n b CROSS JOIN c),
             |rk AS (SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, c_id) AS rnk FROM aff),
             |assign AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM rk WHERE rnk = 1),
-            |probes AS (SELECT vec_id AS q_id, CAST(c_id AS BIGINT) AS cell FROM rk WHERE vec_id % 25 = 0 AND rnk <= 2),
+            |probes AS (SELECT vec_id AS q_id, CAST(c_id AS BIGINT) AS cell FROM rk WHERE vec_id % 25 = 0 AND vec_id < 2000 AND rnk <= 2),
             |cand AS (SELECT p.q_id, a.vec_id AS neighbor_id
             | FROM probes p JOIN assign a USING (cell) WHERE p.q_id <> a.vec_id),
             |scored AS (SELECT cand.q_id, cand.neighbor_id,
@@ -217,7 +217,7 @@ object SimilarityQ {
       val e = Tables(spark, dir, "embeddings")
       val norm2 = graft.functions.vec_dot_float(col("embedding"), col("embedding"))
       val b = e.select(col("vec_id"), col("embedding"), norm2.as("n2"))
-      val q = b.filter(col("vec_id") % 25 === 0)
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
       val pairs = q.join(b.select(col("vec_id"), col("embedding"), col("n2").as("bn2")),
           col("q_id") =!= col("vec_id"))
@@ -245,7 +245,7 @@ object SimilarityQ {
     (spark, dir) => {
       val topk = udaf(new graft.ops.TopKPairs(5))
       val b = base(spark, dir)
-      val q = b.filter(col("vec_id") % 25 === 0)
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("n2").as("qn2"))
       val pairs = q.join(b.select(col("vec_id"), col("qv"), col("n2").as("bn2")),
         col("q_id") =!= col("vec_id"))
