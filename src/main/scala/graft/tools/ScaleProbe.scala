@@ -19,7 +19,12 @@ object ScaleProbe {
     "d_exact_dedup",    // hash-agg on md5 fingerprint
     "d_lsh_buckets",    // full-corpus MinHash LSH (the 100 TB dedup path)
     "t_tfidf",          // two aggs + vocab join + per-doc window
-    "d_decontam")       // fixed-size broadcast probe
+    "d_decontam",       // fixed-size broadcast probe
+    // similarity: base grows, query cohort fixed (vec_id < 2000) — pair
+    // stages must scale linearly in base size
+    "sim_topk_cosine",  // brute-force baseline: 80 queries × base
+    "sim_lsh_bucket",   // bucket-join prune
+    "sim_ivf_topk")     // two-stage IVF
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
@@ -44,6 +49,16 @@ object ScaleProbe {
             col("lang"), col("source"), col("n_chars"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+        graft.Tables(spark, srcDir, "embeddings")
+          .crossJoin(spark.range(f).select(col("id").as("copy")))
+          // copies land at vec_id >= 2000: the fixed query cohort stays
+          // the ORIGINAL 80 vectors while the searched base grows f-fold
+          .select((col("vec_id") + col("copy") * 2000L).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       probes.foreach { q =>
