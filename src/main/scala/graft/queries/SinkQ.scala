@@ -122,5 +122,48 @@ object SinkQ {
            |FROM snap s FULL JOIN upd u ON s.k = u.k
            |ORDER BY k, status, price_cents""".stripMargin))
 
-  val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert)
+  /** Z-order clustered parquet: interleave the bits of the two predicate
+    * columns (shipdate day-number, partkey low bits) into one sort key so
+    * row groups are localized in BOTH dimensions — the multi-dim
+    * clustering move (Delta/Iceberg OPTIMIZE ZORDER) where 1-D sort
+    * clustering ([[sinkClustered]]) only helps its leading column. The
+    * z-value is a pure bit-interleave column expression (codegen'd, no
+    * UDF); read-back filters on both dimensions and aggregates. At 100 TB
+    * the write is one range-repartition by z-value; every two-dim
+    * selective scan after it prunes row groups on either predicate. */
+  val sinkZorder: Q = Q(
+    "sink_zorder",
+    (spark, dir) => {
+      val day = datediff(col("l_shipdate"),
+        lit("1992-01-01").cast("date")).cast("long") // fits 12 bits
+      val pk = pmod(col("l_partkey"), lit(4096L))    // low 12 bits
+      val z = (0 until 12).map { i =>
+        val dBit = shiftleft(shiftright(day, i).bitwiseAND(1L), 2 * i + 1)
+        val pBit = shiftleft(shiftright(pk, i).bitwiseAND(1L), 2 * i)
+        dBit.bitwiseOR(pBit)
+      }.reduce(_.bitwiseOR(_))
+      val path = tmp("sink_zorder", dir) + "_" + fingerprint(s"$dir/lineitem.parquet")
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+            cents(col("l_extendedprice")).as("price_cents"), z.as("zval"))
+          .repartitionByRange(8, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+        .filter(col("l_shipdate").between("1995-01-01", "1995-06-30")
+          && col("l_partkey") < 500)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("month_cents"))
+        .orderBy("ship_month")
+    },
+    Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS month_cents
+           |FROM lineitem
+           |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1995-06-30 00:00:00'
+           |  AND l_partkey < 500
+           |GROUP BY 1 ORDER BY ship_month""".stripMargin))
+
+  val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert, sinkZorder)
 }
