@@ -203,6 +203,43 @@ object CompositeQ {
            |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
            |GROUP BY 1, 2, 3 ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * Scale-deliberate join ORDER: lineitem (returnflag filter pushed) ⨝
+    * orders (quarter filter pushed) is the one fact-fact shuffle, then
+    * aggregate to per-custkey revenue BEFORE joining the customer dim —
+    * the dim join runs on the (tiny) aggregated side, never on raw
+    * lineitems. No broadcast hints: dims here are sf-proportional and AQE
+    * decides (PlanAuditSpec's composite rule). */
+  val xReturnedTop: Q = Q(
+    "x_returned_top",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).as("revenue_units"))
+      perCust.join(Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("revenue_units"))
+        .orderBy(col("revenue_units").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue_units DESC, c_custkey LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume,
-    xRevenueForecast, xBigOrders)
+    xRevenueForecast, xBigOrders, xReturnedTop)
 }

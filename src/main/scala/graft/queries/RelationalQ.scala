@@ -526,9 +526,34 @@ object RelationalQ {
     Some("""SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey AS nk FROM supplier
            |ORDER BY nk""".stripMargin))
 
+  /** Forward as-of: each signup paired with the user's NEXT purchase (the
+    * mirror of [[jAsof]]'s backward lookup) — same window form, forward
+    * frame + first_value. Still O(n log n) per user partition, no range
+    * join pair explosion. */
+  val jAsofFwd: Q = Q(
+    "j_asof_fwd",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn(
+        "next_purchase_id",
+        first(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("next_purchase_id"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, next_purchase_id FROM (
+           | SELECT event_id, user_id, event_type,
+           |  first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+           | FROM events) t
+           |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qProject, qFilter,
-    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jCross,
+    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jCross,
     aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets, aUdaf,
     wRowNumber, wRankDense, wLagLead, wFrameRows, wFrameRange, wNtile,
     sTopk,
