@@ -60,14 +60,15 @@ object StreamingOps {
 
   /** Stream-static enrichment join: attach dimension attributes to each
     * streaming event. The static side needs no watermark (it is re-read
-    * per micro-batch, so a dim refresh is picked up automatically) and
-    * broadcasts when small — per micro-batch this is the same broadcast
-    * hash join the batch path plans, with zero streaming state. The
-    * standard "enrich the firehose with reference data" shape at any
-    * scale.
+    * per micro-batch, so a dim refresh is picked up automatically). No
+    * broadcast hint: the dim's size is the caller's, so the per-batch
+    * planner decides — small reference data broadcasts on its own, and a
+    * dim too large to broadcast degrades to a shuffle join instead of
+    * forcing an OOM build. Zero streaming state either way. The standard
+    * "enrich the firehose with reference data" shape at any scale.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 
   /** Watermarked stream-stream inner join: pairs each left event with
     * right events of the same user within `maxGap` AFTER it. Both sides
