@@ -190,5 +190,39 @@ object FunctionsQ {
            |              ELSE toks END) AS tok
            |FROM t ORDER BY doc_id, tok NULLS FIRST""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson, fMap, fExplodeOuter)
+  /** Map higher-order functions: transform_values / map_filter /
+    * map_zip_with / map_concat over a map synthesized deterministically
+    * from the event's k value (map_from_arrays). Outputs reduce to
+    * scalars (map stringification is not cross-engine stable); the DuckDB
+    * oracle computes the closed forms of the same map algebra. All
+    * codegen-fallback-free column expressions — no UDF. */
+  val fMap2: Q = Q(
+    "f_map2",
+    (spark, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val m = map_from_arrays(
+        array(lit("a"), lit("b"), lit("c")),
+        array(k, k * 2, pmod(k, lit(7L))))
+      val tv = transform_values(m, (_, v) => v + 1)
+      val mf = map_filter(m, (_, v) => pmod(v, lit(2L)) === 0)
+      val mz = map_zip_with(m, tv, (_, v1, v2) => v1 + v2)
+      Tables(spark, dir, "events").select(
+        col("event_id"),
+        aggregate(map_values(tv), lit(0L), (acc, v) => acc + v).as("sum_tv"),
+        size(map_keys(mf)).cast("long").as("n_even"),
+        aggregate(map_values(mz), lit(0L), (acc, v) => acc + v).as("sum_zip"),
+        size(map_keys(map_concat(m, map(lit("d"), lit(1L))))).cast("long").as("n_concat"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+           |SELECT event_id,
+           |  (k + 1) + (k * 2 + 1) + (k % 7 + 1) AS sum_tv,
+           |  CAST((CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)
+           |     + (CASE WHEN (k * 2) % 2 = 0 THEN 1 ELSE 0 END)
+           |     + (CASE WHEN (k % 7) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+           |  (2 * k + 1) + (2 * (k * 2) + 1) + (2 * (k % 7) + 1) AS sum_zip,
+           |  CAST(4 AS BIGINT) AS n_concat
+           |FROM e ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString, fDate, fMath, fArray, fExplode, fJson, fMap, fExplodeOuter, fMap2)
 }
