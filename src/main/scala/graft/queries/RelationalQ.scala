@@ -350,6 +350,29 @@ object RelationalQ {
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
            |ORDER BY rflag, lstatus""".stripMargin))
 
+  /** grouping()/grouping_id over ROLLUP with REAL nulls in the group key:
+    * without grouping() a NULL data value is indistinguishable from a
+    * subtotal row (the classic cube-reporting bug — NULLIF plants genuine
+    * nulls to prove the disambiguation). Identical SQL both engines. */
+  private val groupingIdSql =
+    """SELECT CASE WHEN grouping(status2) = 1 THEN 'ALL'
+      |            ELSE coalesce(status2, '(null)') END AS status,
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE o_orderpriority END AS priority,
+      |  CAST(grouping(status2) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM (SELECT NULLIF(o_orderstatus, 'P') AS status2, o_orderpriority FROM orders) t
+      |GROUP BY ROLLUP(status2, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
+  val aGroupingId: Q = Q(
+    "a_grouping_id",
+    (spark, dir) => {
+      Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql(groupingIdSql)
+    },
+    Some(groupingIdSql))
+
   val aUdaf: Q = Q(
     "a_udaf_sumsq",
     (spark, dir) => {
@@ -554,7 +577,8 @@ object RelationalQ {
   val all: Seq[Q] = Seq(
     qProject, qFilter,
     jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jCross,
-    aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets, aUdaf,
+    aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets,
+    aGroupingId, aUdaf,
     wRowNumber, wRankDense, wLagLead, wFrameRows, wFrameRange, wNtile,
     sTopk,
     setUnionAll, setUnion, setIntersect, setExcept, setIntersectAll, setExceptAll)
