@@ -210,6 +210,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Cartesian"), "decontamination fell back to a cartesian")
   }
 
+  test("rank-filter queries get the WindowGroupLimit partial top-k") {
+    // Per-group top-k must insert WindowGroupLimit (partial per-partition
+    // heap before the shuffle) — without it every partition fully sorts.
+    assert(executedPlanString("s_sample_stratified").contains("WindowGroupLimit"))
+    assert(executedPlanString("w_row_number").contains("WindowGroupLimit"))
+  }
+
   test("pagination stays a bounded TakeOrdered, not a global sort") {
     val p = executedPlanString("s_offset")
     assert(p.contains("TakeOrdered"), s"expected TakeOrdered in: $p")
