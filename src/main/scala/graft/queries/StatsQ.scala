@@ -283,6 +283,60 @@ object StatsQ {
            |  CAST(SUM(day_cents) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7_cents
            |FROM d ORDER BY day_s""".stripMargin))
 
+  /** Population/sample covariance from exact integer moments (the
+    * [[aCorr]] discipline: never engine covar_* aggregates, whose
+    * double co-moment merges are partition-order-dependent — the exact
+    * sums are associative, the final double chain is fixed). */
+  val aCovar: Q = Q(
+    "a_covar",
+    (spark, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_extendedprice"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (d(col("n")) * d(col("n"))) * 100).cast("long").as("covp_hcents"),
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (d(col("n")) * (d(col("n")) - 1.0)) * 100).cast("long").as("covs_hcents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+           |  SUM(CAST(l_quantity AS BIGINT)) AS sx,
+           |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+           |  SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  CAST(round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) * 100) AS BIGINT) AS covp_hcents,
+           |  CAST(round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)) * 100) AS BIGINT) AS covs_hcents
+           |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) — the primitives under
+    * distributed bitmap and flag-set rollups; exact integers, fully
+    * associative, map-side partial. */
+  val aBitAgg: Q = Q(
+    "a_bit_agg",
+    (spark, dir) =>
+      Tables(spark, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           | CAST(bit_and(user_id) AS BIGINT) AS band,
+           | CAST(bit_or(user_id) AS BIGINT) AS bor,
+           | CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           | COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
-    aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval)
+    aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg)
 }
