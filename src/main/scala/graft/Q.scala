@@ -45,7 +45,8 @@ object Registry {
       queries.PatternQ.all ++
       queries.IterativeQ.all ++
       queries.BreadthQ.all ++
-      queries.TrainPrepQ.all
+      queries.TrainPrepQ.all ++
+      queries.TypedQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
