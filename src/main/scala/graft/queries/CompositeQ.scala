@@ -240,6 +240,56 @@ object CompositeQ {
            |GROUP BY 1, 2, 3
            |ORDER BY revenue_units DESC, c_custkey LIMIT 20""".stripMargin))
 
+  /** TPC-H Q7 shape: shipping volume between a nation pair, by direction
+    * and year. Scale notes: the supplier/customer sides are pre-reduced
+    * by their broadcast-hinted join against the 2-row filtered nation dim
+    * BEFORE touching the facts (semi-reduction: only suppliers/customers
+    * of the two nations survive), lineitem carries the pushed shipdate
+    * filter, and the only big shuffle is lineitem⨝orders. No hints on
+    * the sf-proportional tables. */
+  val xNationVolume: Q = Q(
+    "x_nation_volume",
+    (spark, dir) => {
+      val nat = Tables(spark, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables(spark, dir, "supplier")
+        .join(broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cus = Tables(spark, dir, "customer")
+        .join(broadcast(nat.withColumnRenamed("n_name", "cust_nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev"))
+      li.join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_units"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+           |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+           |  AND sn.n_name <> cn.n_name
+           |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+           |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
   val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume,
-    xRevenueForecast, xBigOrders, xReturnedTop)
+    xRevenueForecast, xBigOrders, xReturnedTop, xNationVolume)
 }
