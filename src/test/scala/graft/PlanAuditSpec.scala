@@ -105,6 +105,13 @@ class PlanAuditSpec extends SparkSpec {
       val bhj = "BroadcastHashJoin".r.findAllIn(q5).length
       assert(bhj == 2, // exactly the hinted fixed-size dims: nation, region
         s"x_local_supplier_volume: expected exactly 2 hinted broadcasts (nation, region), got $bhj:\n$q5")
+      val q10 = executedPlanString("x_returned_top")
+      assert(!q10.contains("BroadcastHashJoin"),
+        s"x_returned_top still broadcasts with thresholds off:\n$q10")
+      val q7 = executedPlanString("x_nation_volume")
+      val bhj7 = "BroadcastHashJoin".r.findAllIn(q7).length
+      assert(bhj7 == 2, // exactly the two hinted 2-row nation dims
+        s"x_nation_volume: expected exactly 2 hinted broadcasts (filtered nation x2), got $bhj7:\n$q7")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None)    => conf.unset(k)
