@@ -46,7 +46,8 @@ object Registry {
       queries.IterativeQ.all ++
       queries.BreadthQ.all ++
       queries.TrainPrepQ.all ++
-      queries.TypedQ.all
+      queries.TypedQ.all ++
+      queries.CorpusQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -28,6 +28,11 @@ package object functions {
   def vec_dot_float(a: Column, b: Column): Column =
     column(FloatVecDot(Shims.expression(a), Shims.expression(b)))
 
+  /** Unicode NFC + control-strip + whitespace collapse + trim, fused into
+    * one codegen'd pass (corpus canonicalization hot path). */
+  def normalize_text(text: Column): Column =
+    column(NormalizeText(Shims.expression(text)))
+
   /** Native Bloom-filter membership probe (BloomFilterMightContain — the
     * codegen'd expression behind Spark's runtime row-level bloom join
     * filters; not exposed in the public function registry, hence this

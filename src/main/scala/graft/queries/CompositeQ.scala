@@ -290,6 +290,44 @@ object CompositeQ {
            |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
            |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
 
+  /** TPC-H Q2 shape: min-cost supplier per part via a CORRELATED scalar
+    * MIN subquery over the fact table (the testdata schema has no
+    * partsupp, so lineitem plays the supply relation). Catalyst
+    * decorrelates the per-part MIN into one aggregate + join
+    * (RewriteCorrelatedScalarSubquery) — the inner query runs ONCE as a
+    * distributed agg, never per outer row; at 100 TB that is the
+    * difference between a second scan and a million re-scans. Part cohort
+    * is bounded (p_partkey < 200) so output size is sf-independent;
+    * DISTINCT collapses equal-price duplicate lineitems of the same
+    * (part, supplier). */
+  val xMinCostSupplier: Q = Q(
+    "x_min_cost_supplier",
+    (spark, dir) => {
+      Seq("part", "lineitem", "supplier").foreach(n =>
+        Tables(spark, dir, n).createOrReplaceTempView(n))
+      spark.sql(
+        """SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+          |  CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents
+          |FROM part p
+          |JOIN lineitem l ON l.l_partkey = p.p_partkey
+          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |WHERE p.p_partkey < 200
+          |  AND CAST(round(l.l_extendedprice*100) AS BIGINT) =
+          |      (SELECT MIN(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+          |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          |ORDER BY p_partkey, s_suppkey""".stripMargin)
+    },
+    Some("""SELECT DISTINCT p.p_partkey, s.s_suppkey, s.s_name,
+           |  CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents
+           |FROM part p
+           |JOIN lineitem l ON l.l_partkey = p.p_partkey
+           |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           |WHERE p.p_partkey < 200
+           |  AND CAST(round(l.l_extendedprice*100) AS BIGINT) =
+           |      (SELECT MIN(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+           |       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+           |ORDER BY p_partkey, s_suppkey""".stripMargin))
+
   val all: Seq[Q] = Seq(xPricingSummary, xShippingPriority, xLocalSupplierVolume,
-    xRevenueForecast, xBigOrders, xReturnedTop, xNationVolume)
+    xRevenueForecast, xBigOrders, xReturnedTop, xNationVolume, xMinCostSupplier)
 }

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus canonicalization operators (round 4): text normalization and
+  * URL canonical-form dedup — the two cleanups every crawl-derived
+  * training corpus runs before any dedup/quality stage (raw text mixes
+  * decomposed accents/controls; the same page is fetched under many URL
+  * spellings).
+  *
+  * Both are map-only projections feeding one hash aggregation — no joins,
+  * no skew surface, linear at 100 TB.
+  */
+object CorpusQ {
+
+  /** Unicode-normalize the corpus via [[graft.functions.normalize_text]]
+    * (fused NFC + control-strip + space-collapse + trim, codegen'd). The
+    * input is made adversarial on purpose: a suffix with a combining
+    * accent (e + U+0301 must COMPOSE to é), a tab, a double space and a
+    * BEL control is appended, so the oracle compare proves real NFC
+    * composition and control handling, not a no-op on clean ASCII. */
+  val tNormalize: Q = Q(
+    "t_normalize",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.normalize_text(
+            concat(col("text"),
+              lit("\tcafe\u0301  x\u0007y"))).as("norm_text")) // decomposed é, BEL
+        .withColumn("n_chars", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id"),
+    Some("""WITH n AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(regexp_replace(
+           |      nfc_normalize(text || chr(9) || 'cafe' || chr(769) || '  x' || chr(7) || 'y'),
+           |      '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+           |  FROM documents)
+           |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+           |FROM n ORDER BY doc_id""".stripMargin))
+
+  // Synthesized messy URL per doc (the documents table has no URL column):
+  // uppercase scheme/host, www prefix, default port, tracking params and a
+  // fragment — every canonicalization hazard in one string. doc_ids that
+  // agree mod (40,7,5) collapse to the same canonical URL, so the dedup
+  // aggregation has real work.
+  private def rawUrl: Column =
+    concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 40).cast("string"),
+      lit(".COM:443/Path/"), (col("doc_id") % 7).cast("string"),
+      lit("/?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+      lit("&utm_med=em#sec"), (col("doc_id") % 3).cast("string"))
+
+  /** URL canonicalization + dedup by canonical form: lowercase scheme and
+    * host, strip `www.`, default ports, tracking (`utm_*`) params, the
+    * fragment and trailing slash, then keep the minimum doc_id per
+    * canonical URL. Pure regexp_extract/regexp_replace chains (RE2-safe —
+    * no lookarounds, no backrefs in replacements) so Spark's Java regex
+    * and DuckDB's RE2 produce identical strings. */
+  val dUrlCanon: Q = Q(
+    "d_url_canon",
+    (spark, dir) => {
+      val url = rawUrl
+      val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", ""), ":(443|80)$", "")
+      val path = regexp_replace(
+        regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+      val query = regexp_replace(
+        regexp_replace(regexp_extract(url, "\\?([^#]*)", 1), "(^|&)utm_[^&]*", ""),
+        "^&+", "")
+      val canon = concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), canon.as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keeper_doc"))
+        .orderBy("canon_url")
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id,
+           |    'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) ||
+           |    '.COM:443/Path/' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    '/?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+           |    '&utm_med=em#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, url,
+           |    regexp_replace(regexp_replace(
+           |      regexp_extract(url, '\?([^#]*)', 1), '(^|&)utm_[^&]*', '', 'g'),
+           |      '^&+', '') AS qq
+           |  FROM u),
+           |c AS (
+           |  SELECT doc_id,
+           |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+           |    regexp_replace(regexp_replace(
+           |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+           |      '^www\.', ''), ':(443|80)$', '') ||
+           |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') ||
+           |    CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canon_url
+           |  FROM q)
+           |SELECT canon_url, COUNT(*) AS n_dupes, MIN(doc_id) AS keeper_doc
+           |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin))
+
+  val all: Seq[Q] = Seq(tNormalize, dUrlCanon)
+}

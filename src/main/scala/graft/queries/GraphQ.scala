@@ -37,5 +37,68 @@ object GraphQ {
            |  SELECT e.vec_a, reach.r FROM e JOIN reach ON e.vec_b = reach.id)
            |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dClusterCC)
+  /** Fixed-iteration PageRank (3 supersteps, damping 0.85) over an
+    * undirected supplier–part co-purchase graph derived from lineitem
+    * (bounded cohort: suppliers ≤ 40, parts folded mod 80 — node count is
+    * sf-independent, edge derivation scans the full fact table).
+    *
+    * Every arithmetic step is INTEGER (rank scaled ×1e6, contributions via
+    * integer div, damping as (85*x) div 100), so the result is exact and
+    * order-independent — integer sums commute — which is what makes an
+    * iterative numeric algorithm hash-oracle-checkable across engines
+    * (float PageRank would diverge by summation order). Oracle: the same
+    * three supersteps unrolled as chained CTEs.
+    *
+    * Scale shape: each superstep is one equi-join (edges ⨝ ranks) + one
+    * hash agg — the Pregel message-passing pattern as plain relational
+    * ops; the edge relation is the only large input and it partitions on
+    * src. The loop is driver-side unrolled (fixed depth), so lineage stays
+    * bounded without checkpointing. */
+  val gPagerank: Q = Q(
+    "g_pagerank",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey") % 80 + 1000000L).as("p"))
+        .distinct()
+      val edges = li.select(col("s").as("src"), col("p").as("dst"))
+        .unionAll(li.select(col("p").as("src"), col("s").as("dst")))
+      // (id, deg): join key named once so every join below is a USING
+      // join — no dataframe("col") cross-references, no self-join
+      // ambiguity when deg reappears in rank's lineage next iteration.
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      var rank = deg.select(col("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val outflow = rank.join(deg, Seq("id"))
+          .select(col("id").as("src"), expr("r div deg").as("c"))
+        rank = edges.join(outflow, Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("c")).as("m"))
+          .select(col("id"), expr("150000L + (85 * m) div 100").as("r"))
+      }
+      rank.join(deg, Seq("id"))
+        .select(col("id"), col("r"), col("deg"))
+        .orderBy("id")
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_suppkey AS s, l_partkey % 80 + 1000000 AS p
+           |  FROM lineitem WHERE l_suppkey <= 40),
+           |e AS (SELECT s AS src, p AS dst FROM li UNION ALL SELECT p, s FROM li),
+           |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+           |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM d),
+           |c1 AS (SELECT e.dst AS id, SUM(r0.r // d.deg) AS m
+           |       FROM e JOIN r0 ON e.src = r0.id JOIN d ON e.src = d.src GROUP BY e.dst),
+           |r1 AS (SELECT id, CAST(150000 + (85 * m) // 100 AS BIGINT) AS r FROM c1),
+           |c2 AS (SELECT e.dst AS id, SUM(r1.r // d.deg) AS m
+           |       FROM e JOIN r1 ON e.src = r1.id JOIN d ON e.src = d.src GROUP BY e.dst),
+           |r2 AS (SELECT id, CAST(150000 + (85 * m) // 100 AS BIGINT) AS r FROM c2),
+           |c3 AS (SELECT e.dst AS id, SUM(r2.r // d.deg) AS m
+           |       FROM e JOIN r2 ON e.src = r2.id JOIN d ON e.src = d.src GROUP BY e.dst),
+           |r3 AS (SELECT id, CAST(150000 + (85 * m) // 100 AS BIGINT) AS r FROM c3)
+           |SELECT r3.id, r3.r, CAST(d.deg AS BIGINT) AS deg
+           |FROM r3 JOIN d ON r3.id = d.src ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank)
 }

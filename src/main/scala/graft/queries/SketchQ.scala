@@ -78,5 +78,31 @@ object SketchQ {
            |WHERE length(tok) > 0
            |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin))
 
-  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens)
+  /** DataSketches HLL partial-merge: one sketch per nation
+    * (hll_sketch_agg), then the per-group sketches UNIONED into a global
+    * estimate (hll_union_agg) — the mergeable-sketch pattern that makes
+    * 100 TB cardinality estimation a two-level tree (sketch per partition
+    * / shard / day, merge upward) instead of a re-scan per grain. The
+    * union row (nation = -1) is computed FROM the per-nation sketches,
+    * not from the base data — that merge step IS the operator under test.
+    * Rows-only check (sketch internals differ per implementation; no SQL
+    * oracle) + HllMergeSpec bounds both grains against exact counts. */
+  val aHllMerge: Q = Q(
+    "a_hll_merge",
+    (spark, dir) => {
+      val perNation = Tables(spark, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      val global = perNation
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit(-1L).as("nation"), hll_sketch_estimate(col("sk")).as("est_custs"))
+      perNation
+        .select(col("c_nationkey").cast("long").as("nation"),
+          hll_sketch_estimate(col("sk")).as("est_custs"))
+        .unionAll(global)
+        .orderBy("nation")
+    },
+    oracle = None)
+
+  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens, aHllMerge)
 }
