@@ -47,7 +47,9 @@ object Registry {
       queries.BreadthQ.all ++
       queries.TrainPrepQ.all ++
       queries.TypedQ.all ++
-      queries.CorpusQ.all
+      queries.CorpusQ.all ++
+      queries.JoinExtQ.all ++
+      queries.CompositeExtQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
