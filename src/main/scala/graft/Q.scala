@@ -49,7 +49,8 @@ object Registry {
       queries.TypedQ.all ++
       queries.CorpusQ.all ++
       queries.JoinExtQ.all ++
-      queries.CompositeExtQ.all
+      queries.CompositeExtQ.all ++
+      queries.LayoutQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -100,5 +100,42 @@ object GraphQ {
            |SELECT r3.id, r3.r, CAST(d.deg AS BIGINT) AS deg
            |FROM r3 JOIN d ON r3.id = d.src ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dClusterCC, gPagerank)
+  /** Triangle + wedge census over the near-dup graph (d_embed_neardup's
+    * edges, already oriented vec_a < vec_b). Triangles = the two-hop
+    * equi-join e(a,b) ⋈ e(b,c) closed by e(a,c) — three shuffles on
+    * vertex keys, never an all-pairs compare; wedges = Σ deg·(deg−1)/2
+    * from one degree agg. Together they give the global clustering
+    * coefficient (3T/W) as exact integers. At 100 TB the one refinement
+    * is orienting edges low-degree → high-degree instead of by id, which
+    * bounds per-vertex join fan-out by O(√m) (the node-iterator bound);
+    * the join shape stays identical. */
+  val gTriangles: Q = Q(
+    "g_triangles",
+    (spark, dir) => {
+      val e = Registry.byName("d_embed_neardup").run(spark, dir)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      tri.crossJoin(wedges)
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+           |      FROM embeddings WHERE vec_id < 200),
+           |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |      WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
+           |t AS (SELECT COUNT(*) AS n_triangles
+           |      FROM p e1 JOIN p e2 ON e1.vec_b = e2.vec_a
+           |      JOIN p e3 ON e1.vec_a = e3.vec_a AND e2.vec_b = e3.vec_b),
+           |d AS (SELECT id, COUNT(*) AS deg
+           |      FROM (SELECT vec_a AS id FROM p UNION ALL SELECT vec_b FROM p) GROUP BY 1),
+           |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM d)
+           |SELECT n_triangles, n_wedges FROM t, w""".stripMargin))
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles)
 }

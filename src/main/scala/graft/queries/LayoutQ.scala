@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lakehouse maintenance operators (round 5): small-file compaction and
+  * schema-evolution reads — the two table-maintenance moves every
+  * long-lived 100 TB parquet lake needs beyond plain writes.
+  */
+object LayoutQ {
+
+  private def tmp(name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Small-file compaction. Streaming ingestion leaves thousands of tiny
+    * files per partition; each costs a NameNode/listing round-trip, a
+    * footer read, and a task — at 100 TB the file COUNT, not the byte
+    * count, becomes the scan bottleneck. The operator rewrites a 64-file
+    * layout into 4 right-sized files via repartition (a pure shuffle,
+    * no driver involvement; in production the repartition count is
+    * target_bytes / file_size). Correctness = the compacted table reads
+    * back identically (oracle aggregates the logical content); the file
+    * counts themselves are asserted in LayoutSpec.
+    */
+  val sinkCompact: Q = Q(
+    "sink_compact",
+    (spark, dir) => {
+      val small = tmp("sink_compact_small", dir)
+      val big = tmp("sink_compact_big", dir)
+      val src = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
+      src.repartition(64).write.mode("overwrite").parquet(small)
+      spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
+      spark.read.parquet(big)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Schema evolution: a table written over time by producers on
+    * different schema versions (v1 lacks the status column) read back as
+    * ONE table via mergeSchema — missing columns surface as nulls, no
+    * rewrite of old files. This is the additive-evolution contract a
+    * lake needs: readers never break when a producer adds a column.
+    * mergeSchema's footer-merge pass is why evolved tables should carry
+    * few schema versions, not thousands — noted here because at 100 TB
+    * the merge pass is a driver-side file-listing cost. */
+  val scanEvolve: Q = Q(
+    "scan_evolve",
+    (spark, dir) => {
+      val path = tmp("scan_evolve", dir)
+      val ord = Tables(spark, dir, "orders")
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .write.mode("overwrite").parquet(s"$path/v=1")
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus").as("status"))
+        .write.mode("overwrite").parquet(s"$path/v=2")
+      spark.read.option("mergeSchema", "true").parquet(s"$path/v=1", s"$path/v=2")
+        .groupBy(coalesce(col("status"), lit("<pre-schema>")).as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("status")
+    },
+    Some("""WITH u AS (
+           |  SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+           |         CAST(NULL AS VARCHAR) AS status
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT), o_orderstatus
+           |  FROM orders WHERE o_orderkey % 2 = 1)
+           |SELECT COALESCE(status, '<pre-schema>') AS status, COUNT(*) AS n,
+           | CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(sinkCompact, scanEvolve)
+}

@@ -284,6 +284,60 @@ object SimilarityQ {
            |  CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_micro, COUNT(*) AS n
            |FROM e WHERE pos <= 4 GROUP BY 1, 2 ORDER BY label, pos""".stripMargin))
 
+  /** Int8 scalar-quantized (SQ8) top-k: each vector is rescaled by its own
+    * dynamic range (q_i = round(x_i · 127 / max|x|), all components in
+    * [-127,127]) — 8-bit storage, 4× smaller than float32, the standard
+    * memory/IO lever for billion-vector ANN. Cosine is scale-invariant,
+    * so the per-vector factor cancels and SQ8 cosine needs NO dequant
+    * step: integer dots over the int8 codes (exact in both engines, |dot|
+    * ≤ 96·127² ≪ 2^53) through the same fixed IEEE chain as the other
+    * sim_* queries. Same fixed query cohort, per-query top-5 via the
+    * rank window. At 100 TB the win is the scan: 8-bit codes cut the
+    * vector bytes read 4×, and the refine stage (re-rank survivors with
+    * full floats) reads only k·queries full vectors. */
+  val simSq8Topk: Q = Q(
+    "sim_sq8_topk",
+    (spark, dir) => {
+      val b = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("maxabs") > 0)
+        .withColumn("q8", transform(col("embedding"),
+          x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
+        .select(col("vec_id"), col("q8"))
+        .withColumn("n2", dotL(col("q8"), col("q8")))
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("q_id"), col("q8").as("q_q8"), col("n2").as("qn2"))
+      val pairs = q.join(b.select(col("vec_id"), col("q8"), col("n2").as("bn2")),
+        col("q_id") =!= col("vec_id"))
+        .withColumn("dot", dotL(col("q_q8"), col("q8")))
+        .withColumn("cos8_micro",
+          round(col("dot").cast("double") /
+            sqrt(col("qn2").cast("double") * col("bn2").cast("double")) * 1000000).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos8_micro").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("long").as("rn"),
+          col("vec_id").as("neighbor_id"), col("cos8_micro"))
+        .orderBy("q_id", "rn")
+    },
+    Some("""WITH v AS (SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           |  FROM embeddings),
+           |q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
+           |  FROM v WHERE maxabs > 0),
+           |n AS (SELECT vec_id, q8, list_dot_product(q8, q8) AS n2 FROM q),
+           |p AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           |   CAST(round(list_dot_product(a.q8, b.q8) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos8_micro
+           | FROM n a JOIN n b ON a.vec_id % 25 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
+           |r AS (SELECT q_id, neighbor_id, cos8_micro,
+           |   row_number() OVER (PARTITION BY q_id ORDER BY cos8_micro DESC, neighbor_id) AS rn
+           | FROM p)
+           |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos8_micro
+           |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid)
+    eCentroid, simSq8Topk)
 }

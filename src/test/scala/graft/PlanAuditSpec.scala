@@ -228,4 +228,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlanString("s_offset")
     assert(p.contains("TakeOrdered"), s"expected TakeOrdered in: $p")
   }
+
+  test("binned interval-overlap join never plans a nested-loop or cartesian") {
+    val p = executedPlanString("j_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"NLJ in: $p")
+    assert(!p.contains("Cartesian"), s"cartesian in: $p")
+  }
+
+  test("fuzzy match joins on the blocking key, not all pairs") {
+    val p = executedPlanString("j_fuzzy_name")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"unblocked join in: $p")
+    assert(p.contains("Join"), s"expected an equi-join on p_brand in: $p")
+  }
+
+  test("Q21-shape double-correlated subqueries decorrelate to semi/anti joins") {
+    val p = executedPlanString("x_waiting_orders")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join: $p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join: $p")
+  }
+
+  test("Q11-shape global threshold is a broadcast, fact aggregates once") {
+    val p = executedPlanString("x_top_value_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar side not broadcast in: $p")
+  }
 }
