@@ -211,5 +211,70 @@ object DedupQ {
          |ORDER BY band, sig""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets)
+  /** Content-defined chunking (CDC) dedup: split each document into
+    * variable-length chunks at ROLLING-HASH boundaries (a token ends a
+    * chunk when md5 of the trailing 3-gram starts with 0-3, p=1/4 →
+    * ~4-token mean chunks), then dedupe CHUNKS across the corpus. Unlike
+    * fixed-width shingles, CDC boundaries are content-anchored: inserting
+    * a sentence shifts only the chunks it touches, so shared passages
+    * between near-identical documents still hash to identical chunks —
+    * the mechanism rsync/LLM-corpus passage dedup uses. The whole
+    * operator is narrow (per-doc windows partitioned by doc_id) + one
+    * hash agg on the 16-byte chunk fingerprint: the same one-shuffle
+    * shape as exact dedup, at any corpus size. Output: the 20 most
+    * duplicated ≥3-token chunks. */
+  val dChunkCdc: Q = Q(
+    "d_chunk_cdc",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      val g = tok.withColumn("boundary",
+        when(col("pos") >= 3 &&
+          substring(md5(concat_ws(" ",
+            lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok"))), 1, 1)
+            .isin("0", "1", "2", "3"), lit(1L)).otherwise(lit(0L)))
+      val c = g.withColumn("chunk_id",
+        coalesce(sum(col("boundary")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)) + 1)
+      val chunks = c.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              s => s.getField("tok")), " ")).as("fp"),
+          count(lit(1)).as("chunk_len"))
+      chunks.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+          min(col("chunk_len")).as("chunk_len"))
+        .filter(col("n_occ") > 1 && col("chunk_len") >= 3)
+        .orderBy(col("n_occ").desc, col("fp"))
+        .limit(20)
+    },
+    Some("""WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tl),
+           |g AS (
+           |  SELECT doc_id, tok, pos,
+           |    CASE WHEN pos >= 3 AND substr(md5(
+           |      lag(tok,2) OVER w || ' ' || lag(tok,1) OVER w || ' ' || tok), 1, 1) IN ('0','1','2','3')
+           |    THEN 1 ELSE 0 END AS boundary
+           |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |c AS (
+           |  SELECT doc_id, pos, tok,
+           |    COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS chunk_id
+           |  FROM g),
+           |ch AS (SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp, COUNT(*) AS chunk_len
+           |  FROM c GROUP BY 1, 2)
+           |SELECT fp, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+           |  CAST(MIN(chunk_len) AS BIGINT) AS chunk_len
+           |FROM ch GROUP BY fp HAVING COUNT(*) > 1 AND MIN(chunk_len) >= 3
+           |ORDER BY n_occ DESC, fp LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
+    dChunkCdc)
 }

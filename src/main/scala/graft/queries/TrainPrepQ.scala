@@ -242,6 +242,53 @@ object TrainPrepQ {
            |FROM c GROUP BY source, tok_before // 1024
            |ORDER BY source, pack_id""".stripMargin))
 
+  /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1, the half of
+    * the filter the quality query doesn't cover): duplicate-word mass and
+    * most-frequent-bigram concentration. Emitted as exact integer
+    * numerators/denominators (n_words, n_distinct, n_bigrams,
+    * top_bigram_n) — the filter thresholds (e.g. "drop if top bigram >
+    * 20% of bigrams") divide on the consumer side, keeping cross-engine
+    * parity bit-exact. All columns derive from per-doc array ops + one
+    * per-(doc,bigram) count: narrow except a single doc_id-partitioned
+    * aggregation, linear at any corpus size. */
+  val tRepetition: Q = Q(
+    "t_repetition",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      val stats = base.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)).as("bigrams"))
+      val top = stats
+        .select(col("doc_id"), explode(col("bigrams")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+      stats.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          size(col("bigrams")).cast("long").as("n_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tl AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM tl),
+           |b AS (
+           |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+           |  FROM tok),
+           |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b WHERE bigram IS NOT NULL GROUP BY 1, 2),
+           |top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY 1)
+           |SELECT tl.doc_id AS doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+           |FROM tl LEFT JOIN top ON tl.doc_id = top.doc_id
+           |ORDER BY tl.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
-    sMixWeighted, tSeqPack)
+    sMixWeighted, tSeqPack, tRepetition)
 }

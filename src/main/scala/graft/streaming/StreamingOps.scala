@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TimeMode}
 
 /** Typed view of the events table for streaming paths. */
 final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -129,5 +129,48 @@ object StreamingOps {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Per-user running totals via transformWithState (the arbitrary-state
+    * v2 API, Spark 4.x): typed ValueState survives across micro-batches
+    * in the RocksDB state store, one updated row per key per batch
+    * (Update mode). v2 over flatMapGroupsWithState buys composable state
+    * types (value/list/map per key), state TTL, and RocksDB changelog
+    * checkpointing — at 100 TB of keys the state store is per-partition
+    * RocksDB, so state size scales with executors, never the driver.
+    * Values are accumulated as exact micro-units (round(value·1e6)) —
+    * same integer-determinism discipline as the batch queries. Callers
+    * must run with the RocksDB state store provider (TWS requires it).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Running per-user aggregate emitted by [[StreamingOps.runningTotals]]. */
+final case class UserTotal(user_id: Long, n_events: Long, value_micro_total: Long)
+
+private final case class TotalState(n: Long, totalMicro: Long)
+
+private final class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[TotalState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TotalState](
+      "totals", org.apache.spark.sql.Encoders.product[TotalState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = Option(state.get()).getOrElse(TotalState(0L, 0L))
+    var n = prev.n
+    var total = prev.totalMicro
+    rows.foreach { e => n += 1; total += math.round(e.value * 1e6) }
+    state.update(TotalState(n, total))
+    Iterator.single(UserTotal(userId, n, total))
   }
 }

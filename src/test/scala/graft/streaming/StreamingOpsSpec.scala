@@ -152,4 +152,38 @@ class StreamingOpsSpec extends SparkSpec {
       .sortBy(r => (r._1, r._2))
     assert(streamRows.toSeq == batchRows.toSeq)
   }
+
+  test("transformWithState running totals persist typed state across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // TWS requires the RocksDB state store; scope the provider switch to
+    // this query and restore whatever the other suites run with.
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = StreamingOps.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("t_tws").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Seq(ev(1, 1, user = 7, v = 1.5), ev(2, 2, user = 7, v = 2.25), ev(3, 3, user = 8, v = 10.0)))
+      q.processAllAvailable()
+      in.addData(Seq(ev(4, 4, user = 7, v = 0.25), ev(5, 5, user = 9, v = 3.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_tws").as[UserTotal].collect()
+      // batch 1 emissions
+      assert(rows.contains(UserTotal(7L, 2L, 3750000L)), s"batch-1 user 7 missing in ${rows.toSeq}")
+      assert(rows.contains(UserTotal(8L, 1L, 10000000L)))
+      // batch 2: user 7's state carried over (2+1 events, 3.75+0.25 total)
+      assert(rows.contains(UserTotal(7L, 3L, 4000000L)), s"state not carried across batches: ${rows.toSeq}")
+      assert(rows.contains(UserTotal(9L, 1L, 3000000L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
