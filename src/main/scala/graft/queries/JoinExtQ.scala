@@ -56,13 +56,24 @@ object JoinExtQ {
     * band), so the join is an equi-join on the block and the quadratic
     * cost is per-block, not global. A `|len(a)-len(b)| <= 4` length
     * filter (implied by lev <= 4, so it drops nothing) prunes before the
-    * O(len²) distance kernel runs. Both engines implement plain
-    * Levenshtein (unit costs), so distances agree exactly.
+    * distance kernel, and the kernel is the THRESHOLDED levenshtein
+    * (Spark 3.5+): banded DP that abandons a pair the moment its distance
+    * provably exceeds 4 (returns -1), turning the O(len²) kernel into
+    * O(len·k) — and abandons distant pairs early. Both engines implement
+    * plain unit-cost Levenshtein, so kept distances agree exactly.
+    *
+    * The match runs over a FIXED-size cohort (p_partkey < 5000, the same
+    * sf-independent pattern as the sim_* query sets): per-block pair cost
+    * is quadratic BY DESIGN, so the honest scale story is "bound the
+    * block size" (finer blocking keys), not "hope the input stays small"
+    * — the bench measures the blocked-join machinery, not an O(n²) blowup
+    * that grows with sf.
     */
   val jFuzzyName: Q = Q(
     "j_fuzzy_name",
     (spark, dir) => {
       val p = Tables(spark, dir, "part")
+        .filter(col("p_partkey") < 5000)
         .select(col("p_partkey"), col("p_brand"), col("p_name"))
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
       val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
@@ -70,11 +81,12 @@ object JoinExtQ {
           col("p_brand") === col("brand_b") &&
             col("key_a") < col("key_b") &&
             abs(length(col("name_a")) - length(col("name_b"))) <= 4)
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 4))
+        .filter(col("dist") >= 0) // thresholded kernel marks >4 as -1
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_pairs"),
-          min(levenshtein(col("name_a"), col("name_b"))).as("min_dist"))
+          min(col("dist")).as("min_dist"))
         .orderBy("p_brand")
     },
     Some("""SELECT a.p_brand, COUNT(*) AS n_pairs,
@@ -82,6 +94,7 @@ object JoinExtQ {
            |FROM part a JOIN part b
            |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
            | AND abs(length(a.p_name) - length(b.p_name)) <= 4
+           | AND a.p_partkey < 5000 AND b.p_partkey < 5000
            |WHERE levenshtein(a.p_name, b.p_name) <= 4
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
