@@ -168,5 +168,78 @@ object CompositeExtQ {
            |WHERE value_cents * n_parts * 10 > total_cents * 15
            |ORDER BY value_cents DESC, l_partkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(xWaitingOrders, xCustOrdersHist, xMarketShare, xTopValueParts)
+  /** TPC-H Q19 shape — revenue from an OR of conjunctive predicate
+    * bundles spanning BOTH join sides. The interesting plan property:
+    * Catalyst keeps the equi-key (l_partkey = p_partkey) out of the
+    * disjunction, so the join stays a hash join, and pushes the
+    * single-side conjuncts of each branch down to the scans (p_size ≥ 1
+    * to part, quantity bounds to lineitem) — the disjunction is evaluated
+    * only on join survivors. A planner that treated the whole WHERE as
+    * one opaque predicate would nested-loop. */
+  val xPromoRevenue: Q = Q(
+    "x_promo_revenue",
+    (spark, dir) => {
+      import graft.ops.ColumnOps._
+      val li = Tables(spark, dir, "lineitem")
+      val p = Tables(spark, dir, "part")
+      val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(branch("Brand#1", 5, 1, 11) || branch("Brand#2", 10, 10, 20) ||
+          branch("Brand#3", 15, 20, 30))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+            .as("revenue_units"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units,
+           | COUNT(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  /** TPC-H Q22 shape — LAPSED customers: above the global average balance
+    * but with no order since 2000-07-01. A scalar-aggregate threshold
+    * (broadcast one row) + anti join against the date-filtered fact
+    * (the filter pushes to the orders scan BEFORE the anti join builds),
+    * grouped by segment. The average compare stays in exact integers
+    * (bal·n > total avoids the division): same cross-engine determinism
+    * discipline as x_top_value_parts. */
+  val xIdleCustomers: Q = Q(
+    "x_idle_customers",
+    (spark, dir) => {
+      import graft.ops.ColumnOps._
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("bal_cents"))
+      val pos = cust.filter(col("bal_cents") > 0)
+      val thr = pos.agg(sum(col("bal_cents")).as("total_cents"), count(lit(1)).as("n_pos"))
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      pos.crossJoin(broadcast(thr))
+        .filter(col("bal_cents") * col("n_pos") > col("total_cents"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("total_bal_cents"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_mktsegment,
+           |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+           |  FROM customer),
+           |p AS (SELECT * FROM c WHERE bal_cents > 0),
+           |t AS (SELECT SUM(bal_cents) AS total_cents, COUNT(*) AS n_pos FROM p)
+           |SELECT c_mktsegment, COUNT(*) AS n_cust,
+           | CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+           |FROM p, t
+           |WHERE bal_cents * n_pos > total_cents
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = p.c_custkey
+           |      AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(xWaitingOrders, xCustOrdersHist, xMarketShare, xTopValueParts,
+    xPromoRevenue, xIdleCustomers)
 }

@@ -308,8 +308,13 @@ object SimilarityQ {
         .withColumn("n2", dotL(col("q8"), col("q8")))
       val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("q8").as("q_q8"), col("n2").as("qn2"))
-      val pairs = q.join(b.select(col("vec_id"), col("q8"), col("n2").as("bn2")),
-        col("q_id") =!= col("vec_id"))
+      // The query cohort is the FIXED-size side — broadcast it explicitly.
+      // Without the hint the planner picks the BNLJ build side from size
+      // ESTIMATES, and the quantization expressions make the base side's
+      // estimate unreliable: at 64x the probe showed it broadcasting the
+      // 512k-vector BASE (77 s) instead of the 80 queries (6 s).
+      val pairs = b.select(col("vec_id"), col("q8"), col("n2").as("bn2"))
+        .join(broadcast(q), col("q_id") =!= col("vec_id"))
         .withColumn("dot", dotL(col("q_q8"), col("q8")))
         .withColumn("cos8_micro",
           round(col("dot").cast("double") /

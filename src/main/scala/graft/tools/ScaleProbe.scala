@@ -24,7 +24,11 @@ object ScaleProbe {
     // stages must scale linearly in base size
     "sim_topk_cosine",  // brute-force baseline: 80 queries × base
     "sim_lsh_bucket",   // bucket-join prune
-    "sim_ivf_topk")     // two-stage IVF
+    "sim_ivf_topk",     // two-stage IVF
+    // round 5 additions
+    "d_chunk_cdc",      // per-doc windows + one chunk-fingerprint hash agg
+    "t_repetition",     // array ops + per-(doc,bigram) agg
+    "sim_sq8_topk")     // int8-quantized pair stage (fixed query cohort)
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
