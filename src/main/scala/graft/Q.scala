@@ -50,7 +50,8 @@ object Registry {
       queries.CorpusQ.all ++
       queries.JoinExtQ.all ++
       queries.CompositeExtQ.all ++
-      queries.LayoutQ.all
+      queries.LayoutQ.all ++
+      queries.CompositeFullQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.functions._
+
+/** Composite analytics, third wave (round 5): the eight remaining TPC-H
+  * query shapes — with CompositeQ and CompositeExtQ this re-expresses all
+  * 22. Shapes needing partsupp/shipmode (absent from this data) are
+  * reformulated over the available columns with the SAME plan-relevant
+  * structure (the correlation/aggregation/predicate shape is what the
+  * engine is being exercised on, not the business constants).
+  *
+  * Parity + plan discipline unchanged: integer-exact measures, total
+  * ORDER BY, broadcast hints only on fixed-size sides.
+  */
+object CompositeFullQ {
+
+  /** TPC-H Q4 shape — order-priority check: orders in a quarter with at
+    * least one late item (EXISTS against the fact table). Decorrelates to
+    * a semi join on o_orderkey; the date window pushes to the orders
+    * scan, shrinking the semi join's left side before any shuffle. */
+  val xPriorityCheck: Q = Q(
+    "x_priority_check",
+    (spark, dir) => {
+      Seq("orders", "lineitem").foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+      spark.sql(
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey
+          |      AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           |  AND EXISTS (
+           |    SELECT 1 FROM lineitem
+           |    WHERE l_orderkey = o_orderkey
+           |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and year.
+    * partsupp is absent, so cost is proxied by qty × retail cents × 100
+    * (same units as the cent-percent revenue). The plan shape is Q9's:
+    * a name-substring filter reduces part FIRST, then a 5-way join where
+    * the two fixed-size dims broadcast and the facts shuffle once. */
+  val xProductProfit: Q = Q(
+    "x_product_profit",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val p = Tables(spark, dir, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_cents"))
+      val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(
+          cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))) -
+            round(col("l_quantity")).cast("long") * col("retail_cents") * 100L)
+          .as("profit_units"))
+        .orderBy("nation", "o_year")
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+           |   - CAST(round(l_quantity) AS BIGINT) * CAST(round(p_retailprice*100) AS BIGINT) * 100) AS BIGINT) AS profit_units
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** TPC-H Q12 shape — dual conditional counts after a fact-fact join
+    * (shipmode is absent; l_returnflag plays the category). The CASE
+    * aggregation folds both counts into ONE pass over the join output —
+    * the alternative (two filtered joins) would scan and shuffle twice. */
+  val xShipmodePriority: Q = Q(
+    "x_shipmode_priority",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("n_high"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("n_low"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q14 shape — promo revenue share by month, emitted as exact
+    * integer numerator/denominator (the ratio is the consumer's
+    * division). One join + one CASE agg; the month key never exceeds 12
+    * groups so the final shuffle is negligible. */
+  val xPromoShare: Q = Q(
+    "x_promo_share",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val p = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+      val vol = cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0L))).as("promo_units"),
+          sum(vol).as("total_units"))
+        .orderBy("ship_month")
+    },
+    Some("""SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           | CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |   THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+           |   ELSE 0 END) AS BIGINT) AS promo_units,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_units
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** TPC-H Q15 shape — top supplier(s): per-supplier quarterly revenue
+    * compared against the MAX of that same aggregate (the view-then-max
+    * pattern). The one-row max broadcasts; ties (if any) all surface,
+    * ordered by key. */
+  val xTopSupplier: Q = Q(
+    "x_top_supplier",
+    (spark, dir) => {
+      val rev = Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .as("total_rev_units"))
+      val mx = rev.agg(max(col("total_rev_units")).as("max_rev"))
+      val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_units") === col("max_rev"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_units"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH r AS (
+           |  SELECT l_suppkey,
+           |    SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_rev_units
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           |  GROUP BY 1),
+           |m AS (SELECT MAX(total_rev_units) AS max_rev FROM r)
+           |SELECT s_suppkey, s_name, CAST(total_rev_units AS BIGINT) AS total_rev_units
+           |FROM r, m
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_rev_units = max_rev
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q16 shape — supplier diversity per part bucket: COUNT DISTINCT
+    * suppliers per (brand, size), excluding a NOT-IN supplier set
+    * (negative balance). lineitem is the part↔supplier bridge (no
+    * partsupp). NOT IN over a nullable-free key compiles to an anti
+    * join; the distinct-count shuffles on the (brand,size) group key. */
+  val xPartsSupplierCount: Q = Q(
+    "x_parts_supplier_count",
+    (spark, dir) => {
+      Seq("lineitem", "part", "supplier").foreach(t =>
+        Tables(spark, dir, t).createOrReplaceTempView(t))
+      spark.sql(
+        """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+    },
+    Some("""SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+
+  /** TPC-H Q17 shape — small-quantity revenue: items below 20% of their
+    * part's average quantity. The correlated scalar avg decorrelates to
+    * one per-part aggregate joined back to the fact; the threshold
+    * compare stays integer-exact (qty·5·n < Σqty avoids the division). */
+  val xSmallQtyRevenue: Q = Q(
+    "x_small_qty_revenue",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sq"),
+          count(lit(1)).as("nq"))
+      val p = Tables(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("a_partkey"))
+        .filter(round(col("l_quantity")).cast("long") * 5L * col("nq") < col("sq"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""WITH a AS (
+           |  SELECT l_partkey AS a_partkey,
+           |    SUM(CAST(round(l_quantity) AS BIGINT)) AS sq, COUNT(*) AS nq
+           |  FROM lineitem GROUP BY 1)
+           |SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+           |JOIN a ON l_partkey = a_partkey
+           |WHERE CAST(round(l_quantity) AS BIGINT) * 5 * nq < sq""".stripMargin))
+
+  /** TPC-H Q20 shape — dominant suppliers: suppliers who shipped, for
+    * some 'red' part, more than 10% of that part's total volume (EXISTS
+    * over a doubly-aggregated subquery). Both aggregates shuffle on
+    * l_partkey and the EXISTS decorrelates to a semi join on s_suppkey —
+    * no per-supplier re-aggregation. */
+  val xDominantSuppliers: Q = Q(
+    "x_dominant_suppliers",
+    (spark, dir) => {
+      Seq("lineitem", "part", "supplier").foreach(t =>
+        Tables(spark, dir, t).createOrReplaceTempView(t))
+      spark.sql(
+        """WITH pv AS (
+          |  SELECT l_partkey, l_suppkey,
+          |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sv
+          |  FROM lineitem GROUP BY 1, 2),
+          |pt AS (SELECT l_partkey, SUM(sv) AS tv FROM pv GROUP BY 1)
+          |SELECT s_suppkey, s_name
+          |FROM supplier
+          |WHERE EXISTS (
+          |  SELECT 1 FROM pv
+          |  JOIN pt ON pv.l_partkey = pt.l_partkey
+          |  JOIN part ON p_partkey = pv.l_partkey
+          |  WHERE pv.l_suppkey = s_suppkey AND p_name LIKE '%red%' AND sv * 10 > tv)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+    Some("""WITH pv AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sv
+           |  FROM lineitem GROUP BY 1, 2),
+           |pt AS (SELECT l_partkey, SUM(sv) AS tv FROM pv GROUP BY 1)
+           |SELECT s_suppkey, s_name
+           |FROM supplier
+           |WHERE EXISTS (
+           |  SELECT 1 FROM pv
+           |  JOIN pt ON pv.l_partkey = pt.l_partkey
+           |  JOIN part ON p_partkey = pv.l_partkey
+           |  WHERE pv.l_suppkey = s_suppkey AND p_name LIKE '%red%' AND sv * 10 > tv)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(xPriorityCheck, xProductProfit, xShipmodePriority, xPromoShare,
+    xTopSupplier, xPartsSupplierCount, xSmallQtyRevenue, xDominantSuppliers)
+}

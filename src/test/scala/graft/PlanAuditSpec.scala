@@ -253,4 +253,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"scalar side not broadcast in: $p")
   }
+
+  test("Q4/Q20 EXISTS shapes decorrelate to semi joins (no per-row subquery)") {
+    assert(executedPlanString("x_priority_check").contains("LeftSemi"),
+      "Q4 EXISTS did not become a semi join")
+    assert(executedPlanString("x_dominant_suppliers").contains("LeftSemi"),
+      "Q20 EXISTS-over-aggregates did not become a semi join")
+  }
+
+  test("SQ8 pair stage broadcasts the fixed query cohort, not the base") {
+    val p = executedPlanString("sim_sq8_topk")
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"no broadcast in: $p")
+    // the query-cohort filter (vec_id % 25) must sit UNDER the broadcast,
+    // i.e. the broadcast side is the 80-query cohort — broadcasting the
+    // sf-growing base side is the 64x-probe regression this pins
+    assert(p.indexOf("% 25)", bx) >= 0,
+      s"broadcast side is not the query cohort in: $p")
+  }
 }
