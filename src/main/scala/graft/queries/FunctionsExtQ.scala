@@ -141,5 +141,40 @@ object FunctionsExtQ {
            |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
            |FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry, fMask)
+  /** Nested-struct surgery: build a struct column, evolve it with
+    * withField (add a derived field), prune with dropFields, then
+    * project dotted paths back out. This is the nested-data maintenance
+    * surface (append/drop a field inside a deep struct WITHOUT rewriting
+    * the siblings) — at 100 TB the win is that parquet stores struct
+    * fields as independent column chunks, so the untouched siblings are
+    * neither read nor rewritten. Output flattens to scalars (struct
+    * stringification differs across engines; the VALUES are the
+    * contract). */
+  val fStruct: Q = Q(
+    "f_struct",
+    (spark, dir) => {
+      import graft.ops.ColumnOps._
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o", struct(
+          col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st")))
+        .withColumn("o", col("o")
+          .withField("price_cents", cents(col("o.price")))
+          .withField("flag", upper(col("o.st")))
+          .dropFields("price", "st"))
+        .select(
+          col("o.k").as("k"),
+          col("o.price_cents").as("price_cents"),
+          col("o.flag").as("flag"))
+        .orderBy("k")
+    },
+    Some("""SELECT o_orderkey AS k,
+           | CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+           | upper(o_orderstatus) AS flag
+           |FROM orders WHERE o_orderkey % 100 = 0
+           |ORDER BY k""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry, fMask, fStruct)
 }

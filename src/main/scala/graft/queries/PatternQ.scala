@@ -66,5 +66,51 @@ object PatternQ {
            |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
            |ORDER BY n_nationkey, r_regionkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(gFunnel, jNullSafe)
+  /** Gaps-and-islands: per-user activity STREAKS (runs of consecutive
+    * active days). The classic two-window trick: island_id = day −
+    * dense-rank-of-day (constant within a consecutive run), then one agg
+    * per (user, island). Both windows partition by user_id — a single
+    * user_id shuffle, then narrow; island count ≤ active days, so output
+    * is linear. Surfaces each user's LONGEST streak. */
+  val wIslands: Q = Q(
+    "w_islands",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val days = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val islands = days
+        .withColumn("island", datediff(col("day"), lit("1995-01-01")) - dense_rank().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_days"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("streak_start"))
+      val best = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("streak_days").desc, col("streak_start"))
+      islands.withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_days"), col("streak_start"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           |i AS (
+           |  SELECT user_id, day,
+           |    datediff('day', DATE '1995-01-01', day)
+           |      - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+           |  FROM days),
+           |s AS (
+           |  SELECT user_id, island, COUNT(*) AS streak_days,
+           |    strftime(MIN(day), '%Y-%m-%d') AS streak_start
+           |  FROM i GROUP BY 1, 2),
+           |r AS (
+           |  SELECT user_id, streak_days, streak_start,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY streak_days DESC, streak_start) AS rn
+           |  FROM s)
+           |SELECT user_id, streak_days, streak_start
+           |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(gFunnel, jNullSafe, wIslands)
 }
