@@ -164,7 +164,7 @@ object CompositeExtQ {
            |  SELECT l_partkey, SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS value_cents
            |  FROM lineitem GROUP BY 1),
            |t AS (SELECT SUM(value_cents) AS total_cents, COUNT(*) AS n_parts FROM pv)
-           |SELECT l_partkey, value_cents FROM pv, t
+           |SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM pv, t
            |WHERE value_cents * n_parts * 10 > total_cents * 15
            |ORDER BY value_cents DESC, l_partkey""".stripMargin))
 

@@ -23,13 +23,8 @@ object GraphQ {
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       graft.ops.ConnectedComponents.run(pairs).orderBy("id")
     },
-    Some("""WITH RECURSIVE
-           |v AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
-           |      FROM embeddings WHERE vec_id < 200),
-           |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
-           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-           |      WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
+    Some(s"""WITH RECURSIVE
+           |${SimilarityQ.nearDupEdgeCte},
            |e AS (SELECT vec_a, vec_b FROM p UNION ALL SELECT vec_b, vec_a FROM p),
            |reach(id, r) AS (
            |  SELECT DISTINCT vec_a, vec_a FROM e
@@ -123,12 +118,7 @@ object GraphQ {
         .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
       tri.crossJoin(wedges)
     },
-    Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
-           |      FROM embeddings WHERE vec_id < 200),
-           |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
-           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-           |      WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
+    Some(s"""WITH ${SimilarityQ.nearDupEdgeCte},
            |t AS (SELECT COUNT(*) AS n_triangles
            |      FROM p e1 JOIN p e2 ON e1.vec_b = e2.vec_a
            |      JOIN p e3 ON e1.vec_a = e3.vec_a AND e2.vec_b = e3.vec_b),

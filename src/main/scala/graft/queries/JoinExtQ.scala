@@ -26,7 +26,11 @@ object JoinExtQ {
     * contains no BroadcastNestedLoopJoin/CartesianProduct.
     *
     * Oracle: DuckDB runs the NAIVE overlap join against a distinct-month
-    * calendar — same semantics, independent formulation.
+    * calendar — same semantics, independent formulation. The calendar is
+    * built from BOTH interval endpoints (start and end months): a month
+    * reached only by an interval's tail (no shipdate falls inside it)
+    * is a real bin on the Spark side, so a shipdate-only calendar would
+    * undercount whenever the data's date range ends mid-interval.
     */
   val jIntervalOverlap: Q = Q(
     "j_interval_overlap",
@@ -44,7 +48,10 @@ object JoinExtQ {
            |  SELECT l_shipdate AS s,
            |         l_shipdate + to_days(CAST(l_quantity AS INT) % 14 + 1) AS e
            |  FROM lineitem),
-           |m AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m0 FROM lineitem)
+           |m AS (SELECT DISTINCT date_trunc('month', d) AS m0 FROM (
+           |  SELECT l_shipdate AS d FROM lineitem
+           |  UNION ALL
+           |  SELECT l_shipdate + to_days(CAST(l_quantity AS INT) % 14 + 1) FROM lineitem))
            |SELECT strftime(m.m0, '%Y-%m') AS ship_month, COUNT(*) AS n_items
            |FROM m JOIN i ON i.s < m.m0 + INTERVAL 1 MONTH AND i.e >= m.m0
            |GROUP BY 1 ORDER BY 1""".stripMargin))

@@ -11,8 +11,12 @@ import org.apache.spark.sql.types._
   */
 object LayoutQ {
 
-  private def tmp(name: String, dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Scratch path keyed by (query, data dir, SparkSession): the
+    * applicationId suffix keeps concurrent runs over the same dataset
+    * (bench alongside verify, parallel test forks) from racing on the
+    * overwrite writes. LayoutSpec locates the path via this same helper. */
+  def tmp(spark: org.apache.spark.sql.SparkSession, name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_${spark.sparkContext.applicationId}"
 
   /** Small-file compaction. Streaming ingestion leaves thousands of tiny
     * files per partition; each costs a NameNode/listing round-trip, a
@@ -27,12 +31,16 @@ object LayoutQ {
   val sinkCompact: Q = Q(
     "sink_compact",
     (spark, dir) => {
-      val small = tmp("sink_compact_small", dir)
-      val big = tmp("sink_compact_big", dir)
+      val small = tmp(spark, "sink_compact_small", dir)
+      val big = tmp(spark, "sink_compact_big", dir)
       val src = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
       src.repartition(64).write.mode("overwrite").parquet(small)
       spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
+      // The 64-file intermediate served its purpose the moment the
+      // compacted copy landed; drop it so repeated runs don't accrete.
+      val p = new org.apache.hadoop.fs.Path(small)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       spark.read.parquet(big)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
@@ -53,7 +61,7 @@ object LayoutQ {
   val scanEvolve: Q = Q(
     "scan_evolve",
     (spark, dir) => {
-      val path = tmp("scan_evolve", dir)
+      val path = tmp(spark, "scan_evolve", dir)
       val ord = Tables(spark, dir, "orders")
       ord.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))

@@ -29,7 +29,26 @@ object SimilarityQ {
     * per candidate pair — millions of allocations in the pair stages. */
   private def dotL(a: Column, b: Column): Column =
     graft.functions.vec_dot_long(a, b)
-  private val qvecSql = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+  private[queries] val qvecSql = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+
+  /** d_embed_neardup's cohort bound and cosine threshold (micro-units) —
+    * single source of truth shared with the graph oracles (d_cluster_cc,
+    * g_triangles) that re-run its edge list; changing either value here
+    * updates the Spark side AND every dependent DuckDB oracle together. */
+  private[queries] val NearDupCohort = 200
+  private[queries] val NearDupMicro = 350000L
+
+  /** DuckDB CTE chain ending in `p(vec_a, vec_b, cos_micro)` =
+    * d_embed_neardup's thresholded edge list; interpolated into its own
+    * oracle and both graph oracles. */
+  private[queries] val nearDupEdgeCte: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS qv
+       |      FROM embeddings WHERE vec_id < $NearDupCohort),
+       |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |      WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= $NearDupMicro)""".stripMargin
 
   private def base(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -77,23 +96,19 @@ object SimilarityQ {
     (spark, dir) => {
       val b = base(spark, dir)
       // bound the pair explosion the same way the dedup family does
-      val s = b.filter(col("vec_id") < 200)
+      val s = b.filter(col("vec_id") < NearDupCohort)
       s.as("a").join(s.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           dotL(col("a.qv"), col("b.qv")).as("dot"),
           col("a.n2").as("qn2"), col("b.n2").as("bn2"))
         .withColumn("cos_micro", cosMicro)
-        .filter(col("cos_micro") >= 350000)
+        .filter(col("cos_micro") >= NearDupMicro)
         .select(col("vec_a"), col("vec_b"), col("cos_micro"))
         .orderBy("vec_a", "vec_b")
     },
-    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings WHERE vec_id < 200),
-            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v)
-            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-            | CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
-            |FROM n a JOIN n b ON a.vec_id < b.vec_id
-            |WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000
+    Some(s"""WITH $nearDupEdgeCte
+            |SELECT vec_a, vec_b, cos_micro FROM p
             |ORDER BY vec_a, vec_b""".stripMargin))
 
   /** LSH-bucketed ANN: bucket = sign bits of the first 6 dims (an

@@ -16,11 +16,9 @@ class LayoutSpec extends SparkSpec {
     val out = SparkEntry.queries("sink_compact")(spark, dir)
     val n = out.collect().map(_.getLong(1)).sum
     assert(n > 0, "compacted table read back empty")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_"
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val small = parquetFiles(s"${base}sink_compact_small_$suffix")
-    val big = parquetFiles(s"${base}sink_compact_big_$suffix")
-    assert(small == 64, s"expected 64 small files, found $small")
+    val small = parquetFiles(queries.LayoutQ.tmp(spark, "sink_compact_small", dir))
+    val big = parquetFiles(queries.LayoutQ.tmp(spark, "sink_compact_big", dir))
+    assert(small == 0, s"64-file intermediate should be cleaned up, found $small files")
     assert(big == 4, s"expected 4 compacted files, found $big")
   }
 
