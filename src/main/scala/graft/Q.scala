@@ -51,7 +51,8 @@ object Registry {
       queries.JoinExtQ.all ++
       queries.CompositeExtQ.all ++
       queries.LayoutQ.all ++
-      queries.CompositeFullQ.all
+      queries.CompositeFullQ.all ++
+      queries.Spark4Q.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
