@@ -52,7 +52,10 @@ object Registry {
       queries.CompositeExtQ.all ++
       queries.LayoutQ.all ++
       queries.CompositeFullQ.all ++
-      queries.Spark4Q.all
+      queries.Spark4Q.all ++
+      queries.SqlSurfaceQ.all ++
+      queries.AnalyticsExtQ.all ++
+      queries.GeoQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

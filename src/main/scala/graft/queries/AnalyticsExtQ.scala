@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions (round 6): skyline/Pareto frontier, cumulative-
+  * share ABC classification, Markov transition mining over event
+  * sequences, a running-distinct window, and an exact Gini concentration
+  * index. Each is a shape users of an analytics engine reach for that no
+  * earlier query key covers, and each is formulated so the distributed
+  * plan is the one you'd run at 100 TB (noted per query).
+  */
+object AnalyticsExtQ {
+
+  /** 2-D skyline (Pareto frontier): parts where no other part is both
+    * cheaper and larger — the classic dominance query. Naive form is an
+    * all-pairs anti join (quadratic); the sort-based form used here is
+    * linear after sorting: collapse to one max-size per price point, then
+    * a running max over price order keeps exactly the frontier. The
+    * single-partition window is bounded by DISTINCT price count, not row
+    * count; at 100 TB the standard refinement (local per-partition
+    * skyline first, then the global pass over surviving points — a
+    * strictly smaller set) drops in front of this same final pass. */
+  val xSkyline: Q = Q(
+    "x_skyline",
+    (spark, dir) => {
+      val perPrice = Tables(spark, dir, "part")
+        .groupBy(cents(col("p_retailprice")).as("price_cents"))
+        .agg(max(col("p_size")).cast("long").as("best_size"))
+      val w = Window.orderBy(col("price_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perPrice
+        .withColumn("prev_best", max(col("best_size")).over(w))
+        .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+        .select(col("price_cents"), col("best_size"))
+        .orderBy(col("price_cents"))
+    },
+    Some("""WITH pp AS (
+           |  SELECT CAST(round(p_retailprice*100) AS BIGINT) AS price_cents,
+           |         CAST(MAX(p_size) AS BIGINT) AS best_size
+           |  FROM part GROUP BY 1),
+           |r AS (
+           |  SELECT price_cents, best_size,
+           |         MAX(best_size) OVER (ORDER BY price_cents
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+           |  FROM pp)
+           |SELECT price_cents, best_size FROM r
+           |WHERE prev_best IS NULL OR best_size > prev_best
+           |ORDER BY price_cents""".stripMargin))
+
+  /** ABC (Pareto) classification: rank parts by revenue, classify by
+    * cumulative share — A = first 80% of revenue, B = next 15%, C = tail.
+    * The compare is cross-multiplied exact integers (cum*100 vs total*80)
+    * so no float share is ever materialized. One hash agg + one global
+    * window over the AGGREGATED rows (bounded by distinct part count,
+    * not fact rows) + a broadcast one-row total: the 100 TB plan. */
+  val xAbcClass: Q = Q(
+    "x_abc_class",
+    (spark, dir) => {
+      val rev = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+      val cum = rev.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      val tot = rev.agg(sum(col("rev_cents")).as("total_cents"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
+            .when(col("cum_cents") * 100 <= col("total_cents") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("class_rev_cents"))
+        .orderBy(col("abc_class"))
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_partkey, SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev_cents
+           |  FROM lineitem GROUP BY 1),
+           |cum AS (
+           |  SELECT l_partkey, rev_cents,
+           |         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey) AS cum_cents,
+           |         (SELECT SUM(rev_cents) FROM rev) AS total_cents
+           |  FROM rev)
+           |SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+           |            WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+           |            ELSE 'C' END AS abc_class,
+           | COUNT(*) AS n_parts,
+           | CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents
+           |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Markov transition mining: per-user event sequences → (prev, next)
+    * transition counts — the first-order behavioral model behind session
+    * analysis and next-action prediction. One window (partitioned by
+    * user, so it scales horizontally — no global sort) + one hash agg.
+    * Sequence order is (ts, event_id) — event_id breaks timestamp ties
+    * deterministically. */
+  val gTransitions: Q = Q(
+    "g_transitions",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""WITH seq AS (
+           |  SELECT event_type,
+           |         LAG(event_type) OVER (PARTITION BY user_id
+           |           ORDER BY ts, event_id) AS prev_type
+           |  FROM events)
+           |SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+           |FROM seq WHERE prev_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** Running distinct-user count per event type by day — "cumulative
+    * unique actors to date", the growth-curve query. COUNT(DISTINCT) is
+    * not directly window-able; the standard rewrite marks each user's
+    * FIRST day per type (one partitioned window) and cumulative-sums the
+    * first-seen flags over the per-(type, day) aggregate — so the outer
+    * window runs over days (tiny), never raw events. */
+  val wRunningDistinct: Q = Q(
+    "w_running_distinct",
+    (spark, dir) => {
+      val firstSeen = Tables(spark, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+        .groupBy(col("event_type"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      firstSeen
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH fs AS (
+           |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+           |  FROM events GROUP BY 1, 2),
+           |pd AS (
+           |  SELECT event_type, first_day AS day, COUNT(*) AS new_users
+           |  FROM fs GROUP BY 1, 2)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+           |       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum_users
+           |FROM pd ORDER BY event_type, day""".stripMargin))
+
+  /** Exact Gini-style concentration index of token mass per source:
+    * 1 - Σ(nᵢ/N)² reported as an exact rational (num, den) — integer
+    * cross-multiplication instead of a float index, so the oracle hash
+    * is stable and the measure is mergeable (Σnᵢ² and N are both plain
+    * sums). High concentration = a few token types dominate the source —
+    * the corpus-quality signal behind repetition filtering. Token grain
+    * is capped to the first 30 tokens per doc to bound the explode. */
+  val tGini: Q = Q(
+    "t_gini",
+    (spark, dir) => {
+      val tok = Tables(spark, dir, "documents")
+        .select(col("source"),
+          explode(slice(split(col("text"), " "), 1, 30)).as("token"))
+        .filter(length(col("token")) > 0)
+      val perType = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      perType.groupBy(col("source"))
+        .agg(sum(col("n")).as("total"), sum(col("n") * col("n")).as("sum_sq"),
+          count(lit(1)).as("n_types"))
+        .select(col("source"),
+          (col("total") * col("total") - col("sum_sq")).as("gini_num"),
+          (col("total") * col("total")).as("gini_den"),
+          col("n_types"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+           |  SELECT source, t.token FROM documents,
+           |    LATERAL UNNEST(list_slice(string_split(text, ' '), 1, 30)) AS t(token)
+           |  WHERE length(t.token) > 0),
+           |pt AS (
+           |  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+           |SELECT source,
+           |  CAST(SUM(n)*SUM(n) - SUM(n*n) AS BIGINT) AS gini_num,
+           |  CAST(SUM(n)*SUM(n) AS BIGINT) AS gini_den,
+           |  COUNT(*) AS n_types
+           |FROM pt GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini)
+}

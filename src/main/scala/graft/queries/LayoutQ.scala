@@ -86,5 +86,41 @@ object LayoutQ {
            | CAST(SUM(price_cents) AS BIGINT) AS sum_cents
            |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(sinkCompact, scanEvolve)
+  /** Hidden file-metadata columns: every file-based scan exposes
+    * `_metadata` (file_path, file_name, file_size, row_index, ...) — the
+    * lineage surface for audits ("which file did this row come from")
+    * and incremental pipelines (process files newer than a cursor)
+    * without a separate manifest table. Here the partition value is
+    * re-derived FROM the file path and grouped on, proving the metadata
+    * column carries real per-file provenance: rows land in
+    * `flag=X/part-*.parquet` dirs and the regexp over `_metadata
+    * .file_path` recovers X. Metadata columns are populated by the scan
+    * itself (no extra I/O), so the audit costs nothing at 100 TB. */
+  val scanMetadata: Q = Q(
+    "scan_metadata",
+    (spark, dir) => {
+      val path = tmp(spark, "scan_metadata", dir)
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("flag").parquet(path)
+      spark.read.parquet(path)
+        .select(col("price_cents"),
+          regexp_extract(col("_metadata.file_path"), "flag=([^/]+)/", 1).as("path_flag"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("path_flag"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+          // row_index is 0..n-1 within each file; with one file per
+          // partition dir its sum is n(n-1)/2 — asserting the closed
+          // form pins the per-file row numbering, not just row counts
+          sum(col("ri")).as("row_index_sum"))
+        .orderBy("path_flag")
+    },
+    Some("""SELECT l_returnflag AS path_flag, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           | CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS row_index_sum
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(sinkCompact, scanEvolve, scanMetadata)
 }
