@@ -271,4 +271,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.indexOf("% 25)", bx) >= 0,
       s"broadcast side is not the query cohort in: $p")
   }
+
+  test("grid-blocked geo joins stay equi-joins on cell id, never nested-loop") {
+    for (q <- Seq("j_geo_grid", "j_geo_radius")) {
+      val p = executedPlanString(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+        s"$q fell back to an unblocked join:\n$p")
+    }
+  }
+
+  test("geo nearest uses a partial-aggregatable argmin, not a window over pairs") {
+    val p = executedPlanString("j_geo_grid")
+    assert(p.contains("partial_max"), s"argmin agg has no map-side partial:\n$p")
+  }
+
+  test("SQL pipe syntax plans exactly like the classic form") {
+    // parse-time sugar: WHERE still reaches PushedFilters, AGGREGATE is
+    // still partial+final — pipe stages must add zero physical overhead
+    val p = formattedPlanString("sql_pipe")
+    assert("GreaterThanOrEqual\\(l_quantity".r.findFirstIn(p).isDefined,
+      s"piped WHERE not pushed to the lineitem scan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"piped AGGREGATE lost the map-side partial:\n$p")
+  }
+
+  /** The window operator's CHILD subtree must contain the aggregate —
+    * i.e. the window consumes aggregated grain (parts/days), never raw
+    * fact rows. A window directly over the fact table would shuffle
+    * every fact row into the sort, which is the scale-killer this pins. */
+  private def windowOverAggregatedGrain(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"$name: no Window in optimized plan:\n$plan")
+    assert(windows.forall(w =>
+      w.child.collectFirst { case a: Aggregate => a }.isDefined),
+      s"$name: a window consumes raw rows instead of aggregated grain:\n$plan")
+  }
+
+  test("ABC classification windows over the aggregated part grain, total broadcast") {
+    val p = executedPlanString("x_abc_class")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"one-row total not broadcast in:\n$p")
+    windowOverAggregatedGrain("x_abc_class")
+  }
+
+  test("running-distinct outer window runs over the day grain, not raw events") {
+    windowOverAggregatedGrain("w_running_distinct")
+  }
+
+  test("skyline window runs over the per-price grain, not raw parts") {
+    windowOverAggregatedGrain("x_skyline")
+  }
 }
