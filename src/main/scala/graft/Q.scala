@@ -55,7 +55,9 @@ object Registry {
       queries.Spark4Q.all ++
       queries.SqlSurfaceQ.all ++
       queries.AnalyticsExtQ.all ++
-      queries.GeoQ.all
+      queries.GeoQ.all ++
+      queries.MlPrepQ.all ++
+      queries.TemporalQ.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

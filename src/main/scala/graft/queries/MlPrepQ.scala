@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft._
+import graft.ops.ColumnOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature-prep operators (round 6): equal-frequency discretization,
+  * fixed-point min-max scaling, and dedup survivorship — the last-mile
+  * transforms between a cleaned corpus/fact table and a training matrix.
+  * All exact-integer formulations (scaling emits parts-per-million ints,
+  * not floats) so the oracle hash is stable and partials merge.
+  */
+object MlPrepQ {
+
+  /** Equal-frequency (quantile) binning: ntile(10) over account balance
+    * → per-bin population and bounds. The ntile order includes the key
+    * as tiebreak so bin assignment is total and deterministic. The
+    * window is a single global sort at this cohort size; at 100 TB the
+    * same result comes from approx_percentile cut points + a broadcast
+    * bin lookup — noted here because equal-frequency bins are defined
+    * by a total order, and the exact form IS the correctness oracle the
+    * approximate form would be validated against. */
+  val eQuantizeBins: Q = Q(
+    "e_quantize_bins",
+    (spark, dir) => {
+      val w = Window.orderBy(col("bal_cents"), col("c_custkey"))
+      Tables(spark, dir, "customer")
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("bal_cents")).as("lo_cents"),
+          max(col("bal_cents")).as("hi_cents"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+           |         CAST(ntile(10) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT), c_custkey) AS BIGINT) AS bin
+           |  FROM customer)
+           |SELECT bin, COUNT(*) AS n, MIN(bal_cents) AS lo_cents, MAX(bal_cents) AS hi_cents
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Min-max scaling to fixed-point parts-per-million: one global
+    * (min, max) aggregate broadcast as a single row, then a map-only
+    * projection computes (x - min) * 1e6 DIV (max - min). Integer
+    * division keeps both engines bit-identical — float scaling would
+    * hash-diverge on rounding. Plan shape: agg (tiny) + broadcast +
+    * narrow projection — the normalization pass that costs one scan at
+    * any scale. */
+  val eFeatureScale: Q = Q(
+    "e_feature_scale",
+    (spark, dir) => {
+      val s = Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), cents(col("s_acctbal")).as("bal_cents"))
+      val mm = s.agg(min(col("bal_cents")).as("lo"), max(col("bal_cents")).as("hi"))
+      s.filter(col("s_suppkey") <= 100)
+        .crossJoin(broadcast(mm))
+        .select(col("s_suppkey"), col("bal_cents"),
+          expr("(bal_cents - lo) * 1000000 DIV (hi - lo)").as("scaled_ppm"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH mm AS (
+           |  SELECT MIN(CAST(round(s_acctbal*100) AS BIGINT)) AS lo,
+           |         MAX(CAST(round(s_acctbal*100) AS BIGINT)) AS hi
+           |  FROM supplier)
+           |SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents,
+           |       ((CAST(round(s_acctbal*100) AS BIGINT) - lo) * 1000000) // (hi - lo) AS scaled_ppm
+           |FROM supplier, mm WHERE s_suppkey <= 100
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Dedup survivorship (canonical record selection): after exact-dup
+    * grouping on the content fingerprint, each group elects ONE
+    * canonical row by an explicit precedence (longest text, then lowest
+    * doc_id) — the "keep best, not keep first" contract record-linkage
+    * pipelines need. One hash agg with an argmax-struct (partial-
+    * aggregatable; no window, no shuffle of full texts — only the
+    * 16-byte fingerprint and the 2-field precedence tuple move). */
+  val dSurvivor: Q = Q(
+    "d_survivor",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(md5(col("text")).as("fp"), col("doc_id"), col("n_chars"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("neg_id")))
+            .as("best"))
+        .select(col("fp"), col("n_dups"),
+          (-col("best.neg_id")).as("canonical_doc_id"),
+          col("best.nc").as("canonical_chars"))
+        .orderBy(col("fp"))
+    },
+    Some("""WITH g AS (
+           |  SELECT md5(text) AS fp, doc_id, n_chars,
+           |         row_number() OVER (PARTITION BY md5(text)
+           |           ORDER BY n_chars DESC, doc_id) AS rn,
+           |         COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+           |  FROM documents)
+           |SELECT fp, CAST(n_dups AS BIGINT) AS n_dups,
+           |       doc_id AS canonical_doc_id, n_chars AS canonical_chars
+           |FROM g WHERE rn = 1 ORDER BY fp""".stripMargin))
+
+  val all: Seq[Q] = Seq(eQuantizeBins, eFeatureScale, dSurvivor)
+}
