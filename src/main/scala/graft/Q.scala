@@ -59,5 +59,11 @@ object Registry {
       queries.MlPrepQ.all ++
       queries.TemporalQ.all
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] = {
+    // A duplicate key would silently shadow the earlier query in the Map
+    // (exactly the round-6 f_variant bug) — fail fast instead.
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query keys in Registry: ${dups.mkString(", ")}")
+    all.map(q => q.name -> q).toMap
+  }
 }

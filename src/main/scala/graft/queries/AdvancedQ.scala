@@ -196,24 +196,39 @@ object AdvancedQ {
     "j_bucketed",
     (spark, dir) => {
       // Bucket layouts are written ONCE per source dir and reused across
-      // runs in the same session — the whole point of bucketing is paying
-      // the layout shuffle once and joining exchange-free forever after.
+      // SESSIONS — the whole point of bucketing is paying the layout
+      // shuffle once per dataset and joining exchange-free forever after.
+      // A fresh session finds the files already on disk (bucket ids ride
+      // in the file names) and just registers an external table over them;
+      // the in-memory catalog alone can't carry the layout across JVMs.
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
-      def bucketize(name: String, df: => org.apache.spark.sql.DataFrame, key: String): String = {
+      def bucketize(name: String, df: => org.apache.spark.sql.DataFrame,
+          key: String, ddl: String): String = {
         val table = s"graft_b_${name}$dirTag"
         if (!spark.catalog.tableExists(table)) {
-          df.write.mode("overwrite")
-            .bucketBy(8, key).sortBy(key)
-            .option("path", s"$base/$name")
-            .saveAsTable(table)
+          val path = new org.apache.hadoop.fs.Path(s"$base/$name")
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+            spark.sql(
+              s"""CREATE TABLE $table ($ddl) USING parquet
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                 |LOCATION '${fs.makeQualified(path)}'""".stripMargin)
+          } else {
+            df.write.mode("overwrite")
+              .bucketBy(8, key).sortBy(key)
+              .option("path", s"$base/$name")
+              .saveAsTable(table)
+          }
         }
         table
       }
       val li = bucketize("lineitem", Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents")), "l_orderkey")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents")),
+        "l_orderkey", "l_orderkey BIGINT, price_cents BIGINT")
       val o = bucketize("orders", Tables(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", "o_orderkey BIGINT, o_orderpriority STRING")
       spark.table(li)
         .join(spark.table(o).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsExtQ {
 
-  /** 2-D skyline (Pareto frontier): parts where no other part is both
-    * cheaper and larger — the classic dominance query. Naive form is an
+  /** 2-D skyline, strict-improvement variant: keep a price point only if
+    * its best size strictly exceeds every cheaper point's best size (a
+    * point whose size merely TIES a cheaper one is dropped — the frontier
+    * of strict improvements, not the weak-dominance skyline). Naive form is an
     * all-pairs anti join (quadratic); the sort-based form used here is
     * linear after sorting: collapse to one max-size per price point, then
     * a running max over price order keeps exactly the frontier. The
@@ -53,19 +55,29 @@ object AnalyticsExtQ {
   /** ABC (Pareto) classification: rank parts by revenue, classify by
     * cumulative share — A = first 80% of revenue, B = next 15%, C = tail.
     * The compare is cross-multiplied exact integers (cum*100 vs total*80)
-    * so no float share is ever materialized. One hash agg + one global
-    * window over the AGGREGATED rows (bounded by distinct part count,
-    * not fact rows) + a broadcast one-row total: the 100 TB plan. */
+    * so no float share is ever materialized. The cumulative sum uses the
+    * two-pass distributed prefix sum ([[graft.ops.DistributedPrefix]]):
+    * revenue-range blocks + per-block offsets, so NO single-partition
+    * window sits on the part grain (which grows with the data — the
+    * round-6 scale flag). One hash agg + a bounded offsets window + a
+    * block-partitioned window + a broadcast one-row total: the 100 TB plan. */
   val xAbcClass: Q = Q(
     "x_abc_class",
     (spark, dir) => {
       val rev = Tables(spark, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
-      val w = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-      val cum = rev.withColumn("cum_cents", sum(col("rev_cents")).over(w))
-      val tot = rev.agg(sum(col("rev_cents")).as("total_cents"))
-      cum.crossJoin(broadcast(tot))
+      val tot = rev.agg(sum(col("rev_cents")).as("total_cents"),
+        min(col("rev_cents")).as("blo"), max(col("rev_cents")).as("bhi"))
+      val cum = graft.ops.DistributedPrefix.runningSum(
+        rev.crossJoin(broadcast(tot)),
+        block = graft.ops.DistributedPrefix.rangeBucket(
+          col("rev_cents"), col("blo"), col("bhi"), 64),
+        blockAsc = false, // global order is rev DESC: high-revenue blocks first
+        localOrder = Seq(col("rev_cents").desc, col("l_partkey")),
+        value = col("rev_cents"),
+        out = "cum_cents")
+      cum
         .withColumn("abc_class",
           when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
             .when(col("cum_cents") * 100 <= col("total_cents") * 95, "B")

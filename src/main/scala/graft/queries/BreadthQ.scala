@@ -13,24 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object BreadthQ {
 
-  /** VARIANT ingestion (Spark 4 semi-structured path): parse_json into a
-    * VariantType value once, then typed variant_get extraction — the
-    * shred-on-read pattern for heterogeneous JSON at scale (no schema
-    * inference pass over 100 TB, late projection of just the paths a
-    * query needs). try_variant_get covers the absent-path case. */
-  val fVariant: Q = Q(
-    "f_variant",
-    (spark, dir) =>
-      Tables(spark, dir, "events")
-        .select(
-          col("event_id"),
-          variant_get(parse_json(col("props")), "$.k", "long").as("k_long"),
-          try_variant_get(parse_json(col("props")), "$.missing", "string").as("k_missing"))
-        .orderBy("event_id"),
-    Some("""SELECT event_id,
-           | CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
-           | json_extract_string(props, '$.missing') AS k_missing
-           |FROM events ORDER BY event_id""".stripMargin))
+  // f_variant lives in Spark4Q (this file's earlier copy was shadowed by
+  // the later Map entry and has been removed — Registry.all now rejects
+  // duplicate keys outright).
 
   /** Ordered string aggregation: listagg ... WITHIN GROUP (Spark 4.0+),
     * the SQL-standard form of "concatenate group members in a defined
@@ -218,6 +203,6 @@ object BreadthQ {
     Some("""SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
            |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40""".stripMargin))
 
-  val all: Seq[Q] = Seq(fVariant, aStringAgg, fLambda, qNaFill, tBigrams,
+  val all: Seq[Q] = Seq(aStringAgg, fLambda, qNaFill, tBigrams,
     eKmeansStep, xOutliers, sOffset)
 }

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft._
 import graft.ops.ColumnOps._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML feature-prep operators (round 6): equal-frequency discretization,
@@ -13,21 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object MlPrepQ {
 
-  /** Equal-frequency (quantile) binning: ntile(10) over account balance
-    * → per-bin population and bounds. The ntile order includes the key
-    * as tiebreak so bin assignment is total and deterministic. The
-    * window is a single global sort at this cohort size; at 100 TB the
-    * same result comes from approx_percentile cut points + a broadcast
-    * bin lookup — noted here because equal-frequency bins are defined
-    * by a total order, and the exact form IS the correctness oracle the
-    * approximate form would be validated against. */
+  /** Equal-frequency (quantile) binning: exact ntile(10) over account
+    * balance → per-bin population and bounds, WITHOUT a single global
+    * sort. ntile(k) is a closed form of the global row number rn and the
+    * total N (the first N%k bins get one extra row), so the query
+    * computes rn with the two-pass distributed prefix sum
+    * ([[graft.ops.DistributedPrefix]]: balance-range blocks, per-block
+    * row counts, broadcast offsets + block-local row_number) and derives
+    * the bin with exact integer arithmetic — no partition-less window
+    * ever touches the customer grain, which grows with the data (the
+    * round-6 scale flag). The tiebreak key keeps the underlying order
+    * total and deterministic. */
   val eQuantizeBins: Q = Q(
     "e_quantize_bins",
     (spark, dir) => {
-      val w = Window.orderBy(col("bal_cents"), col("c_custkey"))
-      Tables(spark, dir, "customer")
+      val base = Tables(spark, dir, "customer")
         .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
-        .withColumn("bin", ntile(10).over(w).cast("long"))
+      val bounds = base.agg(count(lit(1)).as("n_total"),
+        min(col("bal_cents")).as("blo"), max(col("bal_cents")).as("bhi"))
+      val rn = graft.ops.DistributedPrefix.runningSum(
+        base.crossJoin(broadcast(bounds)),
+        block = graft.ops.DistributedPrefix.rangeBucket(
+          col("bal_cents"), col("blo"), col("bhi"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("bal_cents"), col("c_custkey")),
+        value = lit(1L),
+        out = "rn")
+      // ntile(k) closed form: q = N DIV k rows per bin, the first N % k
+      // bins carry one extra. Integer DIV keeps it exact; the q = 0
+      // corner (N < k) resolves entirely in the first branch (bin = rn).
+      rn.withColumn("bin", expr(
+          """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
+            |     THEN (rn + n_total DIV 10) DIV (n_total DIV 10 + 1)
+            |     ELSE n_total % 10
+            |          + (rn - (n_total % 10) * (n_total DIV 10 + 1)
+            |             + n_total DIV 10 - 1) DIV (n_total DIV 10)
+            |END""".stripMargin).cast("long"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"),
           min(col("bal_cents")).as("lo_cents"),
@@ -57,7 +77,10 @@ object MlPrepQ {
       s.filter(col("s_suppkey") <= 100)
         .crossJoin(broadcast(mm))
         .select(col("s_suppkey"), col("bal_cents"),
-          expr("(bal_cents - lo) * 1000000 DIV (hi - lo)").as("scaled_ppm"))
+          // greatest(hi - lo, 1) guards the all-equal-balance corner: Spark
+          // DIV 0 yields NULL while DuckDB // 0 raises, so the engines would
+          // diverge instead of both emitting 0.
+          expr("(bal_cents - lo) * 1000000 DIV greatest(hi - lo, 1)").as("scaled_ppm"))
         .orderBy(col("s_suppkey"))
     },
     Some("""WITH mm AS (
@@ -65,7 +88,7 @@ object MlPrepQ {
            |         MAX(CAST(round(s_acctbal*100) AS BIGINT)) AS hi
            |  FROM supplier)
            |SELECT s_suppkey, CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents,
-           |       ((CAST(round(s_acctbal*100) AS BIGINT) - lo) * 1000000) // (hi - lo) AS scaled_ppm
+           |       ((CAST(round(s_acctbal*100) AS BIGINT) - lo) * 1000000) // greatest(hi - lo, 1) AS scaled_ppm
            |FROM supplier, mm WHERE s_suppkey <= 100
            |ORDER BY s_suppkey""".stripMargin))
 

@@ -24,7 +24,7 @@ object TemporalQ {
     "x_scd2",
     (spark, dir) => {
       val wSeq = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("d"), col("o_orderkey"))
       // island id tie-breaks valid_from: two status changes on the same
       // date are distinct islands and must close in sequence order
       val wIsl = Window.partitionBy(col("o_custkey"))
@@ -45,8 +45,12 @@ object TemporalQ {
           date_format(coalesce(col("valid_to_raw"), lit("9999-12-31").cast("date")),
             "yyyy-MM-dd").as("valid_to"),
           when(col("valid_to_raw").isNull, 1L).otherwise(0L).as("is_current"),
-          col("n_events"))
-        .orderBy(col("o_custkey"), col("valid_from"))
+          col("n_events"), col("island"))
+        // island is the per-customer sequence number, so it makes the sort
+        // total even when two islands share a valid_from date (seen at
+        // sf0.001: custkey 123 has two islands starting 1995-02-16).
+        .orderBy(col("o_custkey"), col("valid_from"), col("island"))
+        .drop("island")
     },
     Some("""WITH seq AS (
            |  SELECT o_custkey, o_orderkey, o_orderstatus AS status,
@@ -55,7 +59,8 @@ object TemporalQ {
            |                OR LAG(o_orderstatus) OVER w <> o_orderstatus
            |              THEN 1 ELSE 0 END AS chg
            |  FROM orders WHERE o_custkey <= 150
-           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+           |  WINDOW w AS (PARTITION BY o_custkey
+           |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
            |isl AS (
            |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
            |    ORDER BY d, o_orderkey) AS island
@@ -65,7 +70,7 @@ object TemporalQ {
            |         COUNT(*) AS n_events
            |  FROM isl GROUP BY 1, 2, 3),
            |fin AS (
-           |  SELECT o_custkey, status, valid_from,
+           |  SELECT o_custkey, status, valid_from, island,
            |         LEAD(valid_from) OVER (PARTITION BY o_custkey
            |           ORDER BY valid_from, island) AS valid_to_raw,
            |         n_events
@@ -75,7 +80,7 @@ object TemporalQ {
            |       strftime(COALESCE(valid_to_raw, DATE '9999-12-31'), '%Y-%m-%d') AS valid_to,
            |       CAST(CASE WHEN valid_to_raw IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
            |       n_events
-           |FROM fin ORDER BY o_custkey, valid_from""".stripMargin))
+           |FROM fin ORDER BY o_custkey, valid_from, island""".stripMargin))
 
   /** Cohort retention: users grouped by first-activity month (cohort),
     * counted per months-elapsed — the longitudinal engagement matrix.

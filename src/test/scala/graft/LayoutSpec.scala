@@ -18,7 +18,7 @@ class LayoutSpec extends SparkSpec {
     assert(n > 0, "compacted table read back empty")
     val small = parquetFiles(queries.LayoutQ.tmp(spark, "sink_compact_small", dir))
     val big = parquetFiles(queries.LayoutQ.tmp(spark, "sink_compact_big", dir))
-    assert(small == 0, s"64-file intermediate should be cleaned up, found $small files")
+    assert(small == 64, s"expected the 64-file fixture layout to persist for reuse, found $small files")
     assert(big == 4, s"expected 4 compacted files, found $big")
   }
 

@@ -73,6 +73,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"))
   }
 
+  /** The round-6 regression: every new driver session re-paid the two
+    * bucketed table writes because the in-memory catalog can't carry the
+    * layout across JVMs. Simulate session 2 by dropping the catalog
+    * entries while leaving the files on disk — the query must re-register
+    * external tables over the existing bucket layout (no rewrite) and
+    * still join exchange-free with identical results. */
+  test("bucketed layout is reused across sessions (files on disk, catalog empty)") {
+    val before = SparkEntry.queries("j_bucketed")(spark, dir).collect().map(_.toSeq)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
+    for (t <- Seq(s"graft_b_lineitem$dirTag", s"graft_b_orders$dirTag")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(new java.io.File(s"$base/${t.stripPrefix("graft_b_").stripSuffix(dirTag)}/_SUCCESS").exists(),
+        s"bucket layout files must survive a catalog drop: $t")
+    }
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries("j_bucketed")(spark, dir)
+    val after = df.collect().map(_.toSeq)
+    val reRegisterSec = (System.nanoTime() - t0) / 1e9
+    assert(after.sameElements(before), "re-registered bucketed join diverged")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).isEmpty,
+      s"re-registered bucketed join re-shuffled its keys:\n$plan")
+    assert(reRegisterSec < 10.0,
+      s"re-registration took ${reRegisterSec}s — looks like it rewrote the layout")
+  }
+
   test("composite Q5-shape: dims broadcast, date filter pushed to orders scan") {
     val p = formattedPlanString("x_local_supplier_volume")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
@@ -314,6 +341,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"one-row total not broadcast in:\n$p")
     windowOverAggregatedGrain("x_abc_class")
+  }
+
+  /** The distributed-prefix-sum contract (DistributedPrefix.runningSum):
+    * NO partition-less Window anywhere (block offsets come from a tiny
+    * triangular join, the running sum from a block-partitioned window) —
+    * pins the round-6 "No Partition Defined for Window" scale flag
+    * against regressing to a single global sort over a growing grain. */
+  private def boundedGlobalWindows(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+    val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty,
+      s"$name: a partition-less window reappeared (single-task global sort):\n$plan")
+    val local = plan.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(local.nonEmpty, s"$name: expected a block-partitioned local window:\n$plan")
+  }
+
+  test("ABC prefix sum blocks by revenue range — no global sort over the part grain") {
+    boundedGlobalWindows("x_abc_class")
+  }
+
+  test("quantile binning blocks by balance range — no global sort over the customer grain") {
+    boundedGlobalWindows("e_quantize_bins")
   }
 
   test("running-distinct outer window runs over the day grain, not raw events") {

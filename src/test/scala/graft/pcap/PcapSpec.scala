@@ -88,6 +88,22 @@ class PcapSpec extends AnyFunSuite {
     assert(p.src_ip == "10.0.0.1" && p.protocol == "6")
   }
 
+  test("QinQ / 802.1ad stacked tags are dropped (single-tag unwrap only, dpkt parity)") {
+    // 0x8100-in-0x8100: after the single unwrap the ethertype is still
+    // 0x8100, not IPv4, so the filter cascade drops the frame — QinQ is
+    // out of scope exactly as in the reference (SURVEY.md §7.5).
+    val inner = frame("10.0.0.1", "10.0.0.2", 1234, 80, 6, vlan = true)
+    val qinq = java.nio.ByteBuffer.allocate(inner.length + 4)
+    qinq.put(inner, 0, 12) // macs
+    qinq.putShort(0x8100.toShort).putShort(0x00C8.toShort) // outer tag, VID 200
+    qinq.put(inner, 12, inner.length - 12) // inner tag + payload
+    assert(PacketDecoder.decode(0.0, qinq.array()).isEmpty)
+    // 802.1ad S-tag (0x88A8) is not 0x8100 → dropped without any unwrap.
+    val stag = inner.clone()
+    stag(12) = 0x88.toByte; stag(13) = 0xA8.toByte
+    assert(PacketDecoder.decode(0.0, stag).isEmpty)
+  }
+
   test("filter cascade: non-IP, IPv6, non-TCP/UDP, truncated all drop") {
     assert(PacketDecoder.decode(0.0, arpFrame).isEmpty)
     assert(PacketDecoder.decode(0.0, ipv6Frame).isEmpty)
