@@ -45,9 +45,12 @@ object Bench {
     })
     val shuffleByQuery = scala.collection.mutable.Map[String, (Long, Long, Long)]()
 
-    // Two timed passes per query, report the min: this host shows ±40%
-    // run-to-run noise from background load, and min-of-2 is the usual
-    // steady-state estimator. Both pass totals are reported alongside.
+    // Three timed passes per query, report the min: this host shows ±40%
+    // run-to-run noise from background load, with multi-minute ambient
+    // storms that can poison one whole pass (measured round 7: pass
+    // totals 1107 s vs 320 s for identical code). Min-of-3 keeps one
+    // quiet measurement per query with high probability; all pass totals
+    // are reported alongside so a stormy run is visible in the artifact.
     def pass(record: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (r0, w0, s0) = (shufRead.get, shufWrite.get, spilled.get)
@@ -69,7 +72,8 @@ object Bench {
         name -> dt
       }
     val p1 = pass(record = false).toMap
-    val p2 = pass(record = true).toMap
+    val p2 = pass(record = false).toMap
+    val p3 = pass(record = true).toMap
     // The driver parses a 2000-char stdout TAIL (measured from BENCH_r03:
     // tail len == 2000, parsed:null — the 3.1 KB full-precision line lost
     // its head and stopped being valid JSON). So stdout carries a bounded
@@ -77,14 +81,15 @@ object Bench {
     // window with room for sbt's trailing "[success]" line; the COMPLETE
     // per-query map goes to the committed bench file instead.
     def ms(v: Double): String = "%.3f".format(v)
-    val results = p1.keys.toSeq.sorted.map(k => k -> math.min(p1(k), p2(k)))
+    val results = p1.keys.toSeq.sorted.map(k =>
+      k -> math.min(p1(k), math.min(p2(k), p3(k))))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qsJson(rs)},"queries_shown":${rs.size},"full_map":"BENCH_local.json",""" +
-        s""""passes":2,"pass_totals":[${ms(p1.values.sum)},${ms(p2.values.sum)}],"sf":"$sfDir"}"""
+        s""""passes":3,"pass_totals":[${ms(p1.values.sum)},${ms(p2.values.sum)},${ms(p3.values.sum)}],"sf":"$sfDir"}"""
     val bySlowest = results.sortBy(-_._2)
     val stdoutLine = (bySlowest.length to 1 by -1).view
       .map(n => line(bySlowest.take(n).sortBy(_._1)))
@@ -92,7 +97,7 @@ object Bench {
       .getOrElse(line(Nil))
     println(stdoutLine)
     val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qsJson(results)},""" +
-      s""""passes":2,"pass_totals":[${ms(p1.values.sum)},${ms(p2.values.sum)}],"sf":"$sfDir"}"""
+      s""""passes":3,"pass_totals":[${ms(p1.values.sum)},${ms(p2.values.sum)},${ms(p3.values.sum)}],"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     val shufJson = shuffleByQuery.toSeq.sortBy(_._1).map { case (k, (r, w, s)) =>
       s"""\"$k\":{"shuffle_read":$r,"shuffle_write":$w,"disk_spill":$s}"""
