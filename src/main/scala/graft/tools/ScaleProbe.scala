@@ -28,7 +28,13 @@ object ScaleProbe {
     // round 5 additions
     "d_chunk_cdc",      // per-doc windows + one chunk-fingerprint hash agg
     "t_repetition",     // array ops + per-(doc,bigram) agg
-    "sim_sq8_topk")     // int8-quantized pair stage (fixed query cohort)
+    "sim_sq8_topk",     // int8-quantized pair stage (fixed query cohort)
+    // round 7: distributed prefix sum — the part/customer GRAIN grows
+    // f-fold (keys uniquified per copy), so these curves prove the
+    // range-blocked two-pass cumsum replaces the old single-partition
+    // window (whose cost was proportional to exactly this grain)
+    "x_abc_class",      // cumsum over distinct parts, revenue-range blocks
+    "e_quantize_bins")  // global row number over customers, balance blocks
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
@@ -63,6 +69,26 @@ object ScaleProbe {
             col("embedding"), col("label"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
+        // partkey uniquified per copy: the AGGREGATED part grain (what the
+        // prefix sum consumes) grows f-fold, not just the fact rows
+        graft.Tables(spark, srcDir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"))
+          .crossJoin(spark.range(f).select(col("id").as("copy")))
+          .select((col("l_partkey") * f + col("copy")).as("l_partkey"),
+            col("l_extendedprice"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+      if (!new java.io.File(s"$dir/customer.parquet/_SUCCESS").exists()) {
+        graft.Tables(spark, srcDir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .crossJoin(spark.range(f).select(col("id").as("copy")))
+          .select((col("c_custkey") * f + col("copy")).as("c_custkey"),
+            col("c_acctbal"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
       }
       val rows = spark.read.parquet(s"$dir/documents.parquet").count()
       probes.foreach { q =>
