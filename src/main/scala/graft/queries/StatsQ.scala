@@ -337,6 +337,50 @@ object StatsQ {
            | COUNT(*) AS n
            |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
 
+  /** Exact weighted median per group — the aggregate Spark has no
+    * built-in for (percentile() weights repetitions, but a true weighted
+    * quantile over a weight COLUMN needs the cumulative-weight crossing
+    * point). Definition: smallest value v with 2·cumWeight(v) ≥
+    * totalWeight. Formulation: collapse to one weight sum per (group,
+    * DISTINCT value) — the only fact-sized shuffle — then a group-
+    * partitioned cumsum over that aggregated grain (bounded by distinct
+    * price points per flag, the same contract as x_skyline /
+    * w_running_distinct) and a min over the crossing rows. Exact longs
+    * end to end; no float quantile interpolation to diverge on. */
+  val aWeightedMedian: Q = Q(
+    "a_weighted_median",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col("v"))
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("total", sum(col("wt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("flag"))
+        .agg(min(col("v")).as("median_price_cents"),
+          min(col("total")).as("total_weight"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH pv AS (
+           |  SELECT l_returnflag AS flag,
+           |         CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+           |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+           |  FROM lineitem GROUP BY 1, 2),
+           |c AS (
+           |  SELECT flag, v, wt,
+           |         SUM(wt) OVER (PARTITION BY flag ORDER BY v) AS cum,
+           |         SUM(wt) OVER (PARTITION BY flag) AS total
+           |  FROM pv)
+           |SELECT flag, MIN(v) AS median_price_cents,
+           |       CAST(MIN(total) AS BIGINT) AS total_weight
+           |FROM c WHERE cum * 2 >= total
+           |GROUP BY flag ORDER BY flag""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
-    aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg)
+    aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg,
+    aWeightedMedian)
 }
