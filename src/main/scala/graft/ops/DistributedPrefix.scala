@@ -65,4 +65,34 @@ object DistributedPrefix {
       .withColumn(out, sum(value).over(wLocal) + col("__offset"))
       .drop("__blk")
   }
+
+  /** EXCLUSIVE running max of `value` over the global order — the prefix
+    * max over strictly earlier rows (null for the global first row),
+    * which is the skyline/frontier primitive. Same two-pass shape as
+    * [[runningSum]]: per-block maxima → triangular join for the
+    * earlier-blocks max (null for the first block), then a block-local
+    * exclusive-frame window; `greatest` combines the two (it ignores
+    * nulls, so the identities fall out without sentinels). */
+  def exclusiveRunningMax(
+      df: DataFrame,
+      block: Column,
+      blockAsc: Boolean,
+      localOrder: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val withB = df.withColumn("__blk", block)
+    val blockMax = withB.groupBy(col("__blk")).agg(max(value).as("__bmax"))
+    val earlier =
+      if (blockAsc) col("b.__blk") < col("a.__blk")
+      else col("b.__blk") > col("a.__blk")
+    val offsets = blockMax.as("a")
+      .join(broadcast(blockMax.as("b")), earlier, "left")
+      .groupBy(col("a.__blk").as("__blk"))
+      .agg(max(col("b.__bmax")).as("__omax")) // null for the first block
+    val wLocal = Window.partitionBy(col("__blk")).orderBy(localOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), "__blk")
+      .withColumn(out, greatest(max(value).over(wLocal), col("__omax")))
+      .drop("__blk", "__omax")
+  }
 }

@@ -20,21 +20,29 @@ object AnalyticsExtQ {
     * of strict improvements, not the weak-dominance skyline). Naive form is an
     * all-pairs anti join (quadratic); the sort-based form used here is
     * linear after sorting: collapse to one max-size per price point, then
-    * a running max over price order keeps exactly the frontier. The
-    * single-partition window is bounded by DISTINCT price count, not row
-    * count; at 100 TB the standard refinement (local per-partition
-    * skyline first, then the global pass over surviving points — a
-    * strictly smaller set) drops in front of this same final pass. */
+    * an EXCLUSIVE running max over price order keeps exactly the
+    * frontier. The prefix max runs through the two-pass distributed form
+    * ([[graft.ops.DistributedPrefix.exclusiveRunningMax]]: price-range
+    * blocks + earlier-block maxima via a tiny triangular join), so no
+    * single-partition window sits on the distinct-price grain — which
+    * grows with the data (round 7; the round-6 form was flagged bounded-
+    * but-growing). */
   val xSkyline: Q = Q(
     "x_skyline",
     (spark, dir) => {
       val perPrice = Tables(spark, dir, "part")
         .groupBy(cents(col("p_retailprice")).as("price_cents"))
         .agg(max(col("p_size")).cast("long").as("best_size"))
-      val w = Window.orderBy(col("price_cents"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      perPrice
-        .withColumn("prev_best", max(col("best_size")).over(w))
+      val bounds = perPrice.agg(
+        min(col("price_cents")).as("blo"), max(col("price_cents")).as("bhi"))
+      graft.ops.DistributedPrefix.exclusiveRunningMax(
+          perPrice.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("price_cents"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("price_cents")),
+          value = col("best_size"),
+          out = "prev_best")
         .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
         .select(col("price_cents"), col("best_size"))
         .orderBy(col("price_cents"))

@@ -373,4 +373,8 @@ class PlanAuditSpec extends SparkSpec {
   test("skyline window runs over the per-price grain, not raw parts") {
     windowOverAggregatedGrain("x_skyline")
   }
+
+  test("skyline prefix max blocks by price range — no global sort over the price grain") {
+    boundedGlobalWindows("x_skyline")
+  }
 }
