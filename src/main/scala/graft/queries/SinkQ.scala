@@ -165,5 +165,54 @@ object SinkQ {
            |  AND l_partkey < 500
            |GROUP BY 1 ORDER BY ship_month""".stripMargin))
 
-  val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert, sinkZorder)
+  /** Snapshot diff — the CDC classifier between two table versions:
+    * full outer join on the key, every row labeled added / removed /
+    * changed / unchanged by null-side and payload comparison. This is
+    * the read side of [[sinkUpsert]]'s MERGE (what changed between
+    * yesterday's and today's snapshot?) and the audit every incremental
+    * pipeline needs. One key-partitioned join is the whole cost; payload
+    * comparison is a null-safe equality on the projected columns (here
+    * the cents-exact price), so at 100 TB the diff shuffles keys +
+    * compared columns only. Versions are synthesized deterministically
+    * from orders: v1 lacks key%3==0 rows (absent from v1, present in v2
+    * → "added"), v2 lacks key%5==0 ("removed") and reprices key%7==0
+    * ("changed"); everything else is "unchanged". */
+  val xSnapshotDiff: Q = Q(
+    "x_snapshot_diff",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("p"))
+      val v1 = base.filter(col("k") % 3 =!= 0)
+      val v2 = base.filter(col("k") % 5 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, col("p") + 1).otherwise(col("p")).as("p"))
+      v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"), "full")
+        .select(
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.p") =!= col("b.p"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(col("b.p"), col("a.p")).as("p"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_price_cents"))
+        .orderBy(col("change_type"))
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS p
+           |  FROM orders),
+           |v1 AS (SELECT * FROM base WHERE k % 3 <> 0),
+           |v2 AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 1 ELSE p END AS p
+           |       FROM base WHERE k % 5 <> 0),
+           |d AS (
+           |  SELECT CASE WHEN a.k IS NULL THEN 'added'
+           |              WHEN b.k IS NULL THEN 'removed'
+           |              WHEN a.p <> b.p THEN 'changed'
+           |              ELSE 'unchanged' END AS change_type,
+           |         COALESCE(b.p, a.p) AS p
+           |  FROM v1 a FULL JOIN v2 b ON a.k = b.k)
+           |SELECT change_type, COUNT(*) AS n,
+           |       CAST(SUM(p) AS BIGINT) AS sum_price_cents
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(scanOrc, sinkClustered, sinkUpsert, sinkZorder, xSnapshotDiff)
 }
