@@ -377,4 +377,22 @@ class PlanAuditSpec extends SparkSpec {
   test("skyline prefix max blocks by price range — no global sort over the price grain") {
     boundedGlobalWindows("x_skyline")
   }
+
+  /** PIT join contracts: (a) the interval lookup is an equi-join on the
+    * dimension key (never a nested-loop over intervals), and (b) every
+    * fact row lands in EXACTLY one validity interval — zero-length
+    * islands (two changes on one date) match nothing, the sentinel
+    * valid_to covers the open tail, so the join neither drops nor
+    * duplicates facts. */
+  test("point-in-time join is an equi-join and maps each fact to exactly one interval") {
+    val p = executedPlanString("j_pit_scd2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"PIT lookup fell back to an unblocked join:\n$p")
+    val nFacts = graft.Tables(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_custkey") <= 150).count()
+    val nJoined = SparkEntry.queries("j_pit_scd2")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_orders")).head.getLong(0)
+    assert(nJoined == nFacts,
+      s"PIT join must cover each fact exactly once: $nJoined joined vs $nFacts facts")
+  }
 }
