@@ -33,6 +33,12 @@ package object functions {
   def normalize_text(text: Column): Column =
     column(NormalizeText(Shims.expression(text)))
 
+  /** Word n-gram shingle GENERATOR (UDTF): one output row per shingle,
+    * streamed — no per-document shingle array is materialized. Use in a
+    * select like explode: `df.select(word_shingles(col("text"), 3))`. */
+  def word_shingles(text: Column, n: Int): Column =
+    column(WordShingles(Shims.expression(text), n))
+
   /** Native Bloom-filter membership probe (BloomFilterMightContain — the
     * codegen'd expression behind Spark's runtime row-level bloom join
     * filters; not exposed in the public function registry, hence this

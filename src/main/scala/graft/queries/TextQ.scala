@@ -157,5 +157,32 @@ object TextQ {
            |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, CAST(n_docs AS BIGINT) AS n_docs
            |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin))
 
-  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf)
+  /** Word-shingle mining through the custom [[graft.functions.WordShingles]]
+    * Generator (the UDTF surface): 3-gram shingles stream row-by-row out
+    * of the token walk — no per-document shingle ARRAY is ever
+    * materialized, unlike the `explode(transform(split(...)))` form the
+    * LSH queries use (fine there: their shingle sets are capped). Per
+    * source: total and distinct shingle mass, the n-gram novelty signal.
+    * `ShingleGenSpec` pins the generator against the explode-of-arrays
+    * formulation on randomized inputs. */
+  val tShingleGen: Q = Q(
+    "t_shingle_gen",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("source"),
+          graft.functions.word_shingles(col("text"), 3).as("shingle"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("n_distinct"))
+        .orderBy(col("source")),
+    Some("""WITH t AS (
+           |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+           |s AS (
+           |  SELECT source, array_to_string(toks[i:i+2], ' ') AS shingle
+           |  FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 2)) AS i) g)
+           |SELECT source, COUNT(*) AS n_shingles,
+           |       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen)
 }
