@@ -240,33 +240,45 @@ object CompositeFullQ {
     (spark, dir) => {
       Seq("lineitem", "part", "supplier").foreach(t =>
         Tables(spark, dir, t).createOrReplaceTempView(t))
+      // Round-7 rewrite after reading the executed plan: the old
+      // two-CTE form (pv, then pt = re-agg of pv) was INLINED twice by
+      // Catalyst — lineitem scanned and aggregated 2×. Now (a) the
+      // '%red%' part filter joins BEFORE aggregation (tv per part is
+      // unchanged by dropping other parts' rows, and EXISTS only reads
+      // red parts), shrinking both the scan and the agg ~30×, and
+      // (b) tv comes from a window over the AGGREGATED pv grain
+      // (bounded by suppliers-per-part), not a second lineitem pass.
       spark.sql(
-        """WITH pv AS (
+        """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+          |pv AS (
           |  SELECT l_partkey, l_suppkey,
           |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sv
-          |  FROM lineitem GROUP BY 1, 2),
-          |pt AS (SELECT l_partkey, SUM(sv) AS tv FROM pv GROUP BY 1)
+          |  FROM lineitem JOIN red ON p_partkey = l_partkey
+          |  GROUP BY 1, 2),
+          |w AS (
+          |  SELECT l_suppkey, sv,
+          |         SUM(sv) OVER (PARTITION BY l_partkey) AS tv
+          |  FROM pv)
           |SELECT s_suppkey, s_name
           |FROM supplier
           |WHERE EXISTS (
-          |  SELECT 1 FROM pv
-          |  JOIN pt ON pv.l_partkey = pt.l_partkey
-          |  JOIN part ON p_partkey = pv.l_partkey
-          |  WHERE pv.l_suppkey = s_suppkey AND p_name LIKE '%red%' AND sv * 10 > tv)
+          |  SELECT 1 FROM w WHERE w.l_suppkey = s_suppkey AND sv * 10 > tv)
           |ORDER BY s_suppkey""".stripMargin)
     },
-    Some("""WITH pv AS (
+    Some("""WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+           |pv AS (
            |  SELECT l_partkey, l_suppkey,
            |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sv
-           |  FROM lineitem GROUP BY 1, 2),
-           |pt AS (SELECT l_partkey, SUM(sv) AS tv FROM pv GROUP BY 1)
+           |  FROM lineitem JOIN red ON p_partkey = l_partkey
+           |  GROUP BY 1, 2),
+           |w AS (
+           |  SELECT l_suppkey, sv,
+           |         SUM(sv) OVER (PARTITION BY l_partkey) AS tv
+           |  FROM pv)
            |SELECT s_suppkey, s_name
            |FROM supplier
            |WHERE EXISTS (
-           |  SELECT 1 FROM pv
-           |  JOIN pt ON pv.l_partkey = pt.l_partkey
-           |  JOIN part ON p_partkey = pv.l_partkey
-           |  WHERE pv.l_suppkey = s_suppkey AND p_name LIKE '%red%' AND sv * 10 > tv)
+           |  SELECT 1 FROM w WHERE w.l_suppkey = s_suppkey AND sv * 10 > tv)
            |ORDER BY s_suppkey""".stripMargin))
 
   val all: Seq[Q] = Seq(xPriorityCheck, xProductProfit, xShipmodePriority, xPromoShare,
