@@ -151,6 +151,12 @@ object CompositeFullQ {
         .groupBy(col("l_suppkey"))
         .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
           .as("total_rev_units"))
+        // Materialize the supplier-grain aggregate ONCE: it feeds both
+        // the global max and the tie filter, and Catalyst would otherwise
+        // inline it twice — two full lineitem scans (seen in the executed
+        // plan, round 7). The checkpoint holds supplier-grain rows (tiny
+        // vs the input at any scale), which is the right trade at 100 TB.
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_rev_units")).as("max_rev"))
       val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
       rev.crossJoin(broadcast(mx))
@@ -207,28 +213,36 @@ object CompositeFullQ {
   val xSmallQtyRevenue: Q = Q(
     "x_small_qty_revenue",
     (spark, dir) => {
-      val li = Tables(spark, dir, "lineitem")
-      val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("sq"),
-          count(lit(1)).as("nq"))
+      // Round 7: single-scan form. The old shape aggregated ALL of
+      // lineitem for the per-part threshold and re-scanned it for the
+      // probe rows. The Brand#1 filter is pushed into both roles (a
+      // matching part keeps all its rows, so its sq/nq are unchanged),
+      // and the per-part stats come from a window PARTITIONED BY partkey
+      // over the filtered fact — per-part lineitem count is a constant
+      // (~30) at every TPC-H scale factor, so the window partitions stay
+      // bounded while the scan count drops to one.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
       val p = Tables(spark, dir, "part")
         .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
-      li.join(p, col("l_partkey") === col("p_partkey"))
-        .join(avgq, col("l_partkey") === col("a_partkey"))
+      Tables(spark, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("sq", sum(round(col("l_quantity")).cast("long")).over(w))
+        .withColumn("nq", count(lit(1)).over(w))
         .filter(round(col("l_quantity")).cast("long") * 5L * col("nq") < col("sq"))
         .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
           count(lit(1)).as("n_items"))
     },
-    Some("""WITH a AS (
-           |  SELECT l_partkey AS a_partkey,
-           |    SUM(CAST(round(l_quantity) AS BIGINT)) AS sq, COUNT(*) AS nq
-           |  FROM lineitem GROUP BY 1)
+    Some("""WITH f AS (
+           |  SELECT l_partkey, l_quantity, l_extendedprice
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+           |s AS (
+           |  SELECT l_quantity, l_extendedprice,
+           |    SUM(CAST(round(l_quantity) AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
+           |    COUNT(*) OVER (PARTITION BY l_partkey) AS nq
+           |  FROM f)
            |SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            |  COUNT(*) AS n_items
-           |FROM lineitem
-           |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
-           |JOIN a ON l_partkey = a_partkey
-           |WHERE CAST(round(l_quantity) AS BIGINT) * 5 * nq < sq""".stripMargin))
+           |FROM s WHERE CAST(round(l_quantity) AS BIGINT) * 5 * nq < sq""".stripMargin))
 
   /** TPC-H Q20 shape — dominant suppliers: suppliers who shipped, for
     * some 'red' part, more than 10% of that part's total volume (EXISTS
