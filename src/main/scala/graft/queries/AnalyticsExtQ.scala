@@ -33,6 +33,9 @@ object AnalyticsExtQ {
       val perPrice = Tables(spark, dir, "part")
         .groupBy(cents(col("p_retailprice")).as("price_cents"))
         .agg(max(col("p_size")).cast("long").as("best_size"))
+        // One materialization feeds the bounds agg + both prefix-max
+        // passes (was 3 part scans in the executed plan).
+        .localCheckpoint()
       val bounds = perPrice.agg(
         min(col("price_cents")).as("blo"), max(col("price_cents")).as("bhi"))
       graft.ops.DistributedPrefix.exclusiveRunningMax(
@@ -75,6 +78,12 @@ object AnalyticsExtQ {
       val rev = Tables(spark, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+        // Materialize the part-grain aggregate ONCE: it feeds the totals
+        // agg and both prefix-sum passes, and Catalyst would otherwise
+        // inline the lineitem scan+agg into each reference (2 fact scans
+        // in the round-7 executed plan). Part-grain rows << fact rows at
+        // any scale.
+        .localCheckpoint()
       val tot = rev.agg(sum(col("rev_cents")).as("total_cents"),
         min(col("rev_cents")).as("blo"), max(col("rev_cents")).as("bhi"))
       val cum = graft.ops.DistributedPrefix.runningSum(

@@ -28,6 +28,11 @@ object MlPrepQ {
     (spark, dir) => {
       val base = Tables(spark, dir, "customer")
         .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+        // One materialization of the 2-column projection feeds the bounds
+        // agg + both prefix-sum passes (was 3 customer scans in the
+        // executed plan) — checkpoint blocks re-read without re-decoding
+        // parquet.
+        .localCheckpoint()
       val bounds = base.agg(count(lit(1)).as("n_total"),
         min(col("bal_cents")).as("blo"), max(col("bal_cents")).as("bhi"))
       val rn = graft.ops.DistributedPrefix.runningSum(
