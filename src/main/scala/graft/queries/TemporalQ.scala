@@ -141,8 +141,11 @@ object TemporalQ {
     (spark, dir) => {
       val ev = Tables(spark, dir, "events")
         .select(col("user_id"), date_trunc("month", col("ts")).cast("date").as("m"))
-      val firstM = ev.groupBy(col("user_id")).agg(min(col("m")).as("cohort_m"))
-      ev.join(firstM, Seq("user_id"))
+      // cohort month via a user-partitioned window instead of a self-join
+      // with a per-user aggregate: one events scan instead of two, and the
+      // window partitions are bounded by per-user activity, not data size.
+      ev.withColumn("cohort_m",
+          min(col("m")).over(Window.partitionBy(col("user_id"))))
         .select(col("user_id"), col("cohort_m"),
           ((year(col("m")) - year(col("cohort_m"))) * 12 +
             (month(col("m")) - month(col("cohort_m")))).cast("long").as("months_since"))

@@ -127,9 +127,15 @@ object TextQ {
       val tok = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
-      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // tf is one row per (doc, tok) and doc_id is the table's key, so both
       // "distinct" counts are plain counts — no distinct-expand needed.
+      // Materialize tf ONCE: it feeds both the df derivation and the score
+      // join, and Catalyst would otherwise inline the explode + (doc,tok)
+      // aggregation into each reference — two full tokenization passes
+      // (seen in the round-7 executed plan). The (doc,tok) grain is the
+      // natural cut: far smaller than the exploded token stream.
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
