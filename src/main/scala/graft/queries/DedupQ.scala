@@ -50,7 +50,11 @@ object DedupQ {
     "d_ngram_jaccard",
     (spark, dir) => {
       val d = docs100(spark, dir)
+      // Materialize the shingle set once: it feeds both self-join sides
+      // and the per-doc counts (the shingling pass ran 4x in the round-7
+      // executed plan — Catalyst inlines shared frames per reference).
       val sh = d.select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        .localCheckpoint()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val shared = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -93,8 +97,11 @@ object DedupQ {
         val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"mh$j").cast("string"))
         struct(lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
       }
+      // Checkpoint the band signatures: both self-join sides read one
+      // materialization instead of re-running shingle+minhash per side.
       val buckets = mins.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .localCheckpoint()
       buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -139,6 +146,8 @@ object DedupQ {
         .groupBy(col("doc_id"))
         .agg(sum(when(col("s") > 0,
           expr("cast(shiftleft(cast(1 as bigint), cast(b as int)) as bigint)")).otherwise(0L)).as("fp"))
+        // one fingerprint materialization for both self-join sides
+        .localCheckpoint()
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 2)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -19,12 +19,19 @@ object PatternQ {
     (spark, dir) => {
       val ev = Tables(spark, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
+      // Each stage frame is checkpointed: stage N feeds both its own
+      // user count and stage N+1's build, so without materialization the
+      // chain re-derives earlier stages per reference (6 events scans in
+      // the round-7 executed plan; 3 — one pushed type-filter scan per
+      // stage — after). Stage frames are one row per surviving user.
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        .localCheckpoint()
       val c = ev.filter(col("event_type") === "click").join(v, "user_id")
         .filter(col("ts") >= col("v_ts") &&
           col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        .localCheckpoint()
       val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
         .filter(col("ts") >= col("c_ts") &&
           col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))

@@ -95,8 +95,10 @@ object SimilarityQ {
     "d_embed_neardup",
     (spark, dir) => {
       val b = base(spark, dir)
-      // bound the pair explosion the same way the dedup family does
-      val s = b.filter(col("vec_id") < NearDupCohort)
+      // bound the pair explosion the same way the dedup family does;
+      // checkpoint the quantized cohort so both self-join sides read one
+      // materialization instead of re-quantizing the embeddings per side
+      val s = b.filter(col("vec_id") < NearDupCohort).localCheckpoint()
       s.as("a").join(s.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
