@@ -145,6 +145,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Q2 correlated-min decorrelation infers the part bound into BOTH lineitem scans") {
+    // InferFiltersFromConstraints must carry p_partkey < 200 through the
+    // decorrelated equality into the outer probe AND the min-agg side —
+    // without it the per-part minimum aggregates the full fact table.
+    val p = formattedPlanString("x_min_cost_supplier")
+    val pushed = "LessThan\\(l_partkey,200\\)".r.findAllIn(p).length
+    assert(pushed >= 2,
+      s"expected the part bound in both lineitem PushedFilters, found $pushed:\n$p")
+  }
+
   test("composite Q6-shape: all predicates reach the lineitem scan") {
     val p = formattedPlanString("x_revenue_forecast")
     assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
