@@ -38,32 +38,42 @@ object DistributedPrefix {
       (hi + 1).cast("double"), lit(n))
 
   /** Running sum of `value` over the global order (`localOrder` within
-    * `block`-major order). `blockAsc` says whether ascending `block`
-    * values correspond to the global sort direction. Emits the input
-    * columns plus `out`; the block key is dropped. */
+    * `block`-major order), independently per `groupCols` group when
+    * groups are given (the per-group prefix — e.g. a cumulative weight
+    * per return flag). `blockAsc` says whether ascending `block` values
+    * correspond to the global sort direction. Emits the input columns
+    * plus `out`; the internal `__blk`/`__offset` columns are dropped.
+    *
+    * PRECONDITION: `block` and every `groupCols` column must evaluate
+    * non-null on every row — a null key would be silently dropped by the
+    * internal equi-joins (no error, just missing rows). `rangeBucket`
+    * over a non-null value with non-null bounds satisfies this. */
   def runningSum(
       df: DataFrame,
       block: Column,
       blockAsc: Boolean,
       localOrder: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
+      out: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val withB = df.withColumn("__blk", block)
-    val blockSums = withB.groupBy(col("__blk")).agg(sum(value).as("__bsum"))
-    // Block offset = sum over blocks strictly EARLIER in the global order:
-    // a triangular left join over the tiny per-block frame (≤ #buckets
-    // rows per side), not a partition-less window.
+    val keys = groupCols :+ "__blk"
+    val blockSums = withB.groupBy(keys.map(col): _*).agg(sum(value).as("__bsum"))
+    // Block offset = sum over same-group blocks strictly EARLIER in the
+    // global order: a triangular left join over the tiny per-block frame
+    // (≤ #groups × #buckets rows per side), not a partition-less window.
     val earlier =
       if (blockAsc) col("b.__blk") < col("a.__blk")
       else col("b.__blk") > col("a.__blk")
+    val sameGroup = groupCols.map(g => col(s"a.$g") === col(s"b.$g"))
     val offsets = blockSums.as("a")
-      .join(broadcast(blockSums.as("b")), earlier, "left")
-      .groupBy(col("a.__blk").as("__blk"))
+      .join(broadcast(blockSums.as("b")), (sameGroup :+ earlier).reduce(_ && _), "left")
+      .groupBy(keys.map(k => col(s"a.$k").as(k)): _*)
       .agg(coalesce(sum(col("b.__bsum")), lit(0L)).as("__offset"))
-    val wLocal = Window.partitionBy(col("__blk")).orderBy(localOrder: _*)
-    withB.join(broadcast(offsets), "__blk")
+    val wLocal = Window.partitionBy(keys.map(col): _*).orderBy(localOrder: _*)
+    withB.join(broadcast(offsets), keys)
       .withColumn(out, sum(value).over(wLocal) + col("__offset"))
-      .drop("__blk")
+      .drop("__blk", "__offset")
   }
 
   /** EXCLUSIVE running max of `value` over the global order — the prefix
@@ -72,7 +82,10 @@ object DistributedPrefix {
     * [[runningSum]]: per-block maxima → triangular join for the
     * earlier-blocks max (null for the first block), then a block-local
     * exclusive-frame window; `greatest` combines the two (it ignores
-    * nulls, so the identities fall out without sentinels). */
+    * nulls, so the identities fall out without sentinels).
+    *
+    * PRECONDITION: `block` must evaluate non-null on every row — a null
+    * block key would be silently dropped by the internal equi-join. */
   def exclusiveRunningMax(
       df: DataFrame,
       block: Column,

@@ -341,24 +341,58 @@ object StatsQ {
     * built-in for (percentile() weights repetitions, but a true weighted
     * quantile over a weight COLUMN needs the cumulative-weight crossing
     * point). Definition: smallest value v with 2·cumWeight(v) ≥
-    * totalWeight. Formulation: collapse to one weight sum per (group,
-    * DISTINCT value) — the only fact-sized shuffle — then a group-
-    * partitioned cumsum over that aggregated grain (bounded by distinct
-    * price points per flag, the same contract as x_skyline /
-    * w_running_distinct) and a min over the crossing rows. Exact longs
-    * end to end; no float quantile interpolation to diverge on. */
+    * totalWeight. Formulation — the crossing-block search, a refinement
+    * of [[graft.ops.DistributedPrefix]] that never materializes the full
+    * prefix (the round-7 `weak`: `Window.partitionBy(flag)` ran the
+    * whole 594k-value grain through 3 tasks; even the blocked prefix
+    * would sort all of it):
+    *  1. block values by fixed 65536-cent windows (`shiftright(v, 16)` —
+    *     monotone by construction, no bounds pass needed; money domains
+    *     don't widen with row count, so the block count stays a few
+    *     hundred at any sf);
+    *  2. per-(flag, block) weight sums via ONE map-side-combined agg —
+    *     the shuffle payload is #flags × #blocks rows, not the grain;
+    *  3. the single crossing block per flag — the first whose cumulative
+    *     range spans total/2 (exactly one exists: offsets are
+    *     non-decreasing and weights positive) — from one window pass
+    *     over that block-grain frame. This window partitions by flag
+    *     alone, but its grain is the BLOCK count (a few hundred rows per
+    *     flag, constant in sf), not the value grain;
+    *  4. re-scan ONLY the crossing block's rows (broadcast join against
+    *     the ~#flags-row crossing set ≈ 1/#blocks of the fact), pre-agg
+    *     them to distinct values, and run the cumsum window there. The
+    *     window grain is ≤ 65536 rows BY CONSTRUCTION (distinct
+    *     cent-values inside one block), a constant bound at any scale.
+    * Raw-row-vs-distinct-value equivalence: weights are positive, so a
+    * block/row crosses total/2 iff its full tie-group does — min(v) over
+    * crossing rows is the same either way. Exact longs end to end; no
+    * float quantile interpolation to diverge on. */
   val aWeightedMedian: Q = Q(
     "a_weighted_median",
     (spark, dir) => {
+      val raw = Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("wt"))
+        .withColumn("__blk", shiftright(col("v"), 16))
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col("__blk"))
+      val wFlag = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+      val crossing = raw.groupBy(col("flag"), col("__blk"))
+        .agg(sum(col("wt")).as("bsum"))
+        .withColumn("cum_b", sum(col("bsum")).over(wBlk))
+        .withColumn("total", sum(col("bsum")).over(wFlag))
+        .filter((col("cum_b") - col("bsum")) * 2 < col("total")
+          && col("cum_b") * 2 >= col("total"))
+        .select(col("flag"), col("__blk"),
+          (col("cum_b") - col("bsum")).as("off"), col("total"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("flag")).orderBy(col("v"))
-      Tables(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag").as("flag"),
-          cents(col("l_extendedprice")).as("v"))
-        .agg(sum(col("l_quantity").cast("long")).as("wt"))
-        .withColumn("cum", sum(col("wt")).over(w))
-        .withColumn("total", sum(col("wt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))))
+        .partitionBy(col("flag"), col("__blk")).orderBy(col("v"))
+      raw.join(broadcast(crossing), Seq("flag", "__blk"))
+        .repartition(col("flag"), col("__blk"))
+        .groupBy(col("flag"), col("__blk"), col("off"), col("total"), col("v"))
+        .agg(sum(col("wt")).as("wt"))
+        .withColumn("cum", sum(col("wt")).over(w) + col("off"))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy(col("flag"))
         .agg(min(col("v")).as("median_price_cents"),

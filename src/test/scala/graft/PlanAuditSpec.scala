@@ -388,6 +388,28 @@ class PlanAuditSpec extends SparkSpec {
     boundedGlobalWindows("x_skyline")
   }
 
+  /** a_weighted_median's value-grain cumsum must be blocked BELOW the
+    * group key: a window may partition by the flag alone ONLY when it
+    * consumes the (flag, block)-aggregated grain (a few hundred rows per
+    * flag, constant in sf — the crossing-block search); any window over
+    * a finer grain must partition by at least (flag, block), so the
+    * cumsum parallelism is never capped at the 3-value group count (the
+    * round-7 `weak`: Window.partitionBy(flag) alone ran the whole 594k
+    * value grain in 3 tasks). */
+  test("weighted median cumsum blocks within each flag — parallelism not capped at group count") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    boundedGlobalWindows("a_weighted_median")
+    windowOverAggregatedGrain("a_weighted_median")
+    val plan = SparkEntry.queries("a_weighted_median")(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.forall(w => w.partitionSpec.size >= 2 ||
+      w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size >= 2 => a
+      }.isDefined),
+      s"a group-key-only window consumes a sub-block grain (group-count-capped cumsum):\n$plan")
+  }
+
   /** PIT join contracts: (a) the interval lookup is an equi-join on the
     * dimension key (never a nested-loop over intervals), and (b) every
     * fact row lands in EXACTLY one validity interval — zero-length

@@ -81,4 +81,36 @@ class DistributedPrefixSpec extends SparkSpec {
     checkSum(rows, asc = true, buckets = 256)
     checkMax(rows, buckets = 256)
   }
+
+  test("grouped running sum matches the per-group window") {
+    val rows = (1L to 300L).map(k => (k, rnd.nextInt(100).toLong - 50, s"g${k % 4}"))
+    val d = rows.toDF("key", "v", "grp").repartition(4)
+    val base = d.crossJoin(broadcast(
+      d.agg(min(col("v")).as("blo"), max(col("v")).as("bhi"))))
+    val got = DistributedPrefix.runningSum(
+        base, DistributedPrefix.rangeBucket(col("v"), col("blo"), col("bhi"), 16),
+        blockAsc = true, localOrder = Seq(col("v"), col("key")), value = col("v"),
+        out = "cum", groupCols = Seq("grp"))
+      .select(col("key"), col("cum")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("key"))
+    val want = d.withColumn("cum", sum(col("v")).over(w))
+      .select(col("key"), col("cum")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, "grouped runningSum diverged from the per-group window")
+  }
+
+  test("no internal __blk/__offset column leaks into the output schema") {
+    val base = withBounds(df(Seq(1L -> 3L, 2L -> 1L, 3L -> 2L)))
+    val sumCols = DistributedPrefix.runningSum(
+      base, DistributedPrefix.rangeBucket(col("v"), col("blo"), col("bhi"), 4),
+      blockAsc = true, localOrder = Seq(col("v"), col("key")), value = col("v"),
+      out = "cum").columns.toSet
+    val maxCols = DistributedPrefix.exclusiveRunningMax(
+      base, DistributedPrefix.rangeBucket(col("v"), col("blo"), col("bhi"), 4),
+      blockAsc = true, localOrder = Seq(col("v"), col("key")), value = col("v"),
+      out = "pmax").columns.toSet
+    for (c <- Seq("__blk", "__offset", "__omax", "__bsum", "__bmax")) {
+      assert(!sumCols.contains(c), s"runningSum leaks internal column $c")
+      assert(!maxCols.contains(c), s"exclusiveRunningMax leaks internal column $c")
+    }
+  }
 }
