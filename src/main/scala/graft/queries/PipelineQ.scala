@@ -64,13 +64,56 @@ object PipelineQ {
     rules = Seq(LabelRule(1499350000.0, 1499350600.0, Seq(Attacker), Seq(Victim), "dos")),
     rangesToExtract = Seq((1499350000.0, 1499350150.0), (1499350160.0, 1499350999.0)))
 
+  /** Per-packet ground table for the flagship DuckDB oracles: the decoded
+    * (post-anonymize) capture with the binary-derived scalars evaluated
+    * ONCE per packet — payload length, zero-byte count, feature-vector
+    * sum, boundary byte. Dumped to a content-keyed tmp path behind a
+    * `_SUCCESS` guard (fixture discipline: written on first run, outside
+    * every later timed body). The oracle SQL then recomputes the
+    * RELATIONAL stages — range filter, last-match-wins labeling, flow
+    * aggregation — independently in DuckDB over this dump, so those
+    * stages sit under the hard hash gate; only the per-packet
+    * decode/vectorize scalars are trusted from Spark, and those are
+    * pinned byte-exact by the golden-fixture specs (PcapSpec,
+    * BytesPipelineSpec). Bump the `_v1` key if decode semantics change. */
+  def basePath: String =
+    Paths.get(sys.props("java.io.tmpdir"), s"graft_flagship_base_v1_$NumPackets.parquet").toString
+
+  private def ensureBase(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!Files.exists(Paths.get(basePath, "_SUCCESS"))) {
+      import org.apache.spark.sql.functions._
+      val hist = udaf(graft.ops.ByteHistogram)
+      PcapSource.packets(spark, Seq(pcapPath())).toDF()
+        .withColumn("features", graft.functions.packet_vector(col("payload"), cfg.width))
+        // one packet per group (timestamps are distinct by construction),
+        // so the UDAF runs per packet and first() is deterministic
+        .groupBy(col("timestamp"), col("src_ip"), col("dst_ip"),
+          col("src_port"), col("dst_port"), col("protocol"))
+        .agg(
+          sum(length(col("payload"))).as("payload_len"),
+          hist(col("payload")).as("h"),
+          first(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double"))).as("feat_sum"),
+          first(element_at(col("features"), 13)).as("byte12"))
+        .select(col("timestamp"), col("src_ip"), col("dst_ip"),
+          col("src_port"), col("dst_port"), col("protocol"),
+          col("payload_len"), element_at(col("h"), 1).as("n_zero"),
+          col("feat_sum"), col("byte12"))
+        .write.mode("overwrite").parquet(basePath)
+    }
+  }
+
   /** Full compute core at width 1525; projected to compact per-packet
     * stats so verify's parquet dump stays small while every stage
-    * (decode, anonymize, filter, label, vectorize) still executes. */
+    * (decode, anonymize, filter, label, vectorize) still executes. The
+    * DuckDB oracle recomputes the range filter and the labeling rule
+    * from the per-packet ground dump ([[basePath]]), putting the
+    * relational half of the flagship under the hard hash gate. */
   val pipeFlagship: Q = Q(
     "pipe_flagship",
     (spark, _) => {
       import org.apache.spark.sql.functions._
+      ensureBase(spark)
       val feats = BytesPipeline.features(
         PcapSource.packets(spark, Seq(pcapPath())), cfg)
       feats.select(
@@ -80,19 +123,32 @@ object PipelineQ {
         element_at(col("features"), 13).as("byte12"))
         .orderBy("timestamp")
     },
-    oracle = None)
+    oracle = Some(
+      s"""SELECT timestamp, src_ip, dst_ip, src_port, dst_port, protocol,
+         |  CASE WHEN timestamp BETWEEN 1499350000.0 AND 1499350600.0
+         |        AND ((src_ip = '$Attacker' AND dst_ip = '$Victim')
+         |          OR (dst_ip = '$Attacker' AND src_ip = '$Victim'))
+         |       THEN 'dos' ELSE 'benign' END AS label,
+         |  feat_sum, byte12
+         |FROM read_parquet('$basePath/*.parquet')
+         |WHERE (timestamp BETWEEN 1499350000.0 AND 1499350150.0)
+         |   OR (timestamp BETWEEN 1499350160.0 AND 1499350999.0)
+         |ORDER BY timestamp""".stripMargin))
 
   /** Classic NIDS flow aggregation over the decoded capture: group by
     * the 5-tuple, per-flow packet/byte/duration stats plus a per-flow
     * byte-value-entropy proxy via the ByteHistogram UDAF. One shuffle on
     * the flow key — at 100 TB flows are the natural partitioning unit.
-    * No SQL oracle (binary input); pinned by unit/spec + rows-only.
-    */
+    * The DuckDB oracle recomputes the whole flow aggregation (counts,
+    * byte sums, duration, histogram-derived totals as relational sums of
+    * the per-packet ground columns) from [[basePath]] — the UDAF's
+    * distributed merge is hash-gated against a SQL twin. */
   val pipeFlows: Q = Q(
     "pipe_flows",
     (spark, _) => {
       import org.apache.spark.sql.functions._
       val spark2 = spark; import spark2.implicits._
+      ensureBase(spark)
       val pk = PcapSource.packets(spark, Seq(pcapPath()))
       val hist = udaf(graft.ops.ByteHistogram)
       pk.toDF()
@@ -111,7 +167,16 @@ object PipelineQ {
           aggregate(col("byte_hist"), lit(0L), (a, x) => a + x).as("total_bytes_hist"))
         .orderBy("src_ip", "src_port", "dst_ip", "dst_port", "protocol")
     },
-    oracle = None)
+    oracle = Some(
+      s"""SELECT src_ip, dst_ip, src_port, dst_port, protocol,
+         |  COUNT(*) AS n_packets,
+         |  CAST(SUM(payload_len) AS BIGINT) AS sum_bytes,
+         |  CAST(round((MAX(timestamp) - MIN(timestamp)) * 1000) AS BIGINT) AS duration_ms,
+         |  CAST(SUM(n_zero) AS BIGINT) AS n_zero_bytes,
+         |  CAST(SUM(payload_len) AS BIGINT) AS total_bytes_hist
+         |FROM read_parquet('$basePath/*.parquet')
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY src_ip, src_port, dst_ip, dst_port, protocol""".stripMargin))
 
   val all: Seq[Q] = Seq(pipeFlagship, pipeFlows)
 }
