@@ -182,7 +182,9 @@ object TextQ {
           countDistinct(col("shingle")).as("n_distinct"))
         .orderBy(col("source")),
     Some("""WITH t AS (
-           |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+           |  SELECT source,
+           |         list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+           |  FROM documents),
            |s AS (
            |  SELECT source, array_to_string(toks[i:i+2], ' ') AS shingle
            |  FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 2)) AS i) g)

@@ -88,16 +88,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(new java.io.File(s"$base/${t.stripPrefix("graft_b_").stripSuffix(dirTag)}/_SUCCESS").exists(),
         s"bucket layout files must survive a catalog drop: $t")
     }
-    val t0 = System.nanoTime()
+    // "No rewrite happened" is asserted on filesystem evidence, not wall
+    // clock (this host has multi-minute ambient load storms — a timing
+    // bound flakes on healthy code): the layout's file listing and every
+    // mtime must be byte-for-byte identical after re-registration.
+    def layoutState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base)).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = layoutState()
     val df = SparkEntry.queries("j_bucketed")(spark, dir)
     val after = df.collect().map(_.toSeq)
-    val reRegisterSec = (System.nanoTime() - t0) / 1e9
     assert(after.sameElements(before), "re-registered bucketed join diverged")
     val plan = df.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).isEmpty,
       s"re-registered bucketed join re-shuffled its keys:\n$plan")
-    assert(reRegisterSec < 10.0,
-      s"re-registration took ${reRegisterSec}s — looks like it rewrote the layout")
+    assert(layoutState() == filesBefore,
+      "re-registration touched the bucket layout files — it rewrote instead of reusing")
   }
 
   test("composite Q5-shape: dims broadcast, date filter pushed to orders scan") {
