@@ -69,6 +69,59 @@ class BytesPipelineSpec extends SparkSpec {
     assert(adv.map(_.getDouble(0)).toSeq == Seq(130.0))
   }
 
+  /** Straight-line reimplementation of the payload contract (SURVEY §1.3)
+    * used as the expected model: IP datagram from eth offset 14 trimmed
+    * to the total-length field, src/dst (12-19) and ports (ihl*4..+3)
+    * zeroed, NOTHING else touched (checksums stay stale), then
+    * (b & 0xFF)/255f truncated/zero-padded to `width`. */
+  private def expectedVec(frame: Array[Byte], width: Int): Array[Float] = {
+    val totalLen = ((frame(16) & 0xff) << 8) | (frame(17) & 0xff)
+    val ip = java.util.Arrays.copyOfRange(
+      frame, 14, 14 + math.min(totalLen, frame.length - 14))
+    val ihl = (ip(0) & 0xf) * 4
+    java.util.Arrays.fill(ip, 12, 20, 0.toByte)
+    java.util.Arrays.fill(ip, ihl, ihl + 4, 0.toByte)
+    Array.tabulate(width)(i => if (i < ip.length) (ip(i) & 0xff) / 255f else 0f)
+  }
+
+  test("widened sink is byte-exact at the full 1525 width (truncate, pad, stale checksums)") {
+    val w = 1525
+    val bigApp = Array.tabulate[Byte](1600)(i => (i * 7 + 3).toByte) // IP len 1640 > 1525
+    val smallApp = Array.tabulate[Byte](100)(i => (i * 11 + 5).toByte) // IP len 128 < 1525
+    val fBig = frame("10.0.0.66", "10.0.0.2", 666, 80, 6, bigApp)
+    val fSmall = frame("10.0.0.3", "10.0.0.4", 53, 53, 17, smallApp)
+    val dir = Files.createTempDirectory("graft-golden1525").toFile
+    dir.deleteOnExit()
+    val pcap = new java.io.File(dir, "g.pcap")
+    Files.write(pcap.toPath, pcapOf((110.0, fBig), (120.0, fSmall)))
+    val (dataPath, _) =
+      BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), s"$dir/out", cfg.copy(width = w))
+    val rows = spark.read.parquet(dataPath).collect().map(r => r.getDouble(0) -> r).toMap
+    assert(rows.keySet == Set(110.0, 120.0))
+
+    // every one of the 1525 floats, exactly — truncated and padded shapes
+    for ((f, ts) <- Seq((fBig, 110.0), (fSmall, 120.0))) {
+      val exp = expectedVec(f, w)
+      val got = Array.tabulate(w)(i => rows(ts).getAs[Float](s"byte($i)"))
+      val firstDiff = got.zip(exp).indexWhere(p => p._1 != p._2)
+      assert(got.sameElements(exp), s"ts=$ts widened vector diverges at byte($firstDiff)")
+    }
+
+    // the load-bearing boundary indices, called out explicitly (TCP, ihl=20):
+    val big = rows(110.0)
+    assert(big.getAs[Float]("byte(0)") == 0x45 / 255f)    // version+ihl survives
+    (12 to 19).foreach(i => assert(big.getAs[Float](s"byte($i)") == 0f)) // anonymized IPs
+    (20 to 23).foreach(i => assert(big.getAs[Float](s"byte($i)") == 0f)) // zeroed ports at ihl*4
+    assert(big.getAs[Float]("byte(10)") == 0xBE / 255f)   // IP checksum stays STALE
+    assert(big.getAs[Float]("byte(11)") == 0xEF / 255f)
+    assert(big.getAs[Float]("byte(36)") == 0xCA / 255f)   // TCP checksum (20+16) stale too
+    assert(big.getAs[Float]("byte(1524)") == (bigApp(1484) & 0xff) / 255f) // last col = app byte
+    val small = rows(120.0)
+    assert(small.getAs[Float]("byte(26)") == 0xCA / 255f) // UDP checksum (20+6) stale
+    assert(small.getAs[Float]("byte(127)") == (smallApp(99) & 0xff) / 255f) // last real byte
+    assert(small.getAs[Float]("byte(128)") == 0f && small.getAs[Float]("byte(1524)") == 0f) // pad
+  }
+
   test("no adversarial sink when no rule fires") {
     val dir = Files.createTempDirectory("graft-pipe2").toFile
     dir.deleteOnExit()
