@@ -69,6 +69,12 @@ object Bench {
           shuffleByQuery(name) =
             (shufRead.get - r0, shufWrite.get - w0, spilled.get - s0)
         }
+        // Drop this query's localCheckpoint blocks (untimed): each run()
+        // call re-checkpoints its own frames, so blocks left behind only
+        // accumulate storage-memory pressure across the 208-query × 3-pass
+        // JVM and shift eviction behavior for later queries.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> dt
       }
     val p1 = pass(record = false).toMap
@@ -102,8 +108,17 @@ object Bench {
     val shufJson = shuffleByQuery.toSeq.sortBy(_._1).map { case (k, (r, w, s)) =>
       s"""\"$k\":{"shuffle_read":$r,"shuffle_write":$w,"disk_spill":$s}"""
     }.mkString("{", ",", "}")
+    // Storm forensics from the artifact alone: all three raw per-query
+    // times plus the 1-based winning-pass index. A healthy fleet wins
+    // mostly in one warm pass; a stormy pass shows as a block of queries
+    // whose losing times are 5-20x their min.
+    val perPassJson = results.map { case (k, _) =>
+      val ts = Seq(p1(k), p2(k), p3(k))
+      s"""\"$k\":{"passes":[${ts.map(ms).mkString(",")}],"win":${ts.indexOf(ts.min) + 1}}"""
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n" + s"""{"warm_pass_shuffle_bytes":$shufJson}""" + "\n").getBytes("UTF-8"))
+      (json + "\n" + s"""{"warm_pass_shuffle_bytes":$shufJson}""" + "\n" +
+        s"""{"per_pass_times":$perPassJson}""" + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
