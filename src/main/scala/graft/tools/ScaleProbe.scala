@@ -34,7 +34,14 @@ object ScaleProbe {
     // range-blocked two-pass cumsum replaces the old single-partition
     // window (whose cost was proportional to exactly this grain)
     "x_abc_class",      // cumsum over distinct parts, revenue-range blocks
-    "e_quantize_bins")  // global row number over customers, balance blocks
+    "e_quantize_bins",  // global row number over customers, balance blocks
+    // round 8 additions
+    "a_weighted_median", // crossing-block search: fact grows f-fold, the
+                         //   one-task window stays ≤65536 values by design
+    "t_shingle_gen",    // streaming Generator UDTF over f-fold documents
+    "j_pit_scd2",       // SCD2 build + PIT join: per-customer history
+                        //   grows f-fold (custkey kept, orderkey uniquified)
+    "x_snapshot_diff")  // CDC full-outer diff on f-fold uniquified keys
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
@@ -47,7 +54,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     factors.foreach { f =>
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_${f}x"
+      // v2: lineitem carries returnflag/quantity, orders added (round 8)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_v2_${f}x"
       if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
         graft.Tables(spark, srcDir, "documents")
           .crossJoin(spark.range(f).select(col("id").as("copy")))
@@ -72,14 +80,32 @@ object ScaleProbe {
       }
       if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists()) {
         // partkey uniquified per copy: the AGGREGATED part grain (what the
-        // prefix sum consumes) grows f-fold, not just the fact rows
+        // prefix sum consumes) grows f-fold, not just the fact rows.
+        // returnflag/quantity ride along for the weighted-median probe
+        // (whose VALUE grain stays constant under replication — the
+        // crossing-block window must stay flat while the scan grows).
         graft.Tables(spark, srcDir, "lineitem")
-          .select(col("l_partkey"), col("l_extendedprice"))
+          .select(col("l_partkey"), col("l_extendedprice"),
+            col("l_returnflag"), col("l_quantity"))
           .crossJoin(spark.range(f).select(col("id").as("copy")))
           .select((col("l_partkey") * f + col("copy")).as("l_partkey"),
-            col("l_extendedprice"))
+            col("l_extendedprice"), col("l_returnflag"), col("l_quantity"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+      if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists()) {
+        // orderkey uniquified; custkey KEPT, so j_pit_scd2's per-customer
+        // status history (its window grain) grows f-fold while the
+        // snapshot-diff join key space also grows f-fold
+        graft.Tables(spark, srcDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_totalprice"))
+          .crossJoin(spark.range(f).select(col("id").as("copy")))
+          .select((col("o_orderkey") * f + col("copy")).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+            col("o_totalprice"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
       }
       if (!new java.io.File(s"$dir/customer.parquet/_SUCCESS").exists()) {
         graft.Tables(spark, srcDir, "customer")
