@@ -284,6 +284,61 @@ object DedupQ {
            |FROM ch GROUP BY fp HAVING COUNT(*) > 1 AND MIN(chunk_len) >= 3
            |ORDER BY n_occ DESC, fp LIMIT 20""".stripMargin))
 
+  /** C4-style span-level exact dedup: split each document into
+    * non-overlapping 8-token spans, fingerprint each span, keep only the
+    * corpus-wide first occurrence (min (doc_id, span_idx) packed as
+    * doc_id*2^32 + span_idx), and count every later occurrence — across
+    * documents or repeated within one — as a removable duplicate. The
+    * published C4 cleaning step (drop any repeated multi-sentence span
+    * corpus-wide) at fixed-token granularity.
+    *
+    * Scale: ONE tokenize pass builds the (doc_id, n_spans, digest list)
+    * grain, localCheckpoint'd because it feeds both the per-doc base and
+    * the exploded digest aggregate (Catalyst inlines shared frames — the
+    * tokenize would otherwise run twice). Only 32-byte digests shuffle,
+    * never span text; first-owner attribution is two doc-grain frames
+    * joined on doc_id. The packed first-key bounds span_idx at 2^32
+    * (a 34-billion-token single document) — beyond that switch the min
+    * to a struct key. */
+  val dSpanDedup: Q = Q(
+    "d_span_dedup",
+    (spark, dir) => {
+      val grain = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("toks"))
+        .select(
+          col("doc_id"),
+          expr("cast((size(toks) + 7) div 8 as bigint)").as("n_spans"),
+          expr("""CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
+                 |ELSE transform(sequence(0, cast((size(toks) + 7) div 8 as int) - 1),
+                 |               i -> md5(array_join(slice(toks, i*8 + 1, 8), ' ')))
+                 |END""".stripMargin).as("digests"))
+        .localCheckpoint()
+      val spans = grain.select(col("doc_id"),
+        posexplode(col("digests")).as(Seq("span_idx", "dg")))
+      val firsts = spans.groupBy(col("dg"))
+        .agg(min(col("doc_id") * lit(4294967296L) + col("span_idx")).as("fk"))
+      val owners = firsts.select(expr("fk div 4294967296").as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_firsts"))
+      grain.select(col("doc_id"), col("n_spans"))
+        .join(owners, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          (col("n_spans") - coalesce(col("n_firsts"), lit(0L))).as("n_dup_spans"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
+           |base AS (SELECT doc_id, (len(toks) + 7) // 8 AS n_spans FROM d),
+           |spans0 AS (SELECT doc_id,
+           |  unnest([{'span_idx': i, 'dg': md5(array_to_string(toks[i*8+1 : i*8+8], ' '))}
+           |          FOR i IN range((len(toks) + 7) // 8)]) AS u FROM d),
+           |spans AS (SELECT doc_id, u.span_idx AS span_idx, u.dg AS dg FROM spans0),
+           |firsts AS (SELECT dg, MIN(doc_id*4294967296 + span_idx) AS fk FROM spans GROUP BY dg),
+           |owners AS (SELECT fk // 4294967296 AS doc_id, COUNT(*) AS n_firsts FROM firsts GROUP BY 1)
+           |SELECT b.doc_id, CAST(b.n_spans AS BIGINT) AS n_spans,
+           |  CAST(b.n_spans - COALESCE(o.n_firsts, 0) AS BIGINT) AS n_dup_spans
+           |FROM base b LEFT JOIN owners o USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
-    dChunkCdc)
+    dChunkCdc, dSpanDedup)
 }

@@ -405,9 +405,16 @@ object RelationalQ {
   val wRankDense: Q = Q(
     "w_rank_dense",
     (spark, dir) => {
+      // Order by a PRE-PROJECTED column, not a fresh cents() per
+      // withColumn: identical orderSpec attributes let CollapseWindow
+      // merge both rank functions into ONE Window node, which puts the
+      // rnk<=5 filter directly above it and lets InferWindowGroupLimit
+      // insert the map-side per-group top-k (two full window passes and
+      // an unbounded shuffle otherwise — plan-audited).
       val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+        .orderBy(col("__pc").desc, col("o_orderkey"))
       Tables(spark, dir, "orders")
+        .withColumn("__pc", cents(col("o_totalprice")))
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
         .filter(col("rnk") <= 5)

@@ -192,5 +192,49 @@ object TextQ {
            |       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen)
+  /** Corpus-frequency LM quality proxy (the CCNet/Gopher "does this doc
+    * look like the corpus" signal, integer-exact): score each document by
+    * the global frequency of its tokens — `sum_freq` (sum over token
+    * instances of the token's corpus count), `n_tokens`, and `n_rare`
+    * (instances of tokens rarer than the corpus mean frequency, compared
+    * by exact cross-multiplication cnt*vocab < total — no float
+    * division). Low sum_freq/n_tokens or high n_rare flags out-of-
+    * distribution documents, the unigram-LM stand-in when a real LM
+    * isn't available in-engine.
+    *
+    * Scale: tokenization is aggregated to the (doc, tok, tf) grain once
+    * and localCheckpoint'd (feeds the vocabulary rollup AND the score
+    * join — same discipline as t_tfidf); the vocabulary frame is
+    * vocab-sized, the totals are one broadcast row. Nothing token-
+    * instance-grained ever shuffles twice. */
+  val tLmScore: Q = Q(
+    "t_lm_score",
+    (spark, dir) => {
+      val tf = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val g = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+      val tot = g.agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("total"))
+      tf.join(g, "tok").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("cnt")).as("sum_freq"),
+          sum(when(col("cnt") * col("vocab") < col("total"), col("tf"))
+            .otherwise(lit(0L))).as("n_rare"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+           |  unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents),
+           |g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab, CAST(SUM(cnt) AS BIGINT) AS total FROM g)
+           |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(g.cnt) AS BIGINT) AS sum_freq,
+           |  CAST(SUM(CASE WHEN g.cnt * tot.vocab < tot.total THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+           |FROM toks t JOIN g USING (tok), tot
+           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore)
 }

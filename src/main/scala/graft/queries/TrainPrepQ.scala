@@ -289,6 +289,50 @@ object TrainPrepQ {
            |FROM tl LEFT JOIN top ON tl.doc_id = top.doc_id
            |ORDER BY tl.doc_id""".stripMargin))
 
+  /** Data-derived domain mixing (the step s_mix_weighted's STATIC rates
+    * skip): compute each source domain's token mass, give every domain an
+    * equal share of the total token budget, and plan
+    * `least(domain_tokens, budget)` kept tokens per domain — the
+    * Pile-style "cap the over-represented domains, keep the small ones
+    * whole" mixture. keep_bp is the planned keep rate in integer basis
+    * points (exact floor division, no float), the number a downstream
+    * hash-sampler would consume.
+    *
+    * Scale: per-doc token counts come straight off the scan (size of the
+    * split — no explode), the domain rollup is one hash aggregate to
+    * #domains rows (localCheckpoint'd: it feeds the totals AND the final
+    * projection), and the corpus total is one broadcast row. */
+  val sDomainBudget: Q = Q(
+    "s_domain_budget",
+    (spark, dir) => {
+      val s = Tables(spark, dir, "documents")
+        .select(col("source"),
+          expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("domain_tokens"))
+        .localCheckpoint()
+      val tot = s.agg(sum(col("domain_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_domains"))
+      s.crossJoin(broadcast(tot))
+        .select(
+          col("source"), col("domain_tokens"),
+          expr("total_tokens div n_domains").as("budget_tokens"),
+          least(col("domain_tokens"), expr("total_tokens div n_domains")).as("planned_tokens"),
+          expr("(least(domain_tokens, total_tokens div n_domains) * 10000) " +
+            "div greatest(domain_tokens, 1)").as("keep_bp"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source,
+           |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS ntok FROM documents),
+           |s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS domain_tokens FROM d GROUP BY source),
+           |t AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
+           |      CAST(COUNT(*) AS BIGINT) AS n_domains FROM s)
+           |SELECT source, domain_tokens,
+           |  total_tokens // n_domains AS budget_tokens,
+           |  LEAST(domain_tokens, total_tokens // n_domains) AS planned_tokens,
+           |  (LEAST(domain_tokens, total_tokens // n_domains) * 10000)
+           |    // GREATEST(domain_tokens, 1) AS keep_bp
+           |FROM s, t ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
-    sMixWeighted, tSeqPack, tRepetition)
+    sMixWeighted, tSeqPack, tRepetition, sDomainBudget)
 }

@@ -435,4 +435,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(nJoined == nFacts,
       s"PIT join must cover each fact exactly once: $nJoined joined vs $nFacts facts")
   }
+
+  /** Span dedup contracts: the corpus-wide first-occurrence search groups
+    * by the span DIGEST (32-byte md5), never by span text — the only
+    * span-grain shuffle moves digests — and the owner attribution joins
+    * two doc-grain frames without any unblocked join. */
+  test("d_span_dedup shuffles digests, not span text, and never goes cartesian") {
+    val p = executedPlanString("d_span_dedup")
+    assert(!p.contains("Cartesian"), s"span dedup fell back to cartesian:\n$p")
+    assert(p.contains("keys=[dg"), s"first-occurrence agg must key on the digest:\n$p")
+  }
+
+  /** The corpus totals of t_lm_score / s_domain_budget are one-row
+    * aggregates: they must reach the per-row side via broadcast, never a
+    * shuffled join or an unbroadcast cartesian. */
+  test("corpus-total scalars broadcast in t_lm_score and s_domain_budget") {
+    for (name <- Seq("t_lm_score", "s_domain_budget")) {
+      val p = executedPlanString(name)
+      assert(p.contains("Broadcast"), s"$name totals row did not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name has an unbroadcast cartesian:\n$p")
+    }
+  }
+
+  /** rank()<=k windows compile to Spark's WindowGroupLimit: each map task
+    * keeps only the per-group top-k before the window shuffle, so the
+    * exchange moves k rows per group per partition instead of the whole
+    * table — the difference between a bounded and an sf-proportional
+    * window shuffle at 100 TB. */
+  test("rank filter uses WindowGroupLimit (map-side top-k before the window shuffle)") {
+    for (name <- Seq("w_rank_dense", "w_row_number")) {
+      val p = executedPlanString(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name's rank filter did not compile to WindowGroupLimit:\n$p")
+    }
+    // w_rank_dense additionally needs its two rank functions in ONE
+    // Window node (the group limit can't sit under a second window):
+    // a fresh cents() per withColumn used to split them (distinct
+    // orderSpec exprIds defeat CollapseWindow) — pin single-node form.
+    val p = executedPlanString("w_rank_dense")
+    assert("(?s)Window \\[".r.findAllIn(p).size == 1,
+      s"w_rank_dense's rank+dense_rank must collapse into one Window node:\n$p")
+  }
 }
