@@ -83,5 +83,43 @@ object MultimodalQ {
            |            substr(text,129,16), substr(text,193,16))) AS sample_md5
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample)
+  /** WebDataset-style shard planning: assign each binary blob to a
+    * fixed-byte-budget output shard per source split — shard_id =
+    * floor(exclusive running byte cumsum / budget), the same
+    * deterministic first-fit-in-order rule [[TrainPrepQ.tSeqPack]] uses
+    * for token packs, here over blob BYTES (how tar shards for a
+    * multimodal training set get planned before the copy job runs).
+    * A blob spanning a boundary starts in the shard where its first
+    * byte lands; shards overfill by at most one blob.
+    *
+    * Scale: the source split is the parallel unit (one running sum per
+    * split, no global state); only (source, doc_id, size) triples flow
+    * through the window — never the blob bytes. */
+  val mmShardPack: Q = Q(
+    "mm_shard_pack",
+    (spark, dir) => {
+      val budget = 4096L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"))
+        .withColumn("cum", sum(col("size_bytes")).over(w))
+        .withColumn("shard_id", expr(s"(cum - size_bytes) div $budget"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_blobs"), sum(col("size_bytes")).as("shard_bytes"))
+        .orderBy("source", "shard_id")
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes FROM documents),
+           |c AS (SELECT source, doc_id, size_bytes,
+           |  SUM(size_bytes) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+           |SELECT source, (cum - size_bytes) // 4096 AS shard_id, COUNT(*) AS n_blobs,
+           |  CAST(SUM(size_bytes) AS BIGINT) AS shard_bytes
+           |FROM c GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack)
 }

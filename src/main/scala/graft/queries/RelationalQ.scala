@@ -581,9 +581,57 @@ object RelationalQ {
            | FROM events) t
            |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin))
 
+  /** Nearest as-of (the third merge-asof direction): each purchase paired
+    * with the temporally CLOSEST signup of the same user in either
+    * direction, ties preferring the earlier (backward) one. Both
+    * candidates come from the same two window frames [[jAsof]] and
+    * [[jAsofFwd]] use — still one partition sort per user, no range-join
+    * pair explosion — and the µs-distance compare picks the winner. */
+  val jAsofNearest: Q = Q(
+    "j_asof_nearest",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val sigId = when(col("event_type") === "signup", col("event_id"))
+      val sigTs = when(col("event_type") === "signup", col("ts"))
+      e.withColumn("back_id", last(sigId, ignoreNulls = true).over(wb))
+        .withColumn("back_ts", last(sigTs, ignoreNulls = true).over(wb))
+        .withColumn("fwd_id", first(sigId, ignoreNulls = true).over(wf))
+        .withColumn("fwd_ts", first(sigTs, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_signup_id",
+          when(col("back_id").isNull, col("fwd_id"))
+            .when(col("fwd_id").isNull, col("back_id"))
+            .when(unix_micros(col("ts")) - unix_micros(col("back_ts")) <=
+              unix_micros(col("fwd_ts")) - unix_micros(col("ts")), col("back_id"))
+            .otherwise(col("fwd_id")))
+        .select(col("event_id"), col("user_id"), col("nearest_signup_id"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CASE WHEN back_id IS NULL THEN fwd_id
+           |       WHEN fwd_id IS NULL THEN back_id
+           |       WHEN (ts - back_ts) <= (fwd_ts - ts) THEN back_id
+           |       ELSE fwd_id END AS nearest_signup_id
+           |FROM (
+           | SELECT event_id, user_id, event_type, ts,
+           |  last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS) OVER wb AS back_id,
+           |  last_value(CASE WHEN event_type='signup' THEN ts END IGNORE NULLS) OVER wb AS back_ts,
+           |  first_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS) OVER wf AS fwd_id,
+           |  first_value(CASE WHEN event_type='signup' THEN ts END IGNORE NULLS) OVER wf AS fwd_ts
+           | FROM events
+           | WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |        wf AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           |) t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qProject, qFilter,
-    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jCross,
+    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jAsofNearest, jCross,
     aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets,
     aGroupingId, aUdaf,
     wRowNumber, wRankDense, wLagLead, wFrameRows, wFrameRange, wNtile,
