@@ -213,5 +213,32 @@ object AnalyticsExtQ {
            |  COUNT(*) AS n_types
            |FROM pt GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini)
+  /** Market-basket co-occurrence (the association-rule support count):
+    * part pairs appearing in the same order, counted corpus-wide, top-20
+    * by support. The self-join is an EQUI-join on the order key, so the
+    * pair fan-out per order is bounded by the order's line count (≤ 7 in
+    * TPC-H data — a schema property, not a data-size property): pairs
+    * grow linearly with orders, never quadratically with parts. The
+    * distinct (order, part) grain is materialized once — it feeds both
+    * self-join sides and Catalyst would otherwise re-derive it per side. */
+  val xCopurchase: Q = Q(
+    "x_copurchase",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+           |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+           |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
+    xCopurchase)
 }
