@@ -92,21 +92,33 @@ object MultimodalQ {
     * A blob spanning a boundary starts in the shard where its first
     * byte lands; shards overfill by at most one blob.
     *
-    * Scale: the source split is the parallel unit (one running sum per
-    * split, no global state); only (source, doc_id, size) triples flow
-    * through the window — never the blob bytes. */
+    * Scale: only (source, doc_id, size) triples flow through the prefix
+    * — never the blob bytes — and the per-source running sum goes
+    * through [[graft.ops.DistributedPrefix]] doc_id-range blocks rather
+    * than `Window.partitionBy(source)`: source cardinality is a corpus
+    * property (20 here), not a data-size property, so a plain per-source
+    * window would cap parallelism at n_sources while the per-source
+    * grain grows with the data — the a_weighted_median class of
+    * scale-killer. Blocked, the window grain is (source, doc_id-range)
+    * and scales horizontally. */
   val mmShardPack: Q = Q(
     "mm_shard_pack",
     (spark, dir) => {
       val budget = 4096L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables(spark, dir, "documents")
+      val sized = Tables(spark, dir, "documents")
         .select(col("source"), col("doc_id"),
           length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"))
-        .withColumn("cum", sum(col("size_bytes")).over(w))
+      val bounds = sized.agg(
+        min(col("doc_id")).as("blo"), max(col("doc_id")).as("bhi"))
+      graft.ops.DistributedPrefix.runningSum(
+          sized.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("doc_id"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("doc_id")),
+          value = col("size_bytes"),
+          out = "cum",
+          groupCols = Seq("source"))
         .withColumn("shard_id", expr(s"(cum - size_bytes) div $budget"))
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_blobs"), sum(col("size_bytes")).as("shard_bytes"))

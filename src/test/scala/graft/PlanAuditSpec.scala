@@ -384,6 +384,19 @@ class PlanAuditSpec extends SparkSpec {
     boundedGlobalWindows("e_quantize_bins")
   }
 
+  test("shard packing blocks by doc_id range — window keyed past the 20-source grain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    boundedGlobalWindows("mm_shard_pack")
+    // Source cardinality is a corpus property (20), not a data-size
+    // property: a window partitioned ONLY by source caps the cumsum at
+    // n_sources tasks while the per-source grain grows with the data.
+    // The DistributedPrefix shape keys every window by (source, block).
+    val plan = SparkEntry.queries("mm_shard_pack")(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.size >= 2),
+      s"mm_shard_pack: a window keyed by source alone reappeared:\n$plan")
+  }
+
   test("running-distinct outer window runs over the day grain, not raw events") {
     windowOverAggregatedGrain("w_running_distinct")
   }
