@@ -111,19 +111,45 @@ object TrainPrepQ {
     * ratios of exact integers — bit-identical doubles. The quantile-
     * position shape used to threshold corpora ("keep the top X% by
     * quality score") without materializing a global sort.
+    *
+    * The ordering key (price_cents, o_orderkey) is UNIQUE within a
+    * priority class, so there are no window peers and both positions
+    * reduce to the running row count: cd = rn/n, pr = (rn-1)/(n-1) —
+    * the same exact-integer divisions `cume_dist()`/`percent_rank()`
+    * compute. That lets the rank come from a
+    * [[graft.ops.DistributedPrefix]] price-range-blocked running count
+    * instead of `Window.partitionBy(priority)`: priority cardinality is
+    * a schema property (5 values), so the plain window would sort each
+    * class's sf-proportional rows in one task; blocked, the grain is
+    * (priority, price-range) and the group sizes are a 5-row broadcast.
     */
   val wCumeDist: Q = Q(
     "w_cume_dist",
     (spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("price_cents"), col("o_orderkey"))
-      Tables(spark, dir, "orders")
+      val base = Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           graft.ops.ColumnOps.cents(col("o_totalprice")).as("price_cents"))
         .filter(col("o_orderkey") % 19 === 0)
-        .withColumn("cd", cume_dist().over(w))
-        .withColumn("pr", percent_rank().over(w))
+        .localCheckpoint() // feeds the prefix, bounds, and group sizes
+      val bounds = base.agg(
+        min(col("price_cents")).as("blo"), max(col("price_cents")).as("bhi"))
+      val sizes = base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"))
+      graft.ops.DistributedPrefix.runningSum(
+          base.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("price_cents"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("price_cents"), col("o_orderkey")),
+          value = lit(1L),
+          out = "rn",
+          groupCols = Seq("o_orderpriority"))
+        .join(broadcast(sizes), Seq("o_orderpriority"))
+        .withColumn("cd", col("rn").cast("double") / col("__n").cast("double"))
+        .withColumn("pr", when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("rn") - 1L).cast("double") / (col("__n") - 1L).cast("double")))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+          col("cd"), col("pr"))
         .orderBy("o_orderpriority", "price_cents", "o_orderkey")
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
@@ -210,21 +236,34 @@ object TrainPrepQ {
     * packs (1024 tokens) per source shard — pack_id = floor(running token
     * cumsum / budget), the deterministic first-fit-in-order approximation
     * (a doc spanning a boundary starts the next pack; no splitting).
-    * One window per shard; at 100 TB shards are the parallel unit and
-    * each pack assignment is a per-shard running sum — no global state.
-    * Output: per-pack doc count and token fill (packs overfill by at most
-    * one document, the no-split tradeoff).
+    * The per-source running sum goes through
+    * [[graft.ops.DistributedPrefix]] doc_id-range blocks (same
+    * discipline as `mm_shard_pack`): source cardinality is a corpus
+    * property, so a source-keyed window would cap the cumsum at
+    * n_sources tasks while each source's doc count grows with the data.
+    * Blocked, the window grain is (source, doc_id-range) and the pack
+    * assignment scales horizontally with no global state. Output:
+    * per-pack doc count and token fill (packs overfill by at most one
+    * document, the no-split tradeoff).
     */
   val tSeqPack: Q = Q(
     "t_seq_pack",
     (spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables(spark, dir, "documents")
+      val sized = Tables(spark, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      val bounds = sized.agg(
+        min(col("doc_id")).as("blo"), max(col("doc_id")).as("bhi"))
+      graft.ops.DistributedPrefix.runningSum(
+          sized.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("doc_id"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("doc_id")),
+          value = col("n_tok"),
+          out = "cum",
+          groupCols = Seq("source"))
+        .withColumn("tok_before", col("cum") - col("n_tok"))
         .withColumn("pack_id", (col("tok_before") / 1024L).cast("long"))
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))

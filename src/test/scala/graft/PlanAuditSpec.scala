@@ -384,17 +384,20 @@ class PlanAuditSpec extends SparkSpec {
     boundedGlobalWindows("e_quantize_bins")
   }
 
-  test("shard packing blocks by doc_id range — window keyed past the 20-source grain") {
+  test("group prefixes block by value range — windows keyed past the constant group grain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    boundedGlobalWindows("mm_shard_pack")
-    // Source cardinality is a corpus property (20), not a data-size
-    // property: a window partitioned ONLY by source caps the cumsum at
-    // n_sources tasks while the per-source grain grows with the data.
-    // The DistributedPrefix shape keys every window by (source, block).
-    val plan = SparkEntry.queries("mm_shard_pack")(spark, dir).queryExecution.optimizedPlan
-    val windows = plan.collect { case w: LWindow => w }
-    assert(windows.forall(_.partitionSpec.size >= 2),
-      s"mm_shard_pack: a window keyed by source alone reappeared:\n$plan")
+    // These three run a per-group running sum/count where the group key's
+    // cardinality is a schema/corpus property (20 sources, 5 priorities):
+    // a window partitioned ONLY by the group caps at n_groups tasks while
+    // the per-group grain grows with the data. The DistributedPrefix
+    // shape keys every window by (group, value-range block).
+    for (name <- Seq("mm_shard_pack", "t_seq_pack", "w_cume_dist")) {
+      boundedGlobalWindows(name)
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.forall(_.partitionSpec.size >= 2),
+        s"$name: a window keyed by the constant group alone reappeared:\n$plan")
+    }
   }
 
   test("running-distinct outer window runs over the day grain, not raw events") {
