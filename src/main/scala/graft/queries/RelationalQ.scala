@@ -2,6 +2,7 @@ package graft.queries
 
 import graft._
 import graft.ops.ColumnOps._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -472,13 +473,43 @@ object RelationalQ {
            |   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** ntile(4) by status — computed from a
+    * [[graft.ops.DistributedPrefix]] price-range-blocked running count
+    * rather than `Window.partitionBy(status)`: status cardinality is a
+    * schema property (3 values), so the plain window would sort each
+    * status's sf-proportional rows in one task. The ordering key
+    * (price_cents, o_orderkey) is unique within a status, so the SQL
+    * ntile bucketing (first n mod k buckets take ceil(n/k) rows) is a
+    * closed form of the running row number rn and the group size n —
+    * identical to the window function's assignment. */
   val wNtile: Q = Q(
     "w_ntile",
     (spark, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(cents(col("o_totalprice")), col("o_orderkey"))
-      Tables(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), ntile(4).over(w).as("quartile"))
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("__pc"))
+        .localCheckpoint() // feeds the prefix, bounds, and group sizes
+      val bounds = base.agg(min(col("__pc")).as("blo"), max(col("__pc")).as("bhi"))
+      val sizes = base.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("__n"))
+      // exact for counts < 2^53 (doubles are integral there)
+      def idiv(a: Column, b: Column): Column =
+        floor(a.cast("double") / b.cast("double")).cast("long")
+      val q = idiv(col("__n"), lit(4L)) // floor bucket size
+      val r = col("__n") % 4L           // first r buckets take q+1 rows
+      graft.ops.DistributedPrefix.runningSum(
+          base.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("__pc"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("__pc"), col("o_orderkey")),
+          value = lit(1L),
+          out = "rn",
+          groupCols = Seq("o_orderstatus"))
+        .join(broadcast(sizes), Seq("o_orderstatus"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("rn") <= (q + 1L) * r, idiv(col("rn") - 1L, q + 1L) + 1L)
+            .otherwise(r + idiv(col("rn") - (q + 1L) * r - 1L, q) + 1L)
+            .cast("int").as("quartile"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderstatus,

@@ -96,18 +96,40 @@ object StatsQ {
 
   /** percent_rank / cume_dist. Both engines compute (rank-1)/(n-1) and
     * rank/n as one double division on exact integers — bit-identical; the
-    * micro-scaling makes the compare integral anyway. */
+    * micro-scaling makes the compare integral anyway.
+    *
+    * The ordering key (o_totalprice, o_orderkey) is unique within a
+    * status, so there are no window peers and both positions reduce to
+    * the running row count — computed via a
+    * [[graft.ops.DistributedPrefix]] price-range-blocked running count
+    * instead of `Window.partitionBy(status)` (3 schema values: the plain
+    * window caps at 3 tasks over an sf-proportional grain). */
   val wPercentRank: Q = Q(
     "w_percent_rank",
     (spark, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(spark, dir, "orders")
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint() // feeds the prefix, bounds, and group sizes
+      val bounds = base.agg(
+        min(col("o_totalprice")).as("blo"), max(col("o_totalprice")).as("bhi"))
+      val sizes = base.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("__n"))
+      graft.ops.DistributedPrefix.runningSum(
+          base.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("o_totalprice"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("o_totalprice"), col("o_orderkey")),
+          value = lit(1L),
+          out = "rn",
+          groupCols = Seq("o_orderstatus"))
+        .join(broadcast(sizes), Seq("o_orderstatus"))
         .select(
           col("o_orderkey"),
-          round(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
-          round(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"))
+          round(when(col("__n") === 1L, lit(0.0))
+            .otherwise((col("rn") - 1L).cast("double") / (col("__n") - 1L).cast("double"))
+            * 1000000).cast("long").as("pr_micro"),
+          round(col("rn").cast("double") / col("__n").cast("double") * 1000000)
+            .cast("long").as("cd_micro"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey,

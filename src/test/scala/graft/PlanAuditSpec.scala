@@ -386,12 +386,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("group prefixes block by value range — windows keyed past the constant group grain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    // These three run a per-group running sum/count where the group key's
-    // cardinality is a schema/corpus property (20 sources, 5 priorities):
-    // a window partitioned ONLY by the group caps at n_groups tasks while
-    // the per-group grain grows with the data. The DistributedPrefix
-    // shape keys every window by (group, value-range block).
-    for (name <- Seq("mm_shard_pack", "t_seq_pack", "w_cume_dist")) {
+    // These run a per-group running sum/count where the group key's
+    // cardinality is a schema/corpus property (20 sources, 5 priorities,
+    // 3 statuses): a window partitioned ONLY by the group caps at
+    // n_groups tasks while the per-group grain grows with the data. The
+    // DistributedPrefix shape keys every window by (group, value-range
+    // block); the unique ordering keys make cume_dist/percent_rank/ntile
+    // closed forms of the blocked running count.
+    for (name <- Seq("mm_shard_pack", "t_seq_pack", "w_cume_dist",
+                     "w_ntile", "w_percent_rank")) {
       boundedGlobalWindows(name)
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect { case w: LWindow => w }
