@@ -108,6 +108,7 @@ object MultimodalQ {
       val sized = Tables(spark, dir, "documents")
         .select(col("source"), col("doc_id"),
           length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"))
+        .localCheckpoint() // feeds bounds + both prefix references
       val bounds = sized.agg(
         min(col("doc_id")).as("blo"), max(col("doc_id")).as("bhi"))
       graft.ops.DistributedPrefix.runningSum(

@@ -252,6 +252,7 @@ object TrainPrepQ {
       val sized = Tables(spark, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .localCheckpoint() // feeds bounds + both prefix references
       val bounds = sized.agg(
         min(col("doc_id")).as("blo"), max(col("doc_id")).as("bhi"))
       graft.ops.DistributedPrefix.runningSum(
