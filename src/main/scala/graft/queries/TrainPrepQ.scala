@@ -126,15 +126,20 @@ object TrainPrepQ {
   val wCumeDist: Q = Q(
     "w_cume_dist",
     (spark, dir) => {
+      // NOT checkpointed: a pruned scan + filter re-reads cheaper than a
+      // checkpoint materializes (see w_percent_rank) — rescan per
+      // reference, sizes checkpointed below so bounds reuse its one pass
       val base = Tables(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           graft.ops.ColumnOps.cents(col("o_totalprice")).as("price_cents"))
         .filter(col("o_orderkey") % 19 === 0)
-        .localCheckpoint() // feeds the prefix, bounds, and group sizes
-      val bounds = base.agg(
-        min(col("price_cents")).as("blo"), max(col("price_cents")).as("bhi"))
+      // one pass: per-priority counts carry the price extrema, the global
+      // bounds reduce the 5-row frame (no second scan of base)
       val sizes = base.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("__n"),
+          min(col("price_cents")).as("__mn"), max(col("price_cents")).as("__mx"))
+        .localCheckpoint()
+      val bounds = sizes.agg(min(col("__mn")).as("blo"), max(col("__mx")).as("bhi"))
       graft.ops.DistributedPrefix.runningSum(
           base.crossJoin(broadcast(bounds)),
           block = graft.ops.DistributedPrefix.rangeBucket(

@@ -41,7 +41,17 @@ object ScaleProbe {
     "t_shingle_gen",    // streaming Generator UDTF over f-fold documents
     "j_pit_scd2",       // SCD2 build + PIT join: per-customer history
                         //   grows f-fold (custkey kept, orderkey uniquified)
-    "x_snapshot_diff")  // CDC full-outer diff on f-fold uniquified keys
+    "x_snapshot_diff",  // CDC full-outer diff on f-fold uniquified keys
+    // round 8: the constant-group prefix rewrites — source (20) /
+    // priority (5) / status (3) cardinality stays FIXED under
+    // replication while the per-group grain grows f-fold, so these
+    // curves prove the value-range-blocked running counts scale where
+    // the old group-keyed windows would serialize at n_groups tasks
+    "mm_shard_pack",    // per-source byte cumsum, doc_id-range blocks
+    "t_seq_pack",       // per-source token cumsum, doc_id-range blocks
+    "w_cume_dist",      // cd/pr via blocked running count (5 priorities)
+    "w_ntile",          // ntile closed form over blocked rn (3 statuses)
+    "w_percent_rank")   // pr/cd closed form over blocked rn (3 statuses)
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
@@ -54,8 +64,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     factors.foreach { f =>
-      // v2: lineitem carries returnflag/quantity, orders added (round 8)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_v2_${f}x"
+      // v3: orders carries o_orderpriority for the w_cume_dist probe
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_scaleprobe_v3_${f}x"
       if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
         graft.Tables(spark, srcDir, "documents")
           .crossJoin(spark.range(f).select(col("id").as("copy")))
@@ -99,11 +109,11 @@ object ScaleProbe {
         // snapshot-diff join key space also grows f-fold
         graft.Tables(spark, srcDir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            col("o_orderdate"), col("o_totalprice"))
+            col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
           .crossJoin(spark.range(f).select(col("id").as("copy")))
           .select((col("o_orderkey") * f + col("copy")).as("o_orderkey"),
             col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
-            col("o_totalprice"))
+            col("o_totalprice"), col("o_orderpriority"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$dir/orders.parquet")
       }
