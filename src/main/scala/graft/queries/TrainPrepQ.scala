@@ -378,6 +378,50 @@ object TrainPrepQ {
            |    // GREATEST(domain_tokens, 1) AS keep_bp
            |FROM s, t ORDER BY source""".stripMargin))
 
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality-model scoring pass every curated corpus runs (CCNet,
+    * FineWeb-Edu): token → feature index by hashing into a fixed 4096-dim
+    * space, score = Σ weight(feature), accept = score > 0. The weight
+    * table stands in for trained parameters (deterministic integer stub
+    * in milli-units — this container trains nothing), but the plan is the
+    * real deployment shape: the MODEL IS A BROADCAST JOIN. A 4096-row
+    * weight table broadcasts to every executor and the corpus side stays
+    * one explode → hash → map-side hash-probe → per-doc partial sum; at
+    * 100 TB the only shuffle is the doc-grain aggregate, and a
+    * million-row embedding/weight table broadcasts the same way. Exact
+    * integer weights end to end — the score hash-matches bit-for-bit. */
+  val tQualityClf: Q = Q(
+    "t_quality_clf",
+    (spark, dir) => {
+      val weights = spark.range(4096).select(col("id").as("fidx"),
+        ((col("id") * 2654435761L) % 2001L - 1000L).as("w_milli"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+        .select(col("doc_id"),
+          ((graft.ops.TextHash.polyHash(rpad(col("tok"), 4, "x"), 4)
+            + length(col("tok")) * 7L) % 4096L).as("fidx"))
+        .join(broadcast(weights), Seq("fidx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_milli")).as("score_milli"))
+        .withColumn("accept", (col("score_milli") > 0L).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, t.tok FROM documents,
+            |    LATERAL UNNEST(string_split(text, ' ')) AS t(tok)
+            |  WHERE length(t.tok) > 0),
+            |f AS (SELECT doc_id,
+            |    (${graft.ops.TextHash.polyHashSql("rpad(tok, 4, 'x')", 4)}
+            |     + length(tok) * 7) % 4096 AS fidx FROM tok),
+            |w AS (SELECT i AS fidx, (i * 2654435761) % 2001 - 1000 AS w_milli
+            |      FROM range(4096) AS r(i))
+            |SELECT doc_id, COUNT(*) AS n_toks,
+            |  CAST(SUM(w.w_milli) AS BIGINT) AS score_milli,
+            |  CAST(CASE WHEN SUM(w.w_milli) > 0 THEN 1 ELSE 0 END AS BIGINT) AS accept
+            |FROM f JOIN w USING (fidx)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
-    sMixWeighted, tSeqPack, tRepetition, sDomainBudget)
+    sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf)
 }
