@@ -360,6 +360,49 @@ object SimilarityQ {
            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos8_micro
            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
 
+  /** One distributed power-iteration step — the matrix-free spectral
+    * primitive under PCA/top-eigenvector embedding analytics: for the
+    * Gram matrix G = AᵀA of the (row-quantized) embedding matrix A,
+    * compute G·v₀ = Σᵢ (aᵢ·v₀)·aᵢ without ever materializing G. Two
+    * map-side passes fused into one plan: the per-row scalar s = aᵢ·v₀
+    * (codegen'd LongVecDot against the broadcast-literal v₀), then
+    * posexplode streams (dim, qᵢₘ·s) pairs into a 64-group partial-sum
+    * aggregate — the ONLY shuffle is 64 rows × partitions, at any corpus
+    * size. Iterating (normalize, feed the ray back as v₀) is a driver
+    * loop over this same step. int8 row quantization (sim_sq8_topk's
+    * scheme) keeps every product a long: |c| ≤ 127·64·127·5 and the
+    * corpus sum stays far under 2⁶³ (and under 2⁵³, so the DuckDB
+    * double-list twin is exact too). */
+  val ePowerIter: Q = {
+    val v0 = (0 until 64).map(d => (d * 37 % 11) - 5L)
+    Q(
+      "e_power_iter",
+      (spark, dir) => {
+        val v0col = array(v0.map(lit(_)): _*)
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .filter(col("maxabs") > 0)
+          .withColumn("q8", transform(col("embedding"),
+            x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
+          .withColumn("s", dotL(col("q8"), v0col))
+          .select(col("s"), posexplode(col("q8")).as(Seq("dim", "qv")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(sum(col("qv") * col("s")).as("ray"))
+          .orderBy("dim")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+              |  FROM embeddings),
+              |q AS (SELECT vec_id,
+              |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
+              |  FROM v WHERE maxabs > 0),
+              |s AS (SELECT q8, list_dot_product(q8, ${v0.mkString("[", ", ", "]")}) AS s FROM q),
+              |e AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s)
+              |SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray
+              |FROM e GROUP BY 1 ORDER BY dim""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk)
+    eCentroid, simSq8Topk, ePowerIter)
 }

@@ -51,7 +51,10 @@ object ScaleProbe {
     "t_seq_pack",       // per-source token cumsum, doc_id-range blocks
     "w_cume_dist",      // cd/pr via blocked running count (5 priorities)
     "w_ntile",          // ntile closed form over blocked rn (3 statuses)
-    "w_percent_rank")   // pr/cd closed form over blocked rn (3 statuses)
+    "w_percent_rank",   // pr/cd closed form over blocked rn (3 statuses)
+    "e_power_iter")     // matrix-free Gram·v over f-fold embeddings:
+                        //   explode work grows linearly, shuffle stays
+                        //   64 rows x partitions at any size
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 64)
