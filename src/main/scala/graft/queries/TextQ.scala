@@ -236,5 +236,69 @@ object TextQ {
            |FROM toks t JOIN g USING (tok), tot
            |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore)
+  /** Pointwise-mutual-information word association: for each adjacent
+    * token pair, the lift P(x,y)/(P(x)P(y)) = c_xy·N²/(B·c_x·c_y) —
+    * collocation mining, the classic corpus-statistics step behind
+    * phrase detection (word2vec-style "new_york" merging). All counts
+    * exact integers; the lift is ONE double expression on those integers
+    * with identical operand order in both engines, so the micro-rounded
+    * value hashes bit-for-bit (no log — the consumer can take it). Plan:
+    * two tokenize scans (unigrams + adjacent pairs — same x2 as
+    * t_repetition), vocab-grain count aggregates, two shuffle joins of
+    * the bigram grain against the unigram counts (vocab is sublinear in
+    * corpus size; nothing here is fact-broadcast), totals as one
+    * broadcast row derived from the already-aggregated counts. Min
+    * support 5 + top-20 keeps the output bounded. */
+  val tPmi: Q = Q(
+    "t_pmi",
+    (spark, dir) => {
+      def toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+      val uni = Tables(spark, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds both joins and the N total
+      val nTok = uni.agg(sum(col("c")).as("n_tok"))
+      val pairs = Tables(spark, dir, "documents")
+        .select(toks.as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("x"),
+            element_at(col("l"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .localCheckpoint() // feeds the B total and the join chain
+      val nBig = pairs.agg(sum(col("c_xy")).as("n_big"))
+      pairs.filter(col("c_xy") >= 5)
+        .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+        .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+          col("c_xy"), col("c_x"), col("c_y"),
+          round(col("c_xy").cast("double") * col("n_tok") * col("n_tok")
+            / (col("n_big").cast("double") * col("c_x") * col("c_y"))
+            * 1000000).cast("long").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS l
+           |          FROM documents),
+           |uni AS (SELECT u.tok, COUNT(*) AS c
+           |        FROM t, LATERAL UNNEST(l) AS u(tok) GROUP BY 1),
+           |nt AS (SELECT SUM(c) AS n_tok FROM uni),
+           |pairs AS (SELECT u.x, u.y, COUNT(*) AS c_xy FROM (
+           |    SELECT unnest([{'x': l[i], 'y': l[i+1]} FOR i IN range(1, len(l))]) AS u
+           |    FROM t WHERE len(l) >= 2) GROUP BY 1, 2),
+           |nb AS (SELECT SUM(c_xy) AS n_big FROM pairs)
+           |SELECT p.x || ' ' || p.y AS bigram, p.c_xy,
+           |  ux.c AS c_x, uy.c AS c_y,
+           |  CAST(round(CAST(p.c_xy AS DOUBLE) * nt.n_tok * nt.n_tok
+           |    / (CAST(nb.n_big AS DOUBLE) * ux.c * uy.c) * 1000000) AS BIGINT) AS lift_micro
+           |FROM pairs p
+           |JOIN uni ux ON ux.tok = p.x
+           |JOIN uni uy ON uy.tok = p.y, nt, nb
+           |WHERE p.c_xy >= 5
+           |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
+    tPmi)
 }
