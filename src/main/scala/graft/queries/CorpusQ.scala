@@ -104,5 +104,53 @@ object CorpusQ {
            |SELECT canon_url, COUNT(*) AS n_dupes, MIN(doc_id) AS keeper_doc
            |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin))
 
-  val all: Seq[Q] = Seq(tNormalize, dUrlCanon)
+  /** Strided token-window chunking (RAG / context-window prep): every
+    * document splits into windows of 30 tokens advancing by 20 (10-token
+    * overlap), the standard retrieval-chunking shape; the complement of
+    * t_seq_pack (which packs docs INTO a budget, while this splits docs
+    * OVER one). Pure per-row explode — chunk starts come from a
+    * `sequence` over the token count, the slice/join are array ops on the
+    * one tokenized column; no shuffle, no per-chunk re-tokenization.
+    * Empty documents (and all-space ones) produce no chunks on either
+    * engine because the single candidate start 1 fails `start <= n`.
+    * Output is exact integers + the chunk text itself; the deterministic
+    * output sort is the only exchange. */
+  val tChunkOverlap: Q = Q(
+    "t_chunk_overlap",
+    (spark, dir) => {
+      val W = 30
+      val S = 20
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("l"))
+        .select(col("doc_id"), col("l"), size(col("l")).as("n"))
+        .select(col("doc_id"), col("l"), col("n"),
+          explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(S))).as("start"))
+        .filter(col("start") <= col("n"))
+        .select(
+          col("doc_id"),
+          (((col("start") - 1) / S) + 1).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          least(col("start") + (W - 1), col("n")).cast("long").as("end_tok"),
+          (least(col("start") + (W - 1), col("n")) - col("start") + 1)
+            .cast("long").as("n_tok"),
+          array_join(slice(col("l"), col("start"), lit(W)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+           |  FROM documents),
+           |s AS (SELECT doc_id, l, len(l) AS n,
+           |        unnest(generate_series(1, greatest(len(l), 1), 20)) AS start
+           |      FROM t)
+           |SELECT doc_id,
+           |  CAST((start - 1) // 20 + 1 AS BIGINT) AS chunk_idx,
+           |  CAST(start AS BIGINT) AS start_tok,
+           |  CAST(least(start + 29, n) AS BIGINT) AS end_tok,
+           |  CAST(least(start + 29, n) - start + 1 AS BIGINT) AS n_tok,
+           |  array_to_string(l[start : least(start + 29, n)], ' ') AS chunk_text
+           |FROM s WHERE start <= n
+           |ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  val all: Seq[Q] = Seq(tNormalize, dUrlCanon, tChunkOverlap)
 }

@@ -299,6 +299,94 @@ object TextQ {
            |WHERE p.c_xy >= 5
            |ORDER BY lift_micro DESC, bigram LIMIT 20""".stripMargin))
 
+  /** BM25 retrieval: top-5 documents per query for a fixed multi-term
+    * query set (k1 = 6/5, b = 3/4). With those rationals the per-term
+    * weight is ln((2N−2df+1)/(2df+1)) · 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    * — every ln/division argument an EXACT integer (N docs, T total
+    * tokens, df, tf, dl), so each engine evaluates the same fixed IEEE
+    * chain and only the ln's last-ulp can differ cross-engine. The
+    * per-document score sums those weights over matched terms via an
+    * ordered fold (array_sort + left fold from 0.0 on both engines), so
+    * equal-profile documents get identical sums within an engine and the
+    * doc_id tiebreak decides consistently; like t_tfidf the score is
+    * ORDERING-ONLY — the output carries exact integers (matched terms,
+    * tf sum, doc length).
+    *
+    * Scale: tf is the checkpointed (doc, tok) grain (feeds df, dl, and
+    * the match join — one tokenize pass, not three); the query table
+    * broadcasts (it is fixed-size by construction); df joins at the
+    * token grain with no broadcast hint (vocabulary may exceed broadcast
+    * limits at corpus scale); corpus totals are one broadcast row. The
+    * rank filter sits directly above a single Window ordered by an
+    * attribute → WindowGroupLimit (map-side per-query top-k). Integer
+    * magnitudes: 22·tf·T stays under 2^53 up to T ≈ 4·10^14 corpus
+    * tokens; beyond that, divide the weight through by T (the ratio
+    * dl·N/T is then the only rational) before widening further. */
+  val tBm25: Q = Q(
+    "t_bm25",
+    (spark, dir) => {
+      import spark.implicits._
+      val queries = Seq(
+        ("q1", "fast"), ("q1", "join"),
+        ("q2", "window"), ("q2", "agg"), ("q2", "scan"),
+        ("q3", "customer"), ("q3", "slow")).toDF("qid", "tok")
+      def toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+      val tf = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds df, dl, and the match join
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+      val termW =
+        log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double")) *
+          (lit(22L) * col("tf") * col("t_tok")).cast("double") /
+          (lit(10L) * col("tf") * col("t_tok") + lit(3L) * col("t_tok") +
+            lit(9L) * col("dl") * col("n_docs")).cast("double")
+      val perDoc = tf.join(broadcast(queries), Seq("tok"))
+        .join(dfreq, Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("s", termW)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("matched"), sum(col("tf")).as("tf_sum"),
+          min(col("dl")).as("dl"),
+          aggregate(array_sort(collect_list(col("s"))), lit(0.0),
+            (acc, x) => acc + x).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      perDoc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn").cast("long").as("rn"), col("doc_id"),
+          col("matched"), col("tf_sum"), col("dl"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH q(qid, tok) AS (VALUES ('q1','fast'), ('q1','join'),
+           |    ('q2','window'), ('q2','agg'), ('q2','scan'),
+           |    ('q3','customer'), ('q3','slow')),
+           |tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+           |          t -> len(t) > 0)) AS tok FROM documents),
+           |t AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+           |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY 1),
+           |l AS (SELECT doc_id, SUM(tf) AS dl FROM t GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tok FROM l),
+           |m AS (SELECT q.qid, t.doc_id, t.tf, l.dl,
+           |        ln(CAST(2*n.n_docs - 2*d.df + 1 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+           |          * CAST(22 * t.tf * n.t_tok AS DOUBLE)
+           |          / CAST(10*t.tf*n.t_tok + 3*n.t_tok + 9*l.dl*n.n_docs AS DOUBLE) AS s
+           |      FROM t JOIN q USING (tok) JOIN d USING (tok) JOIN l USING (doc_id), n),
+           |p AS (SELECT qid, doc_id, COUNT(*) AS matched, SUM(tf) AS tf_sum, MIN(dl) AS dl,
+           |        list_reduce(list_sort(list(s)), (acc, x) -> acc + x) AS score
+           |      FROM m GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, matched, tf_sum, dl,
+           |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+           |      FROM p)
+           |SELECT qid, CAST(rn AS BIGINT) AS rn, doc_id,
+           |  CAST(matched AS BIGINT) AS matched, CAST(tf_sum AS BIGINT) AS tf_sum,
+           |  CAST(dl AS BIGINT) AS dl
+           |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
-    tPmi)
+    tPmi, tBm25)
 }

@@ -482,7 +482,7 @@ class PlanAuditSpec extends SparkSpec {
     * table — the difference between a bounded and an sf-proportional
     * window shuffle at 100 TB. */
   test("rank filter uses WindowGroupLimit (map-side top-k before the window shuffle)") {
-    for (name <- Seq("w_rank_dense", "w_row_number")) {
+    for (name <- Seq("w_rank_dense", "w_row_number", "t_bm25")) {
       val p = executedPlanString(name)
       assert(p.contains("WindowGroupLimit"),
         s"$name's rank filter did not compile to WindowGroupLimit:\n$p")
