@@ -36,10 +36,17 @@ class NanosPushdownSpec extends SparkSpec {
     val saved = spark.experimental.extraOptimizations
     try {
       spark.experimental.extraOptimizations = saved.filterNot(_ eq NanosPushdown)
-      val without = filters.map(f =>
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          .filter(f).count())
+      val without = filters.map { f =>
+        // Mirror Tables.events' schema adaptivity: older driver drops store
+        // ts as TIMESTAMP(NANOS) (read as long), newer ones as timestamp[us]
+        // (read natively) — the spec must not assume either layout.
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        val e2 =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else raw
+        e2.filter(f).count()
+      }
       assert(withRule == without)
       assert(withRule.head > 0) // nonempty — the comparison is meaningful
     } finally spark.experimental.extraOptimizations = saved
