@@ -42,12 +42,18 @@ object Tables {
     }
   }
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a
-    * nanos-since-epoch long (legacy conf, runtime-settable) and convert to
-    * TimestampType at microsecond precision. Integer `div` is mandatory:
-    * ns values (~1.7e18) exceed double's 53-bit mantissa, so a float
-    * divide would corrupt low-order digits.
+  /** events.parquet's ts physical layout has drifted across driver drops:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read as a
+    * timestamp — PARQUET_TYPE_ILLEGAL, so it arrives as a nanos long under
+    * the legacy conf) or plain timestamp[us] (which arrives as
+    * TIMESTAMP_NTZ: isAdjustedToUTC=false). Normalize BOTH to TimestampType
+    * so every downstream query sees one stable type — epoch functions
+    * (`unix_micros`) reject NTZ, and a fleet of 200+ queries must not
+    * care which drop generated the data. All gate sessions run with
+    * session tz UTC, so the NTZ→timestamp cast is the identity on the
+    * wall-clock values DuckDB sees. Integer `div` is mandatory for the
+    * nanos branch: ns values (~1.7e18) exceed double's 53-bit mantissa,
+    * so a float divide would corrupt low-order digits.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,6 +61,8 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      raw.withColumn("ts", expr("cast(ts as timestamp)"))
     else raw
   }
 }
