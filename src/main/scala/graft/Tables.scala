@@ -49,14 +49,20 @@ object Tables {
     * TIMESTAMP_NTZ: isAdjustedToUTC=false). Normalize BOTH to TimestampType
     * so every downstream query sees one stable type — epoch functions
     * (`unix_micros`) reject NTZ, and a fleet of 200+ queries must not
-    * care which drop generated the data. All gate sessions run with
-    * session tz UTC, so the NTZ→timestamp cast is the identity on the
-    * wall-clock values DuckDB sees. Integer `div` is mandatory for the
+    * care which drop generated the data. The session tz is forced to UTC
+    * right here (not just in the gate mains), so the NTZ→timestamp cast
+    * is the identity on the wall-clock values DuckDB sees no matter which
+    * entry point built the session. Integer `div` is mandatory for the
     * nanos branch: ns values (~1.7e18) exceed double's 53-bit mantissa,
     * so a float divide would corrupt low-order digits.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→timestamp cast below interprets the NTZ wall clock in the
+    // session tz; enforce UTC here (not just in gate mains) so every
+    // entry point that touches events — tools included — reads identical
+    // epoch values regardless of the host JVM's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.NanosPushdown.register(spark) // ts predicates stay prunable
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)

@@ -224,7 +224,16 @@ object AnalyticsExtQ {
     * formulation computes the same thing with three shuffles and a
     * materialized join grain — strictly more data movement; the pair
     * aggregate itself, ~900k near-unique pairs at sf0.1, is the
-    * irreducible cost either way.) */
+    * irreducible cost either way.)
+    *
+    * Apriori pruning (drop parts in < s orders before pair emission)
+    * was evaluated and rejected AS MEASURED on this distribution: the
+    * top-20 pair support is 2-3 while every part appears in ≥ 11 orders
+    * (p50 = 30), so the s-frequent-part prune keeps 20000/20000 parts —
+    * an extra count+semi-join pass that filters nothing. It earns its
+    * pass only when min-support ≫ typical per-item frequency (sparse
+    * baskets over a huge catalog); wire it in behind a support
+    * threshold parameter if that workload appears. */
   val xCopurchase: Q = Q(
     "x_copurchase",
     (spark, dir) => {

@@ -130,7 +130,7 @@ object MultimodalQ {
            |c AS (SELECT source, doc_id, size_bytes,
            |  SUM(size_bytes) OVER (PARTITION BY source ORDER BY doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
-           |SELECT source, (cum - size_bytes) // 4096 AS shard_id, COUNT(*) AS n_blobs,
+           |SELECT source, CAST((cum - size_bytes) // 4096 AS BIGINT) AS shard_id, COUNT(*) AS n_blobs,
            |  CAST(SUM(size_bytes) AS BIGINT) AS shard_bytes
            |FROM c GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin))
 

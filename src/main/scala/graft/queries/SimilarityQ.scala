@@ -225,9 +225,13 @@ object SimilarityQ {
 
   /** Unquantized float-path top-k (production ANN scoring shape): raw
     * float32 embeddings scored with the fused double-accumulator dot
-    * product. No SQL oracle — float reduction isn't cross-engine
-    * hash-stable; spec-checked against the quantized ranking instead,
-    * rows-only here. */
+    * product. Oracled on the RANKING only (q_id, rn, neighbor_id — float
+    * scores stay internal): the float score value isn't cross-engine
+    * hash-stable, but the induced ordering is — both engines accumulate
+    * the same float32 inputs in index order into a float64 accumulator,
+    * so the cosine doubles are bit-identical and the row_number ties
+    * break on neighbor_id either way. Float-vs-quantized score agreement
+    * stays pinned by the PlanAuditSpec twin test. */
   val simTopkFloat: Q = Q(
     "sim_topk_float",
     (spark, dir) => {
@@ -246,10 +250,22 @@ object SimilarityQ {
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("rn").cast("long").as("rn"),
-          col("vec_id").as("neighbor_id"), col("cos"))
+          col("vec_id").as("neighbor_id"))
         .orderBy("q_id", "rn")
     },
-    oracle = None)
+    Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+           |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+           |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 2000),
+           |scored AS (SELECT q.q_id, b.vec_id AS neighbor_id,
+           |    list_dot_product(q.q_emb, b.embedding) / sqrt(q.qn2 * b.n2) AS cos
+           |  FROM q JOIN n b ON q.q_id <> b.vec_id),
+           |r AS (SELECT q_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored)
+           |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id
+           |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
 
   /** Brute-force cosine top-k via the TopKPairs bounded-heap Aggregator
     * instead of a window sort: map-side partial aggregation caps every

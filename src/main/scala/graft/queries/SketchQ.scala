@@ -104,5 +104,44 @@ object SketchQ {
     },
     oracle = None)
 
-  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens, aHllMerge)
+  /** EXACT heavy hitters via a Misra–Gries candidate prune (the two-pass
+    * frequent-items pattern): pass 1 folds the token stream into one 2k-long
+    * [[graft.ops.MisraGries]] summary (constant state per partition,
+    * map-side combinable — the shuffle moves ≤128 longs per partition, not
+    * the token grain), whose candidates are a guaranteed SUPERSET of every
+    * token with freq > n/(k+1); pass 2 exact-counts ONLY tokens whose
+    * fingerprint hits the broadcast ≤k candidate set and applies the
+    * threshold exactly. The sketch never decides membership — it only
+    * prunes the exact pass's shuffle from |vocab| to ≤k keys — so the
+    * result equals the plain GROUP BY/HAVING oracle at any scale. At
+    * 100 TB the vocabulary is billions of keys; this shape aggregates k. */
+  val aHeavyHitters: Q = Q(
+    "a_heavy_hitters",
+    (spark, dir) => {
+      val k = 64
+      val toks = Tables(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .localCheckpoint() // feeds sketch pass, total count, and exact pass
+      val mg = udaf(new graft.ops.MisraGries(k))
+      val cands = toks.agg(mg(xxhash64(col("tok"))).as("cand"))
+        .select(explode(col("cand")).as("fp"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks
+        .join(broadcast(cands), xxhash64(col("tok")) === col("fp"), "left_semi")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * (k + 1) > col("n_total")) // exact threshold test
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some("""WITH t AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+           |    x -> len(x) > 0)) AS tok FROM documents),
+           |n AS (SELECT COUNT(*) AS n_total FROM t)
+           |SELECT tok, COUNT(*) AS cnt FROM t
+           |GROUP BY tok HAVING COUNT(*) * 65 > (SELECT n_total FROM n)
+           |ORDER BY cnt DESC, tok""".stripMargin))
+
+  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens, aHllMerge, aHeavyHitters)
 }

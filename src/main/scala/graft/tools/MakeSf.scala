@@ -25,6 +25,7 @@ object MakeSf {
     val out = s"/tmp/graft_sf$f"
     val spark = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC") // NTZ events normalize tz-free
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,13 +14,26 @@ class NanosPushdownSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("ts range filter reaches PushedFilters as raw nanos bounds") {
+  test("ts range filter reaches PushedFilters (raw nanos bounds on long layout)") {
+    // Layout-adaptive like the results test below: only the TIMESTAMP(NANOS)
+    // drop stores ts as a raw long needing the rule; a timestamp[us] drop
+    // pushes plain timestamp bounds natively. Assert pushdown either way,
+    // and raw-long numeric bounds only when the raw schema is LongType.
+    val rawIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
     val e = Tables(spark, dir, "events")
     val f = e.filter(col("ts").between(lit("2024-01-02 00:00:00"), lit("2024-01-05 00:00:00")))
     val plan = planOf(f)
     val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
-    assert(pushed.contains("GreaterThanOrEqual(ts,"), s"no raw lower bound in: $pushed")
-    assert(pushed.contains("LessThanOrEqual(ts,"), s"no raw upper bound in: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), s"no lower bound in: $pushed")
+    assert(pushed.contains("LessThanOrEqual(ts,"), s"no upper bound in: $pushed")
+    if (rawIsLong) {
+      // bounds must be the raw nanos longs, not timestamp strings
+      assert("GreaterThanOrEqual\\(ts,\\d+\\)".r.findFirstIn(pushed).isDefined,
+        s"lower bound not a raw long in: $pushed")
+      assert("LessThanOrEqual\\(ts,\\d+\\)".r.findFirstIn(pushed).isDefined,
+        s"upper bound not a raw long in: $pushed")
+    }
   }
 
   test("derived predicates never change results (vs rule disabled)") {

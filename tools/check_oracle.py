@@ -11,6 +11,7 @@ Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
 """
 import sys, os, json, glob, math
 import duckdb
+import pyarrow as pa
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -19,6 +20,31 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon_type(t):
+    """Canonical arrow type name: unify representation-only differences
+    the driver's hash also tolerates (integer/float WIDTH — r8 shipped
+    with e.g. w_row_number's duck int64 vs spark int32 green; string vs
+    large_string; timestamp tz annotation) but keep genuine type-CLASS
+    divergences (int64 vs decimal128 — the DuckDB HUGEINT trap that
+    str()-normalized value compare can't see but the driver's hash can)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{canon_type(f.type)}" for f in t) + ">"
+    return str(t)
 
 def norm(v):
     if isinstance(v, float):
@@ -43,6 +69,13 @@ for name in sorted(oracle):
     dcols, scols = sorted(duck.column_names), sorted(spark.column_names)
     if dcols != scols:
         fail.append((name, f"schema mismatch duck={dcols} spark={scols}"))
+        continue
+    tbad = [(c, canon_type(duck.schema.field(c).type), canon_type(spark.schema.field(c).type))
+            for c in dcols
+            if canon_type(duck.schema.field(c).type) != canon_type(spark.schema.field(c).type)]
+    if tbad:
+        fail.append((name, "type mismatch " + "; ".join(
+            f"{c}: duck={dt} spark={st}" for c, dt, st in tbad)))
         continue
     drows = sorted(tuple(norm(r[c]) for c in dcols) for r in duck.to_pylist())
     srows = sorted(tuple(norm(r[c]) for c in scols) for r in spark.to_pylist())
