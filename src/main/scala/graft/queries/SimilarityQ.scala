@@ -419,6 +419,95 @@ object SimilarityQ {
               |FROM e GROUP BY 1 ORDER BY dim""".stripMargin))
   }
 
+  /** Chained power iteration WITH DEFLATION — the second-eigendirection
+    * primitive on top of [[ePowerIter]]'s matrix-free step, kept exact
+    * end-to-end so the DuckDB twin hash-matches:
+    *
+    *   1. r₁ = G·v₀ (identical 64-row prefix-sum shape to e_power_iter);
+    *   2. v₁ = round(7·r₁/‖r₁‖∞) — a 3-bit requantization of the first
+    *      ray. Integer re-scale keeps every later product a small long
+    *      AND is the step that lets the chain iterate at any corpus
+    *      size: ray magnitudes grow with n, the requantized probe never
+    *      does;
+    *   3. deflate a second fixed probe u₀ EXACTLY in integers:
+    *      u = (v₁·v₁)·u₀ − (u₀·v₁)·v₁ — orthogonal to v₁ by
+    *      construction (no float normalization anywhere), |u| ≤ 31 376;
+    *   4. r₂ = G·u — the power step in the deflated complement.
+    *
+    * The chain is fully distributed: each pass is the same
+    * posexplode → 64-group partial-sum aggregate (the only data-sized
+    * shuffles move 64 rows × partitions), and the inter-pass state (one
+    * 64-long ray) moves as a one-row broadcast cross join, never a
+    * collect. Overflow headroom: per-row |q·s₂·q| ≤ 3.3e10, so the
+    * BIGINT sums hold to ~3e8 embedding rows per shard — beyond that,
+    * re-scale v₁ to fewer bits or shard the sum.
+    */
+  val ePowerChain: Q = {
+    val v0 = (0 until 64).map(d => (d * 37 % 11) - 5L)
+    val u0 = (0 until 64).map(d => (d * 29 % 13) - 6L)
+    Q(
+      "e_power_chain",
+      (spark, dir) => {
+        val v0col = array(v0.map(lit(_)): _*)
+        val u0col = array(u0.map(lit(_)): _*)
+        val base = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .filter(col("maxabs") > 0)
+          .withColumn("q8", transform(col("embedding"),
+            x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
+          .select(col("vec_id"), col("q8"))
+          .localCheckpoint() // feeds both power passes
+        val r1 = base
+          .withColumn("s", dotL(col("q8"), v0col))
+          .select(col("s"), posexplode(col("q8")).as(Seq("dim", "qv")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(sum(col("qv") * col("s")).as("ray1"))
+        val probe = r1
+          .agg(sort_array(collect_list(struct(col("dim"), col("ray1")))).as("rs"))
+          .select(transform(col("rs"), s => s.getField("ray1")).as("rays"))
+          .withColumn("mx", array_max(transform(col("rays"), x => abs(x.cast("double")))))
+          .withColumn("v1", transform(col("rays"),
+            x => round(x.cast("double") * 7.0 / col("mx")).cast("long")))
+          .withColumn("vv", dotL(col("v1"), col("v1")))
+          .withColumn("uv", dotL(col("v1"), u0col))
+          .select(zip_with(col("v1"), u0col,
+            (a, b) => col("vv") * b - col("uv") * a).as("u"))
+        val r2 = base
+          .crossJoin(broadcast(probe))
+          .withColumn("s2", dotL(col("q8"), col("u")))
+          .select(col("s2"), posexplode(col("q8")).as(Seq("dim", "qv")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(sum(col("qv") * col("s2")).as("ray2"))
+        r1.join(r2, "dim").select(col("dim"), col("ray1"), col("ray2")).orderBy("dim")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+              |  FROM embeddings),
+              |q AS (SELECT vec_id,
+              |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
+              |  FROM v WHERE maxabs > 0),
+              |s1 AS (SELECT q8, list_dot_product(q8, ${v0.mkString("[", ", ", "]")}) AS s FROM q),
+              |e1 AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s1),
+              |r1 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray1
+              |  FROM e1 GROUP BY 1),
+              |vec AS (SELECT list(ray1 ORDER BY dim) AS rays FROM r1),
+              |m AS (SELECT rays, list_max(list_transform(rays, x -> abs(CAST(x AS DOUBLE)))) AS mx
+              |  FROM vec),
+              |p1 AS (SELECT list_transform(rays, x -> round(CAST(x AS DOUBLE) * 7.0 / mx)) AS v1
+              |  FROM m),
+              |p2 AS (SELECT v1, list_dot_product(v1, v1) AS vv,
+              |    list_dot_product(v1, ${u0.mkString("[", ", ", "]")}) AS uv FROM p1),
+              |p3 AS (SELECT [vv * (${u0.mkString("[", ", ", "]")})[i+1] - uv * v1[i+1]
+              |    FOR i IN range(len(v1))] AS u FROM p2),
+              |s2 AS (SELECT q.q8, list_dot_product(q.q8, p3.u) AS s FROM q, p3),
+              |e2 AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s2),
+              |r2 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray2
+              |  FROM e2 GROUP BY 1)
+              |SELECT r1.dim AS dim, r1.ray1, r2.ray2 FROM r1 JOIN r2 ON r1.dim = r2.dim
+              |ORDER BY r1.dim""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk, ePowerIter)
+    eCentroid, simSq8Topk, ePowerIter, ePowerChain)
 }

@@ -147,6 +147,71 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** Incremental span-level dedup via transformWithState — the streaming
+    * twin of the batch `d_span_dedup` query: documents arrive as a
+    * stream, each is cut into the SAME 8-token spans with the SAME md5
+    * digests, and a span is a duplicate iff its digest was already
+    * claimed by an earlier span ANYWHERE in the stream's history. State
+    * is keyed by digest (hash-partitioned — the corpus-wide digest table
+    * shards across executors' RocksDB stores, exactly how the batch
+    * query's digest-grain shuffle scales), one packed first-owner long
+    * per digest. Within a batch, ties resolve by the packed
+    * (doc_id, span_idx) key — so replaying a corpus in doc_id order
+    * yields bit-identical verdicts to the batch query's min-key
+    * attribution no matter where the micro-batch boundaries fall
+    * (StreamingSpanDedupSpec pins this equivalence). Per-span verdicts
+    * are emitted append-mode; per-doc rollups are a stateless downstream
+    * aggregation.
+    */
+  def spanVerdicts(docs: Dataset[DocIn]): Dataset[SpanVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { d =>
+        val toks = d.text.split(" ").filter(_.nonEmpty)
+        toks.grouped(8).zipWithIndex.map { case (g, i) =>
+          SpanIn(d.doc_id, i.toLong, org.apache.commons.codec.digest.DigestUtils.md5Hex(g.mkString(" ")))
+        }
+      }
+      .groupByKey(_.dg)
+      .transformWithState(new SpanDedupProcessor, TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** Streaming span-dedup input document. */
+final case class DocIn(doc_id: Long, text: String)
+
+/** One span of a streamed document (8 whitespace tokens, md5 digest). */
+final case class SpanIn(doc_id: Long, span_idx: Long, dg: String)
+
+/** Verdict for one span: dup=false iff this span is the digest's first
+  * occurrence in stream history (batch-tie broken by packed key). */
+final case class SpanVerdict(doc_id: Long, span_idx: Long, dup: Boolean)
+
+private final class SpanDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SpanIn, SpanVerdict] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  // Packed first-owner key (doc_id * 2^32 + span_idx) — same packing and
+  // same 2^32 span bound as the batch query's min-key attribution.
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long](
+      "firstOwner", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(dg: String, rows: Iterator[SpanIn],
+                               timerValues: TimerValues): Iterator[SpanVerdict] = {
+    val sorted = rows.toArray.sortBy(s => s.doc_id * 4294967296L + s.span_idx)
+    val claimed = owner.exists()
+    if (!claimed && sorted.nonEmpty) {
+      val f = sorted.head
+      owner.update(f.doc_id * 4294967296L + f.span_idx)
+    }
+    sorted.iterator.zipWithIndex.map { case (s, i) =>
+      SpanVerdict(s.doc_id, s.span_idx, dup = claimed || i > 0)
+    }
+  }
 }
 
 /** Running per-user aggregate emitted by [[StreamingOps.runningTotals]]. */
