@@ -495,4 +495,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?s)Window \\[".r.findAllIn(p).size == 1,
       s"w_rank_dense's rank+dense_rank must collapse into one Window node:\n$p")
   }
+
+  /** The Misra–Gries sketch pass must partial-aggregate map-side (the
+    * shuffle moves ≤2k-long summaries per partition, not the token
+    * grain) and the exact pass must prune via a broadcast semi join
+    * against the ≤k candidates — never shuffle the full vocabulary. */
+  test("a_heavy_hitters sketches map-side and broadcast-prunes the exact pass") {
+    val p = executedPlanString("a_heavy_hitters")
+    assert(p.contains("partial_misragries"),
+      s"MG sketch did not partial-aggregate before the shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact pass is not a broadcast semi join against the candidates:\n$p")
+  }
+
+  /** The power chain's inter-pass state (one 64-long ray) must move as a
+    * one-row broadcast — no collect in the plan, and every aggregate is
+    * partial+final so each pass's only shuffle is 64 rows/partition. */
+  test("e_power_chain broadcasts the inter-pass ray and partial-aggregates both passes") {
+    val p = executedPlanString("e_power_chain")
+    assert(p.contains("BroadcastExchange"), s"probe row did not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"ray aggregation is not partial+final:\n$p")
+    assert(!p.contains("CollectLimit"), s"driver-side collect crept into the chain:\n$p")
+  }
 }
