@@ -508,6 +508,89 @@ object SimilarityQ {
               |ORDER BY r1.dim""".stripMargin))
   }
 
+  /** Product-quantization ANN (the FAISS-style ADC scale path): 64-dim
+    * vectors split into 8 subvectors of 8 dims, each encoded as the
+    * nearest sampled codeword (ties by codeword index) — the scanned
+    * representation shrinks from 256 B of floats to 8 small codes.
+    * Query scoring is ASYMMETRIC DISTANCE: a per-(query, subspace,
+    * codeword) dot-product LUT is broadcast and joined against the code
+    * table, so the score pass reads codes and adds LUT entries — no
+    * float vector ever moves after encoding. At 100 TB this is the
+    * difference between scanning the corpus's embeddings and scanning
+    * ~3% of their bytes. Everything is exact-integer (round(x·1000)
+    * grid, codebook sampled at vec_id % 13 from the fixed cohort), so
+    * the DuckDB twin hash-matches, and min(struct) / row_number
+    * tie-breaks agree by construction.
+    *
+    * Measured recall@5 vs the exact dot ranking on THIS corpus: 0.37
+    * (39 codewords/subspace at sf0.01) — the synthetic embeddings are
+    * near-uniform random unit vectors, the worst case for any trained
+    * or sampled quantizer (no cluster structure to exploit; a Lloyd
+    * iteration was measured at +0.05 and not worth the extra passes).
+    * On clustered real-corpus embeddings the same machinery recovers
+    * the usual PQ recall; what the oracle pins here is the exact
+    * code/LUT/ADC relational mechanics, not the data-dependent recall
+    * (floor pinned in PlanAuditSpec). */
+  val simPqTopk: Q = Q(
+    "sim_pq_topk",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+      val subs = base
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+          col("qv"))
+        .select(col("vec_id"), col("s"),
+          slice(col("qv"), col("s") * lit(8) + lit(1), lit(8)).as("sub"))
+      val cb = subs.filter(col("vec_id") % 13 === 0 && col("vec_id") < 2000)
+        .select(expr("vec_id div 13").as("j"), col("s").as("cs"), col("sub").as("cw"))
+      val codes = subs
+        .join(broadcast(cb), col("s") === col("cs"))
+        .withColumn("d2", dotL(col("cw"), col("cw")) - lit(2L) * dotL(col("sub"), col("cw")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("j"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.j").as("code"))
+      val lut = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qsub"))
+        .join(broadcast(cb), col("qs") === col("cs"))
+        .select(col("q_id"), col("qs"), col("j"), dotL(col("qsub"), col("cw")).as("dp"))
+      val scores = codes
+        .join(broadcast(lut), col("s") === col("qs") && col("code") === col("j"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dp")).as("adc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adc").desc, col("neighbor_id"))
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn").cast("long").as("rn"),
+          col("neighbor_id"), col("adc"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH q AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+            |sub AS (SELECT vec_id, t.s, qv[t.s*8+1 : t.s*8+8] AS sub
+            |  FROM q, range(8) AS t(s)),
+            |cb AS (SELECT vec_id // 13 AS j, s AS cs, sub AS cw
+            |  FROM sub WHERE vec_id % 13 = 0 AND vec_id < 2000),
+            |codes0 AS (SELECT b.vec_id, b.s, c.j,
+            |    list_dot_product(c.cw, c.cw) - 2*list_dot_product(b.sub, c.cw) AS d2
+            |  FROM sub b JOIN cb c ON b.s = c.cs),
+            |codes AS (SELECT vec_id, s, j AS code FROM (
+            |    SELECT vec_id, s, j,
+            |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+            |    FROM codes0) WHERE rk = 1),
+            |lut AS (SELECT qq.vec_id AS q_id, qq.s AS qs, c.j,
+            |    list_dot_product(qq.sub, c.cw) AS dp
+            |  FROM sub qq JOIN cb c ON qq.s = c.cs
+            |  WHERE qq.vec_id % 25 = 0 AND qq.vec_id < 2000),
+            |sc AS (SELECT l.q_id, cd.vec_id AS neighbor_id, CAST(SUM(l.dp) AS BIGINT) AS adc
+            |  FROM codes cd JOIN lut l ON cd.s = l.qs AND cd.code = l.j
+            |  WHERE l.q_id <> cd.vec_id GROUP BY 1, 2),
+            |r AS (SELECT q_id, neighbor_id, adc,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, neighbor_id) AS rn
+            |  FROM sc)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, adc
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk, ePowerIter, ePowerChain)
+    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk)
 }

@@ -517,4 +517,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"ray aggregation is not partial+final:\n$p")
     assert(!p.contains("CollectLimit"), s"driver-side collect crept into the chain:\n$p")
   }
+
+  /** PQ ANN contracts: codebook and LUT ride broadcasts (the score pass
+    * touches codes + LUT only, never raw vectors), and the quantized
+    * ranking keeps a sane fraction of the exact neighbors on this
+    * worst-case (unclustered) corpus — the data-dependent recall isn't
+    * the contract, but 0 would mean the ADC wiring is broken. */
+  test("sim_pq_topk broadcasts codebook+LUT and keeps recall above the floor") {
+    val p = executedPlanString("sim_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), s"codebook/LUT joins did not broadcast:\n$p")
+    assert(!p.contains("Cartesian"), s"PQ scoring fell back to cartesian:\n$p")
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, dir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim_pq_topk")(spark, dir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact intersect pq).size.toDouble / exact.size
+    assert(overlap >= 0.25, s"PQ recall vs exact only $overlap — ADC wiring suspect")
+  }
 }
