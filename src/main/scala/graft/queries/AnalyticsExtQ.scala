@@ -255,6 +255,49 @@ object AnalyticsExtQ {
            |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
            |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin))
 
+  /** Incremental aggregate maintenance — the pattern that makes a 100 TB
+    * metrics table affordable: history is stored as per-(user, day)
+    * ALGEBRAIC partials (count/sum/min/max — each mergeable by the same
+    * function), and a new day's delta is folded in by merging partials,
+    * never by re-scanning history. This query materializes both layers
+    * from events (history = days before the cut pre-aggregated to the
+    * daily grain, delta = the tail) and asserts the load-bearing
+    * equality by construction: merged partials ≡ the flat GROUP BY over
+    * all events, which is exactly what the oracle recomputes. Derived
+    * measures (avg) come AFTER the merge from the algebraic parts —
+    * deriving before merging is the classic incremental-view bug.
+    * Integer micro-units end-to-end; avg via truncating integer div
+    * (identical semantics in Spark `div` and DuckDB `//`). */
+  val xIncAgg: Q = Q(
+    "x_inc_agg",
+    (spark, dir) => {
+      val cut = "2024-01-20 00:00:00"
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 1e6).cast("long").as("val_micro"))
+      val dailyHist = ev.filter(col("ts") < lit(cut))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("val_micro")).as("s"),
+          min(col("val_micro")).as("mn"), max(col("val_micro")).as("mx"))
+      val delta = ev.filter(col("ts") >= lit(cut))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("val_micro")).as("s"),
+          min(col("val_micro")).as("mn"), max(col("val_micro")).as("mx"))
+      dailyHist.drop("day").unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_micro"),
+          min(col("mn")).as("min_micro"), max(col("mx")).as("max_micro"))
+        .withColumn("avg_micro", expr("sum_micro div n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(round(value * 1e6) AS BIGINT) AS val_micro
+           |  FROM events)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |  CAST(SUM(val_micro) AS BIGINT) AS sum_micro,
+           |  MIN(val_micro) AS min_micro, MAX(val_micro) AS max_micro,
+           |  CAST(SUM(val_micro) AS BIGINT) // COUNT(*) AS avg_micro
+           |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase)
+    xCopurchase, xIncAgg)
 }

@@ -176,6 +176,61 @@ object StreamingOps {
       .groupByKey(_.dg)
       .transformWithState(new SpanDedupProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming heavy hitters — [[graft.ops.MisraGries]] summaries as
+    * transformWithState state, keyed by a fingerprint hash bucket (the
+    * trending-tokens pattern): every bucket holds ONE constant-size 2k-long
+    * summary in RocksDB no matter how much stream has passed, and all
+    * copies of a token land in one bucket, so a token with global
+    * frequency > n/(k+1) exceeds its OWN bucket's n_b/(k+1) threshold
+    * (n_b ≤ n) — the per-bucket superset guarantee is strictly sharper
+    * than the global one (StreamingHeavyHittersSpec pins this on replay).
+    * Each batch emits the bucket's current candidates plus a monotone
+    * seen-count, so the freshest summary per bucket is selectable
+    * downstream without ordering assumptions; an exact count over just
+    * the union of candidates (a_heavy_hitters' pass 2) turns the union
+    * into the exact answer at any point in the stream. */
+  def bucketHeavyHitters(toks: Dataset[TokIn], k: Int = 16, buckets: Int = 32): Dataset[BucketHitters] = {
+    import toks.sparkSession.implicits._
+    toks
+      .select(xxhash64(col("tok")).as("fp")).as[Long]
+      .groupByKey(fp => ((fp % buckets) + buckets) % buckets)
+      .transformWithState(new BucketMgProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Streaming heavy-hitter input token. */
+final case class TokIn(tok: String)
+
+/** One bucket's current Misra–Gries candidate fingerprints; `seen` is
+  * the bucket's total item count so far (monotone — max(seen) selects
+  * the freshest summary per bucket without ordering assumptions). */
+final case class BucketHitters(bucket: Long, seen: Long, fps: Array[Long])
+
+private final class BucketMgProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, BucketHitters] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val agg = new graft.ops.MisraGries(k)
+  @transient private var summary: ValueState[(Array[Long], Array[Long])] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    summary = getHandle.getValueState[(Array[Long], Array[Long])](
+      "mg", agg.bufferEncoder, TTLConfig.NONE)
+    seen = getHandle.getValueState[Long](
+      "seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(bucket: Long, rows: Iterator[Long],
+                               timerValues: TimerValues): Iterator[BucketHitters] = {
+    var buf = if (summary.exists()) summary.get() else agg.zero
+    var n = if (seen.exists()) seen.get() else 0L
+    rows.foreach { fp => buf = agg.reduce(buf, fp); n += 1 }
+    summary.update(buf)
+    seen.update(n)
+    Iterator.single(BucketHitters(bucket, n, agg.finish(buf)))
+  }
 }
 
 /** Streaming span-dedup input document. */
