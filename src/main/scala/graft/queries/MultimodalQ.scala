@@ -134,5 +134,71 @@ object MultimodalQ {
            |  CAST(SUM(size_bytes) AS BIGINT) AS shard_bytes
            |FROM c GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack)
+  /** Perceptual-hash near-dup over binary blobs — the image-dedup shape
+    * (blockhash/aHash family): a 60-bit fingerprint where bit i says
+    * whether byte-block i's mass exceeds the blob mean (60 blocks × 4
+    * bytes from the blob head; the codec-specific part — decode +
+    * downsample to a fixed grid — is the stubbed step, exactly like
+    * mm_fake_decode), then near-dup = hamming distance ≤ 1.
+    *
+    * Scale path is LSH banding, not all-pairs: the 60 bits split into
+    * 4×15-bit bands and candidates must share one band EXACTLY — by
+    * pigeonhole any pair at hamming ≤ 3 shares a band, so recall for the
+    * ≤1 filter is exact. The only pair-producing join keys on
+    * (band_index, band_value) — hash-partitioned, never cartesian; at
+    * corpus scale the band posting lists bound candidate fan-out the
+    * same way d_simhash's text bands do, but over BINARY features. */
+  val mmPhashNeardup: Q = Q(
+    "mm_phash_neardup",
+    (spark, dir) => {
+      val f = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("bs", expr(
+          """transform(sequence(0, 59), i ->
+            |  aggregate(sequence(1, 4), 0L,
+            |    (acc, k) -> acc + coalesce(ascii(substring(text, i*4+k, 1)), 0)))""".stripMargin))
+        .withColumn("total", expr("aggregate(bs, 0L, (acc, x) -> acc + x)"))
+        .withColumn("fp", expr(
+          """aggregate(sequence(0, 59), 0L, (acc, i) ->
+            |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
+            |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+        .select(col("doc_id"), col("fp"))
+        .localCheckpoint() // both sides of the band join read one fingerprint pass
+      val bands = f.select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("band", expr("(fp >> (15 * j)) & 32767"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.fp").as("fa"), col("b.fp").as("fb"))
+        .distinct()
+      cand
+        .withColumn("ham", expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
+        .filter(col("ham") <= 1)
+        .select(col("doc_a"), col("doc_b"), col("ham"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |  [COALESCE(list_sum(list_transform(range(1, 5),
+           |     k -> COALESCE(ascii(substring(text, CAST(i*4+k AS INT), 1)), 0))), 0)
+           |   FOR i IN range(60)] AS bs
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(list_sum([CASE WHEN bs[i+1]*60 > list_sum(bs)
+           |                      THEN (1::BIGINT << i) ELSE 0 END
+           |                 FOR i IN range(60)]) AS BIGINT) AS fp
+           |  FROM b),
+           |bands AS (SELECT doc_id, fp, j.j AS j, (fp >> (15*j.j)) & 32767 AS band
+           |  FROM f, range(4) AS j(j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.fp AS fa, b.fp AS fb
+           |  FROM bands a JOIN bands b
+           |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS ham
+           |FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack, mmPhashNeardup)
 }

@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(!executedPlanString("sim_lsh_bucket").contains("Cartesian"))
     assert(!executedPlanString("d_lsh_buckets").contains("Cartesian"))
     assert(!executedPlanString("d_minhash_lsh").contains("Cartesian"))
+    assert(!executedPlanString("mm_phash_neardup").contains("Cartesian"))
   }
 
   test("flagship feature pipeline is shuffle-free") {
