@@ -422,6 +422,59 @@ object TrainPrepQ {
             |FROM f JOIN w USING (fidx)
             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Systematic weighted sampling — select ~N docs with probability
+    * proportional to token mass, WITHOUT float randomness: a doc is
+    * picked iff its weight interval [cum − w, cum) on the corpus's
+    * cumulative-token axis contains a multiple of step = W div N (the
+    * classic systematic/PPS rule with a deterministic zero offset). All
+    * integer arithmetic — exact in both engines — and the cumulative
+    * weight runs through [[graft.ops.DistributedPrefix]] doc_id-range
+    * blocks, so there is no single-partition window over the corpus
+    * grain. A doc heavier than step is picked once (not ⌈w/step⌉
+    * times — sampling without replacement), so the planned count is
+    * ≤ N; the corpus total W moves as a one-row broadcast. This is the
+    * token-budget subsampler that sits after quality scoring in a
+    * training-data pipeline: budget expressed as a count, weights as
+    * exact token masses, reproducible across runs and engines. */
+  val sWeightedSample: Q = Q(
+    "s_weighted_sample",
+    (spark, dir) => {
+      val sized = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("cast(size(filter(split(text, ' '), x -> length(x) > 0)) as bigint)")
+            .as("n_tok"))
+        .localCheckpoint() // feeds bounds, total, and the prefix pass
+      val bounds = sized.agg(
+        min(col("doc_id")).as("blo"), max(col("doc_id")).as("bhi"))
+      val total = sized.agg(sum(col("n_tok")).as("w_total"))
+      graft.ops.DistributedPrefix.runningSum(
+          sized.crossJoin(broadcast(bounds)),
+          block = graft.ops.DistributedPrefix.rangeBucket(
+            col("doc_id"), col("blo"), col("bhi"), 64),
+          blockAsc = true,
+          localOrder = Seq(col("doc_id")),
+          value = col("n_tok"),
+          out = "cum")
+        .crossJoin(broadcast(total))
+        .withColumn("step", expr("greatest(w_total div 50, 1L)"))
+        .filter(expr("cum div step > (cum - n_tok) div step"))
+        .select(col("doc_id"), col("n_tok"), col("cum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, n_tok,
+           |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d),
+           |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS w_total FROM d)
+           |SELECT doc_id, n_tok, cum
+           |FROM c, t
+           |WHERE cum // greatest(w_total // 50, 1) >
+           |      (cum - n_tok) // greatest(w_total // 50, 1)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
-    sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf)
+    sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf,
+    sWeightedSample)
 }
