@@ -530,7 +530,12 @@ object SimilarityQ {
     * On clustered real-corpus embeddings the same machinery recovers
     * the usual PQ recall; what the oracle pins here is the exact
     * code/LUT/ADC relational mechanics, not the data-dependent recall
-    * (floor pinned in PlanAuditSpec). */
+    * (floor pinned in PlanAuditSpec).
+    *
+    * ScanAudit note: embeddings ×4 is intentional — one full scan feeds
+    * the encode pass; the codebook and LUT scans carry the pushable
+    * `vec_id < 2000` cohort bound, so parquet row-group stats prune them
+    * to the fixed cohort at any corpus size. */
   val simPqTopk: Q = Q(
     "sim_pq_topk",
     (spark, dir) => {
