@@ -279,7 +279,11 @@ object AnalyticsExtQ {
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), sum(col("val_micro")).as("s"),
           min(col("val_micro")).as("mn"), max(col("val_micro")).as("mx"))
-      val delta = ev.filter(col("ts") >= lit(cut))
+      // Null-safe branch split: a NULL ts fails BOTH `< cut` and `>= cut`
+      // and would silently vanish from the maintained table while the
+      // flat-GROUP-BY oracle (which never touches ts) still counts it.
+      // Route unparseable timestamps to the delta so the partition is total.
+      val delta = ev.filter(coalesce(col("ts") >= lit(cut), lit(true)))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("val_micro")).as("s"),
           min(col("val_micro")).as("mn"), max(col("val_micro")).as("mx"))

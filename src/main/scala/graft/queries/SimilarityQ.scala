@@ -55,6 +55,28 @@ object SimilarityQ {
       .select(col("vec_id"), qvec(col("embedding")).as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
 
+  /** int8 row quantization (q8 = round(x·127/maxabs), zero-norm rows
+    * dropped) — single source of truth for sim_sq8_topk / e_power_iter /
+    * e_power_chain; a scheme change here updates all three Spark plans
+    * AND (via [[q8Cte]]) their DuckDB oracles together. */
+  private def q8Frame(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("maxabs") > 0)
+      .withColumn("q8", transform(col("embedding"),
+        x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
+      .select(col("vec_id"), col("q8"))
+
+  /** DuckDB twin of [[q8Frame]]: CTE pair ending in `q(vec_id, q8)`. */
+  private[queries] val q8Cte: String =
+    """v AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |q AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
+      |  FROM v WHERE maxabs > 0)""".stripMargin
+
   private val cosMicro: Column = {
     val cos = col("dot").cast("double") /
       sqrt(col("qn2").cast("double") * col("bn2").cast("double"))
@@ -331,13 +353,7 @@ object SimilarityQ {
   val simSq8Topk: Q = Q(
     "sim_sq8_topk",
     (spark, dir) => {
-      val b = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .filter(col("maxabs") > 0)
-        .withColumn("q8", transform(col("embedding"),
-          x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
-        .select(col("vec_id"), col("q8"))
+      val b = q8Frame(spark, dir)
         .withColumn("n2", dotL(col("q8"), col("q8")))
       val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("q8").as("q_q8"), col("n2").as("qn2"))
@@ -360,21 +376,16 @@ object SimilarityQ {
           col("vec_id").as("neighbor_id"), col("cos8_micro"))
         .orderBy("q_id", "rn")
     },
-    Some("""WITH v AS (SELECT vec_id, embedding,
-           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-           |  FROM embeddings),
-           |q AS (SELECT vec_id,
-           |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
-           |  FROM v WHERE maxabs > 0),
-           |n AS (SELECT vec_id, q8, list_dot_product(q8, q8) AS n2 FROM q),
-           |p AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
-           |   CAST(round(list_dot_product(a.q8, b.q8) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos8_micro
-           | FROM n a JOIN n b ON a.vec_id % 25 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
-           |r AS (SELECT q_id, neighbor_id, cos8_micro,
-           |   row_number() OVER (PARTITION BY q_id ORDER BY cos8_micro DESC, neighbor_id) AS rn
-           | FROM p)
-           |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos8_micro
-           |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+    Some(s"""WITH $q8Cte,
+            |n AS (SELECT vec_id, q8, list_dot_product(q8, q8) AS n2 FROM q),
+            |p AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+            |   CAST(round(list_dot_product(a.q8, b.q8) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos8_micro
+            | FROM n a JOIN n b ON a.vec_id % 25 = 0 AND a.vec_id < 2000 AND a.vec_id <> b.vec_id),
+            |r AS (SELECT q_id, neighbor_id, cos8_micro,
+            |   row_number() OVER (PARTITION BY q_id ORDER BY cos8_micro DESC, neighbor_id) AS rn
+            | FROM p)
+            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, cos8_micro
+            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
 
   /** One distributed power-iteration step — the matrix-free spectral
     * primitive under PCA/top-eigenvector embedding analytics: for the
@@ -395,27 +406,17 @@ object SimilarityQ {
       "e_power_iter",
       (spark, dir) => {
         val v0col = array(v0.map(lit(_)): _*)
-        Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-          .filter(col("maxabs") > 0)
-          .withColumn("q8", transform(col("embedding"),
-            x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
+        q8Frame(spark, dir)
           .withColumn("s", dotL(col("q8"), v0col))
           .select(col("s"), posexplode(col("q8")).as(Seq("dim", "qv")))
           .groupBy(col("dim").cast("long").as("dim"))
           .agg(sum(col("qv") * col("s")).as("ray"))
           .orderBy("dim")
       },
-      Some(s"""WITH v AS (SELECT vec_id, embedding,
-              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-              |  FROM embeddings),
-              |q AS (SELECT vec_id,
-              |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
-              |  FROM v WHERE maxabs > 0),
+      Some(s"""WITH $q8Cte,
               |s AS (SELECT q8, list_dot_product(q8, ${v0.mkString("[", ", ", "]")}) AS s FROM q),
               |e AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s)
-              |SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray
+              |SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(CAST(u.c AS BIGINT)) AS BIGINT) AS ray
               |FROM e GROUP BY 1 ORDER BY dim""".stripMargin))
   }
 
@@ -450,13 +451,7 @@ object SimilarityQ {
       (spark, dir) => {
         val v0col = array(v0.map(lit(_)): _*)
         val u0col = array(u0.map(lit(_)): _*)
-        val base = Tables(spark, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("maxabs", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-          .filter(col("maxabs") > 0)
-          .withColumn("q8", transform(col("embedding"),
-            x => round(x.cast("double") * 127.0 / col("maxabs")).cast("long")))
-          .select(col("vec_id"), col("q8"))
+        val base = q8Frame(spark, dir)
           .localCheckpoint() // feeds both power passes
         val r1 = base
           .withColumn("s", dotL(col("q8"), v0col))
@@ -481,15 +476,10 @@ object SimilarityQ {
           .agg(sum(col("qv") * col("s2")).as("ray2"))
         r1.join(r2, "dim").select(col("dim"), col("ray1"), col("ray2")).orderBy("dim")
       },
-      Some(s"""WITH v AS (SELECT vec_id, embedding,
-              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-              |  FROM embeddings),
-              |q AS (SELECT vec_id,
-              |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / maxabs)) AS q8
-              |  FROM v WHERE maxabs > 0),
+      Some(s"""WITH $q8Cte,
               |s1 AS (SELECT q8, list_dot_product(q8, ${v0.mkString("[", ", ", "]")}) AS s FROM q),
               |e1 AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s1),
-              |r1 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray1
+              |r1 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(CAST(u.c AS BIGINT)) AS BIGINT) AS ray1
               |  FROM e1 GROUP BY 1),
               |vec AS (SELECT list(ray1 ORDER BY dim) AS rays FROM r1),
               |m AS (SELECT rays, list_max(list_transform(rays, x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -502,7 +492,7 @@ object SimilarityQ {
               |    FOR i IN range(len(v1))] AS u FROM p2),
               |s2 AS (SELECT q.q8, list_dot_product(q.q8, p3.u) AS s FROM q, p3),
               |e2 AS (SELECT unnest([{'dim': i, 'c': q8[i+1] * s} FOR i IN range(len(q8))]) AS u FROM s2),
-              |r2 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(u.c) AS BIGINT) AS ray2
+              |r2 AS (SELECT CAST(u.dim AS BIGINT) AS dim, CAST(SUM(CAST(u.c AS BIGINT)) AS BIGINT) AS ray2
               |  FROM e2 GROUP BY 1)
               |SELECT r1.dim AS dim, r1.ray1, r2.ray2 FROM r1 JOIN r2 ON r1.dim = r2.dim
               |ORDER BY r1.dim""".stripMargin))

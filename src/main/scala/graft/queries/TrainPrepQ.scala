@@ -424,9 +424,12 @@ object TrainPrepQ {
 
   /** Systematic weighted sampling — select ~N docs with probability
     * proportional to token mass, WITHOUT float randomness: a doc is
-    * picked iff its weight interval [cum − w, cum) on the corpus's
-    * cumulative-token axis contains a multiple of step = W div N (the
-    * classic systematic/PPS rule with a deterministic zero offset). All
+    * picked iff its weight interval (cum − w, cum] on the corpus's
+    * cumulative-token axis contains a POSITIVE multiple of
+    * step = W div N (the classic systematic/PPS rule; the implemented
+    * predicate `cum div step > (cum − w) div step` tests exactly this
+    * half-open interval, so the zero boundary never force-selects the
+    * first document). All
     * integer arithmetic — exact in both engines — and the cumulative
     * weight runs through [[graft.ops.DistributedPrefix]] doc_id-range
     * blocks, so there is no single-partition window over the corpus

@@ -19,9 +19,9 @@ class NanosPushdownSpec extends SparkSpec {
     // drop stores ts as a raw long needing the rule; a timestamp[us] drop
     // pushes plain timestamp bounds natively. Assert pushdown either way,
     // and raw-long numeric bounds only when the raw schema is LongType.
+    val e = Tables(spark, dir, "events") // FIRST: sets nanosAsLong so the raw probe below can't crash on a nanos drop
     val rawIsLong = spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val e = Tables(spark, dir, "events")
     val f = e.filter(col("ts").between(lit("2024-01-02 00:00:00"), lit("2024-01-05 00:00:00")))
     val plan = planOf(f)
     val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")

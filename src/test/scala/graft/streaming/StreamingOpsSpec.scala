@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * window finalization under watermark, late-data drop, stateful dedup,
   * and the flatMapGroupsWithState session machine with event-time timeout.
   */
-class StreamingOpsSpec extends SparkSpec {
+class StreamingOpsSpec extends SparkSpec with RocksDbProvider {
 
   private def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
   private def ev(id: Long, min: Long, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
@@ -157,33 +157,23 @@ class StreamingOpsSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    // TWS requires the RocksDB state store; scope the provider switch to
-    // this query and restore whatever the other suites run with.
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[Event]
-    val q = StreamingOps.runningTotals(in.toDS())
-      .writeStream.format("memory").queryName("t_tws").outputMode(OutputMode.Update()).start()
-    try {
-      in.addData(Seq(ev(1, 1, user = 7, v = 1.5), ev(2, 2, user = 7, v = 2.25), ev(3, 3, user = 8, v = 10.0)))
-      q.processAllAvailable()
-      in.addData(Seq(ev(4, 4, user = 7, v = 0.25), ev(5, 5, user = 9, v = 3.0)))
-      q.processAllAvailable()
-      val rows = spark.table("t_tws").as[UserTotal].collect()
-      // batch 1 emissions
-      assert(rows.contains(UserTotal(7L, 2L, 3750000L)), s"batch-1 user 7 missing in ${rows.toSeq}")
-      assert(rows.contains(UserTotal(8L, 1L, 10000000L)))
-      // batch 2: user 7's state carried over (2+1 events, 3.75+0.25 total)
-      assert(rows.contains(UserTotal(7L, 3L, 4000000L)), s"state not carried across batches: ${rows.toSeq}")
-      assert(rows.contains(UserTotal(9L, 1L, 3000000L)))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
+    withRocksDbProvider(spark) {
+      val in = MemoryStream[Event]
+      val q = StreamingOps.runningTotals(in.toDS())
+        .writeStream.format("memory").queryName("t_tws").outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(Seq(ev(1, 1, user = 7, v = 1.5), ev(2, 2, user = 7, v = 2.25), ev(3, 3, user = 8, v = 10.0)))
+        q.processAllAvailable()
+        in.addData(Seq(ev(4, 4, user = 7, v = 0.25), ev(5, 5, user = 9, v = 3.0)))
+        q.processAllAvailable()
+        val rows = spark.table("t_tws").as[UserTotal].collect()
+        // batch 1 emissions
+        assert(rows.contains(UserTotal(7L, 2L, 3750000L)), s"batch-1 user 7 missing in ${rows.toSeq}")
+        assert(rows.contains(UserTotal(8L, 1L, 10000000L)))
+        // batch 2: user 7's state carried over (2+1 events, 3.75+0.25 total)
+        assert(rows.contains(UserTotal(7L, 3L, 4000000L)), s"state not carried across batches: ${rows.toSeq}")
+        assert(rows.contains(UserTotal(9L, 1L, 3000000L)))
+      } finally q.stop()
     }
   }
 }

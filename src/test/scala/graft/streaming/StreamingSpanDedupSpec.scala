@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * corpus be deduped incrementally (new drops stream in) instead of
   * recomputed from scratch, without changing a single verdict.
   */
-class StreamingSpanDedupSpec extends SparkSpec {
+class StreamingSpanDedupSpec extends SparkSpec with RocksDbProvider {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -21,45 +21,36 @@ class StreamingSpanDedupSpec extends SparkSpec {
     import spark2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-
     val docs = graft.Tables(spark, dir, "documents")
       .selectExpr("doc_id", "text").as[DocIn]
       .collect().sortBy(_.doc_id) // replay in doc_id order (see scaladoc)
     val rnd = new scala.util.Random(7L)
 
-    val in = MemoryStream[DocIn]
-    val q = StreamingOps.spanVerdicts(in.toDS())
-      .writeStream.format("memory").queryName("t_span_stream")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      var rest = docs.toList
-      while (rest.nonEmpty) {
-        val take = 1 + rnd.nextInt(40)
-        in.addData(rest.take(take))
-        q.processAllAvailable()
-        rest = rest.drop(take)
-      }
-      val streamed = spark.table("t_span_stream").as[SpanVerdict].collect()
-        .groupBy(_.doc_id)
-        .map { case (id, vs) => (id, vs.length.toLong, vs.count(_.dup).toLong) }
-        .toSet
-      val batch = graft.SparkEntry.queries("d_span_dedup")(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .filter(_._2 > 0) // empty docs emit no streamed spans
-        .toSet
-      assert(streamed == batch,
-        s"stream/batch divergence: onlyStream=${streamed -- batch} onlyBatch=${batch -- streamed}")
-      assert(batch.nonEmpty && batch.exists(_._3 > 0), "fixture has no dup spans — test is vacuous")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
+    withRocksDbProvider(spark) {
+      val in = MemoryStream[DocIn]
+      val q = StreamingOps.spanVerdicts(in.toDS())
+        .writeStream.format("memory").queryName("t_span_stream")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        var rest = docs.toList
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(40)
+          in.addData(rest.take(take))
+          q.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        val streamed = spark.table("t_span_stream").as[SpanVerdict].collect()
+          .groupBy(_.doc_id)
+          .map { case (id, vs) => (id, vs.length.toLong, vs.count(_.dup).toLong) }
+          .toSet
+        val batch = graft.SparkEntry.queries("d_span_dedup")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .filter(_._2 > 0) // empty docs emit no streamed spans
+          .toSet
+        assert(streamed == batch,
+          s"stream/batch divergence: onlyStream=${streamed -- batch} onlyBatch=${batch -- streamed}")
+        assert(batch.nonEmpty && batch.exists(_._3 > 0), "fixture has no dup spans — test is vacuous")
+      } finally q.stop()
     }
   }
 }
