@@ -10,8 +10,13 @@ object SparkEntry {
     * Runs the reference-core semantics (range extraction + rule labeling,
     * SURVEY.md §2.1 R7+R8) over the events table.
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // entry() is an application entry point handed a driver-built session:
+    // configure it the way every graft main does (events NTZ wall clocks
+    // are UTC; Tables.events asserts rather than silently overwriting).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _root_.graft.queries.RefCoreQ.r8RuleLabel.run(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

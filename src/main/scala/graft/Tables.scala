@@ -59,10 +59,12 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ→timestamp cast below interprets the NTZ wall clock in the
-    // session tz; enforce UTC here (not just in gate mains) so every
-    // entry point that touches events — tools included — reads identical
-    // epoch values regardless of the host JVM's zone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // session tz, so events semantics REQUIRE a UTC session. Every graft
+    // entry point (Verify/Bench/SparkEntry.entry/tools/test base) forces
+    // UTC at session construction; this reader only verifies — it must
+    // not silently flip the zone out from under a caller who built a
+    // non-UTC session and already parsed local-time literals elsewhere.
+    requireUtcSession(spark)
     graft.plans.NanosPushdown.register(spark) // ts predicates stay prunable
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
@@ -70,5 +72,23 @@ object Tables {
     else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
       raw.withColumn("ts", expr("cast(ts as timestamp)"))
     else raw
+  }
+
+  /** Fail loudly (rather than silently overwrite) when the session zone
+    * is not UTC-equivalent. Any fixed zero-offset spelling ("UTC",
+    * "Etc/UTC", "Z", "+00:00", "GMT") passes — they all interpret NTZ
+    * wall clocks identically; anything else would silently shift every
+    * events epoch vs the DuckDB oracle.
+    */
+  private[graft] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val utc =
+      try java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+        .getTotalSeconds == 0 && java.time.ZoneId.of(tz).getRules.isFixedOffset
+      catch { case _: java.time.DateTimeException => false }
+    if (!utc) throw new IllegalStateException(
+      s"graft events require a UTC session (spark.sql.session.timeZone=$tz); " +
+        "build the SparkSession with .config(\"spark.sql.session.timeZone\", \"UTC\") " +
+        "as every graft entry point does")
   }
 }

@@ -248,11 +248,15 @@ object SimilarityQ {
   /** Unquantized float-path top-k (production ANN scoring shape): raw
     * float32 embeddings scored with the fused double-accumulator dot
     * product. Oracled on the RANKING only (q_id, rn, neighbor_id — float
-    * scores stay internal): the float score value isn't cross-engine
-    * hash-stable, but the induced ordering is — both engines accumulate
-    * the same float32 inputs in index order into a float64 accumulator,
-    * so the cosine doubles are bit-identical and the row_number ties
-    * break on neighbor_id either way. Float-vs-quantized score agreement
+    * scores stay internal), and the rank key is the cosine rounded to
+    * micro grain (CAST(round(cos*1e6) AS BIGINT)), not the raw double:
+    * the engines' doubles are bit-identical today (same float32 inputs,
+    * index-order float64 accumulation), but ordering on raw doubles
+    * would let a sub-ulp kernel divergence (e.g. a DuckDB pairwise-sum
+    * change) flip a near-tie's row_number and fail the gate spuriously.
+    * With the micro key, only a divergence that straddles a 0.5e-6
+    * rounding boundary could differ, and genuine micro-grain ties break
+    * on neighbor_id in both engines. Float-vs-quantized score agreement
     * stays pinned by the PlanAuditSpec twin test. */
   val simTopkFloat: Q = Q(
     "sim_topk_float",
@@ -267,8 +271,9 @@ object SimilarityQ {
         .withColumn("cos",
           graft.functions.vec_dot_float(col("q_emb"), col("embedding")) /
             sqrt(col("qn2") * col("bn2")))
+        .withColumn("cos_micro", round(col("cos") * 1000000).cast("long"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        .partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("vec_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("q_id"), col("rn").cast("long").as("rn"),
@@ -281,10 +286,10 @@ object SimilarityQ {
            |q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
            |  FROM n WHERE vec_id % 25 = 0 AND vec_id < 2000),
            |scored AS (SELECT q.q_id, b.vec_id AS neighbor_id,
-           |    list_dot_product(q.q_emb, b.embedding) / sqrt(q.qn2 * b.n2) AS cos
+           |    CAST(round(list_dot_product(q.q_emb, b.embedding) / sqrt(q.qn2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
            |  FROM q JOIN n b ON q.q_id <> b.vec_id),
            |r AS (SELECT q_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neighbor_id) AS rn
            |  FROM scored)
            |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id
            |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))

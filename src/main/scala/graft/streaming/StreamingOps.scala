@@ -251,18 +251,26 @@ private final class SpanDedupProcessor
   // same 2^32 span bound as the batch query's min-key attribution.
   @transient private var owner: ValueState[Long] = _
 
+  // The packing is only injective for doc_id < 2^31 and span_idx < 2^32;
+  // beyond that it would silently overflow/collide and corrupt first-owner
+  // attribution, so the bound fails loudly instead.
+  private def pack(s: SpanIn): Long = {
+    require(s.doc_id >= 0 && s.doc_id < (1L << 31),
+      s"doc_id ${s.doc_id} outside packed-key bound [0, 2^31)")
+    require(s.span_idx >= 0 && s.span_idx < (1L << 32),
+      s"span_idx ${s.span_idx} outside packed-key bound [0, 2^32)")
+    s.doc_id * 4294967296L + s.span_idx
+  }
+
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     owner = getHandle.getValueState[Long](
       "firstOwner", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
 
   override def handleInputRows(dg: String, rows: Iterator[SpanIn],
                                timerValues: TimerValues): Iterator[SpanVerdict] = {
-    val sorted = rows.toArray.sortBy(s => s.doc_id * 4294967296L + s.span_idx)
+    val sorted = rows.toArray.sortBy(pack)
     val claimed = owner.exists()
-    if (!claimed && sorted.nonEmpty) {
-      val f = sorted.head
-      owner.update(f.doc_id * 4294967296L + f.span_idx)
-    }
+    if (!claimed && sorted.nonEmpty) owner.update(pack(sorted.head))
     sorted.iterator.zipWithIndex.map { case (s, i) =>
       SpanVerdict(s.doc_id, s.span_idx, dup = claimed || i > 0)
     }

@@ -34,12 +34,13 @@ object SpanStreamProbe {
     // it into a temp landing zone.
     val landing = java.nio.file.Files.createTempDirectory("span_stream_in")
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    if (java.nio.file.Files.isDirectory(src))
-      java.nio.file.Files.list(src).forEach { p =>
+    if (java.nio.file.Files.isDirectory(src)) {
+      val listing = java.nio.file.Files.list(src)
+      try listing.forEach { p =>
         if (p.getFileName.toString.endsWith(".parquet"))
           java.nio.file.Files.copy(p, landing.resolve(p.getFileName))
-      }
-    else java.nio.file.Files.copy(src, landing.resolve("part-0.parquet"))
+      } finally listing.close() // Files.list holds a directory fd until closed
+    } else java.nio.file.Files.copy(src, landing.resolve("part-0.parquet"))
 
     val docs = spark.readStream.schema(schema)
       .parquet(landing.toString)

