@@ -302,6 +302,86 @@ object AnalyticsExtQ {
            |  CAST(SUM(val_micro) AS BIGINT) // COUNT(*) AS avg_micro
            |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** RFM customer segmentation (recency / frequency / monetary), the
+    * classic CRM scoring: per customer the days since their last order,
+    * their order count, and their lifetime spend in exact cents, each
+    * quintile-binned, segment = r·100 + f·10 + m. All three quintiles are
+    * exact ntile(5) semantics WITHOUT a partition-less window over the
+    * growing customer grain: each global rank comes from a
+    * [[graft.ops.DistributedPrefix]] pass (value-range blocks over the
+    * measure, per-block local windows), and ntile falls out of the rank
+    * in closed form — the same conversion that de-scaled
+    * `e_quantize_bins`. Descending measures (frequency, monetary) rank
+    * on the negated value so one ascending prefix primitive serves all
+    * three. Bounds + the reference date ride a single one-row broadcast;
+    * the output is the bounded 125-segment rollup. */
+  val xRfm: Q = Q(
+    "x_rfm",
+    (spark, dir) => {
+      import graft.ops.DistributedPrefix
+      val o = Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+        .localCheckpoint()
+      val bounds = o.agg(count(lit(1)).as("n_total"),
+        max(col("last_d")).as("ref_d"), min(col("last_d")).as("first_d"),
+        min(col("n_orders")).as("flo"), max(col("n_orders")).as("fhi"),
+        min(col("monetary_cents")).as("mlo"), max(col("monetary_cents")).as("mhi"))
+      val m = o.crossJoin(broadcast(bounds))
+        .withColumn("recency_days", datediff(col("ref_d"), col("last_d")).cast("long"))
+        .withColumn("rhi", datediff(col("ref_d"), col("first_d")).cast("long"))
+        .withColumn("neg_f", -col("n_orders"))
+        .withColumn("neg_m", -col("monetary_cents"))
+      val rn1 = DistributedPrefix.runningSum(m,
+        block = DistributedPrefix.rangeBucket(col("recency_days"), lit(0L), col("rhi"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("recency_days"), col("o_custkey")),
+        value = lit(1L), out = "rn_r")
+      val rn2 = DistributedPrefix.runningSum(rn1,
+        block = DistributedPrefix.rangeBucket(col("neg_f"), -col("fhi"), -col("flo"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("neg_f"), col("o_custkey")),
+        value = lit(1L), out = "rn_f")
+      val rn3 = DistributedPrefix.runningSum(rn2,
+        block = DistributedPrefix.rangeBucket(col("neg_m"), -col("mhi"), -col("mlo"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("neg_m"), col("o_custkey")),
+        value = lit(1L), out = "rn_m")
+      // ntile(5) closed form of the global rank rn and row count n: the
+      // first n % 5 bins take one extra row (same expr as e_quantize_bins).
+      def ntile5(rn: String): org.apache.spark.sql.Column = expr(
+        s"""CASE WHEN $rn <= (n_total % 5) * (n_total DIV 5 + 1)
+           |     THEN ($rn + n_total DIV 5) DIV (n_total DIV 5 + 1)
+           |     ELSE n_total % 5
+           |          + ($rn - (n_total % 5) * (n_total DIV 5 + 1)
+           |             + n_total DIV 5 - 1) DIV (n_total DIV 5)
+           |END""".stripMargin).cast("long")
+      rn3.withColumn("segment",
+          ntile5("rn_r") * 100 + ntile5("rn_f") * 10 + ntile5("rn_m"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("monetary_total_cents"))
+        .orderBy("segment")
+    },
+    Some("""WITH o AS (SELECT o_custkey, MAX(o_orderdate) AS last_d,
+           |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+           |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+           |  FROM orders GROUP BY o_custkey),
+           |ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+           |m AS (SELECT o_custkey, date_diff('day', last_d, ref_d) AS recency_days,
+           |    n_orders, monetary_cents FROM o, ref),
+           |sc AS (SELECT o_custkey, monetary_cents,
+           |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_bin,
+           |    CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f_bin,
+           |    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_bin
+           |  FROM m)
+           |SELECT r_bin * 100 + f_bin * 10 + m_bin AS segment,
+           |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+           |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_total_cents
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase, xIncAgg)
+    xCopurchase, xIncAgg, xRfm)
 }

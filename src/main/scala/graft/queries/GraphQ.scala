@@ -134,5 +134,50 @@ object GraphQ {
            |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM d)
            |SELECT n_triangles, n_wedges FROM t, w""".stripMargin))
 
-  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles)
+  /** One label-propagation superstep (community detection's inner loop)
+    * over the same bounded supplier–part cohort graph as [[gPagerank]]:
+    * each node adopts the MODE of its neighbors' labels, ties to the
+    * smallest label. Seed labels are a deterministic 7-bucket hash of
+    * the node id (id % 7) — the semi-supervised-seed shape; counts are
+    * exact integers so the argmax is engine-independent. Scale shape is
+    * pure Pregel-as-relational: edges ⨝ labels on src (one equi-join),
+    * a (node, label) vote count, then a PARTIAL-AGGREGABLE argmax —
+    * max(struct(count, −label)) combines map-side, so no per-node window
+    * and no vote list ever materializes; per superstep the only
+    * fact-sized shuffle is the edge join, same as PageRank's. */
+  val gLabelProp: Q = Q(
+    "g_label_prop",
+    (spark, dir) => {
+      val e0 = Tables(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey") % 80 + lit(1000000L)).cast("long").as("p"))
+        .distinct()
+      val und = e0.select(col("s").as("src"), col("p").as("dst"))
+        .unionAll(e0.select(col("p").as("src"), col("s").as("dst")))
+      val lab = und.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id") % 7)
+      val votes = und.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      votes.groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (col("id") % 7).as("old_lbl"),
+          (-col("m.neg")).as("new_lbl"), col("m.c").as("n_votes"))
+        .orderBy("id")
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+           |    CAST(l_partkey % 80 + 1000000 AS BIGINT) AS p
+           |  FROM lineitem WHERE l_suppkey <= 40),
+           |e AS (SELECT s AS src, p AS dst FROM e0 UNION ALL SELECT p, s FROM e0),
+           |lab AS (SELECT src AS id, src % 7 AS lbl FROM (SELECT DISTINCT src FROM e)),
+           |cnt AS (SELECT e.dst AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM e JOIN lab l ON e.src = l.id GROUP BY e.dst, l.lbl),
+           |win AS (SELECT id, lbl, c,
+           |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk FROM cnt)
+           |SELECT id, CAST(id % 7 AS BIGINT) AS old_lbl, CAST(lbl AS BIGINT) AS new_lbl,
+           |  c AS n_votes
+           |FROM win WHERE rk = 1 ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp)
 }

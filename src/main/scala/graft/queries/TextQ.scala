@@ -387,6 +387,48 @@ object TextQ {
            |  CAST(dl AS BIGINT) AS dl
            |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
 
+  /** One BPE-trainer merge iteration: the adjacent-symbol-pair statistic
+    * that drives byte-pair-encoding tokenizer training. The real trainer
+    * trick is the GRAIN: pair counts come from the frequency-weighted
+    * VOCABULARY (distinct token → corpus count), not from re-scanning the
+    * corpus — one corpus-grain shuffle collapses 100 TB of text to a
+    * vocab-size frame, then per-token char pairs explode a frame bounded
+    * by vocab × token length. A token containing a pair twice contributes
+    * twice its frequency (position explode, not distinct pairs), exactly
+    * like the reference BPE count. Output: top-20 merge candidates by
+    * (weighted count, pair) with the number of distinct vocab types each
+    * merge touches; top-k plans as TakeOrderedAndProject over the
+    * charset²-bounded pair grain, never a global sort. Applying the
+    * winning merge is a replace over the vocab frame — the next
+    * iteration re-runs the same plan on the updated vocab. */
+  val tBpeStep: Q = Q(
+    "t_bpe_step",
+    (spark, dir) => {
+      val vocab = Tables(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("tok")) >= 2)
+        .select(col("tok"), col("freq"),
+          explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+        .select(col("tok"), col("freq"),
+          expr("substr(tok, i, 1)").as("l"), expr("substr(tok, i + 1, 1)").as("r"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("pair_count"), countDistinct(col("tok")).as("n_types"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(20)
+    },
+    Some("""WITH v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY tok),
+           |p AS (SELECT substr(tok, CAST(i AS INTEGER), 1) AS l,
+           |    substr(tok, CAST(i AS INTEGER) + 1, 1) AS r, tok, freq
+           |  FROM v, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+           |  WHERE length(tok) >= 2)
+           |SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count,
+           |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+           |FROM p GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
-    tPmi, tBm25)
+    tPmi, tBm25, tBpeStep)
 }

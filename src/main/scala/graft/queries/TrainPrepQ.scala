@@ -477,7 +477,56 @@ object TrainPrepQ {
            |      (cum - n_tok) // greatest(w_total // 50, 1)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Temperature-scaled domain mixture: the multilingual/multi-source
+    * resampling step (UNIMAX / mT5-style, temperature τ=2 ⇒ α=1/τ=0.5)
+    * that upsamples small domains and downsamples large ones. Per-source
+    * weight w_d = round(sqrt(char mass)·1e6) — sqrt of an integer is a
+    * single correctly-rounded IEEE op, so w_d is bit-identical across
+    * engines and everything downstream is EXACT INTEGER arithmetic: a
+    * fixed budget of 10 000 samples is split by Hamilton's
+    * largest-remainder method (base = 10000·w div W, leftover seats to
+    * the largest remainders, ties to the lexicographically first
+    * source), which is how you allocate an integer budget from real
+    * weights without float drift. Scale shape: one corpus-grain groupBy
+    * to a #sources-row frame; the ranking windows run on that aggregate
+    * (source cardinality is a corpus property, not data-proportional),
+    * and the weight total rides a one-row broadcast. */
+  val sTemperature: Q = Q(
+    "s_temperature",
+    (spark, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val a = Tables(spark, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+        .withColumn("w", round(sqrt(col("mass").cast("double")) * 1000000).cast("long"))
+      val tot = a.agg(sum(col("w")).as("tw"))
+      val b = a.crossJoin(broadcast(tot))
+        .withColumn("weight_ppm", expr("w * 1000000 div tw"))
+        .withColumn("base", expr("10000 * w div tw"))
+        .withColumn("rem", expr("(10000 * w) % tw"))
+      b.withColumn("rk", row_number().over(W.orderBy(col("rem").desc, col("source"))))
+        .withColumn("base_total", sum(col("base")).over(W.partitionBy(lit(1))))
+        .withColumn("alloc",
+          col("base") + when(col("rk") <= lit(10000L) - col("base_total"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("weight_ppm"), col("alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(round(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM a),
+           |b AS (SELECT source, n_docs, w,
+           |    CAST((w * 1000000) // tw AS BIGINT) AS weight_ppm,
+           |    CAST((10000 * w) // tw AS BIGINT) AS base,
+           |    CAST((10000 * w) % tw AS BIGINT) AS rem
+           |  FROM a, t),
+           |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           |    CAST(SUM(base) OVER () AS BIGINT) AS base_total FROM b)
+           |SELECT source, n_docs, weight_ppm,
+           |  CAST(base + CASE WHEN rk <= 10000 - base_total THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           |FROM r ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
     sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf,
-    sWeightedSample)
+    sWeightedSample, sTemperature)
 }

@@ -385,6 +385,32 @@ class PlanAuditSpec extends SparkSpec {
     boundedGlobalWindows("e_quantize_bins")
   }
 
+  test("RFM quintiles block by measure range — no global sort over the customer grain") {
+    boundedGlobalWindows("x_rfm")
+  }
+
+  /** The BPE pair statistic must top-k via TakeOrderedAndProject (map-side
+    * per-partition heaps), never a global sort of the pair grain, and the
+    * pair counts must come from the vocabulary grain — the corpus text
+    * collapses in the FIRST aggregate, so the pair explode is bounded by
+    * vocab × token length, not corpus size. */
+  test("t_bpe_step takes ordered top-k and aggregates at the vocab grain") {
+    val p = executedPlanString("t_bpe_step")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pair top-20 fell back to a global sort:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in the BPE count plan:\n$p")
+  }
+
+  /** Label propagation's argmax must stay a partial-aggregable
+    * max(struct) — map-side combine before the node-grain shuffle — with
+    * no per-node window and no vote-list materialization. */
+  test("g_label_prop argmax partial-aggregates, no per-node window") {
+    val p = executedPlanString("g_label_prop")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"vote argmax is not partial+final:\n$p")
+    assert(!p.contains("Window"), s"per-node window crept into label prop:\n$p")
+  }
+
   test("group prefixes block by value range — windows keyed past the constant group grain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // These run a per-group running sum/count where the group key's
