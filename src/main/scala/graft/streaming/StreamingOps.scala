@@ -131,6 +131,30 @@ object StreamingOps {
       }
   }
 
+  /** Timer-driven per-user sessionization via transformWithState +
+    * EVENT-TIME TIMERS — the v2-API twin of [[userSessions]]'s
+    * flatMapGroupsWithState timeout: each batch folds its rows into the
+    * per-user open session, re-registers one timer at lastMs + gap, and
+    * the session closes from `handleExpiredTimer` when the watermark
+    * passes the gap. Explicit timers over the v1 timeout buy multiple
+    * independent timers per key, deletion, and composability with other
+    * TWS state on the same key. State per user is O(1) (one session +
+    * one timer in RocksDB, sharded by key across executors); a stale
+    * timer that raced a session extension is ignored by the expiry
+    * guard, so verdicts never depend on timer-delivery timing. Late
+    * rows inside the watermark merge into the open session exactly as
+    * in [[userSessions]]. Emits only CLOSED sessions (append mode).
+    * Callers must run with the RocksDB state store provider.
+    */
+  def timerSessions(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                    watermark: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Per-user running totals via transformWithState (the arbitrary-state
     * v2 API, Spark 4.x): typed ValueState survives across micro-batches
     * in the RocksDB state store, one updated row per key per batch
@@ -273,6 +297,65 @@ private final class SpanDedupProcessor
     if (!claimed && sorted.nonEmpty) owner.update(pack(sorted.head))
     sorted.iterator.zipWithIndex.map { case (s, i) =>
       SpanVerdict(s.doc_id, s.span_idx, dup = claimed || i > 0)
+    }
+  }
+}
+
+/** Session state machine for [[StreamingOps.timerSessions]]: one open
+  * session per user, one event-time timer at lastMs + gap. In-batch gap
+  * splits close sessions inline (same fold as the v1 userSessions);
+  * cross-batch closes come from the timer once the watermark passes. */
+private final class TimerSessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var sess: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessionState](
+      "session", org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[UserSession] = {
+    val sorted = rows.toArray.sortBy(_.ts.getTime)
+    var cur = if (sess.exists()) Some(sess.get()) else None
+    // The previous batch's timer is superseded by whatever we register
+    // below; delete it so expired-timer work stays one-per-key. (A racing
+    // stale timer is harmless either way — the expiry guard drops it.)
+    cur.foreach(s => getHandle.deleteTimer(s.lastMs + gapMs))
+    var closed = List.empty[UserSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs < gapMs =>
+          cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+        case Some(s) =>
+          closed ::= UserSession(userId, s.startMs, s.lastMs, s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      sess.update(s)
+      getHandle.registerTimer(s.lastMs + gapMs)
+    }
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+    if (!sess.exists()) Iterator.empty
+    else {
+      val s = sess.get()
+      // Stale-timer guard: only a timer at (or past) the CURRENT
+      // session's gap boundary may close it — an expiry registered
+      // before a same-batch extension refers to a session that no
+      // longer ends there.
+      if (expiredTimerInfo.getExpiryTimeInMs >= s.lastMs + gapMs) {
+        sess.clear()
+        Iterator.single(UserSession(userId, s.startMs, s.lastMs, s.n))
+      } else Iterator.empty
     }
   }
 }
