@@ -302,6 +302,76 @@ object AnalyticsExtQ {
            |  CAST(SUM(val_micro) AS BIGINT) // COUNT(*) AS avg_micro
            |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Association RULES from the co-purchase pair counts — the step after
+    * `x_copurchase`'s support mining: each top-20 pair emits both directed
+    * rules a→b and b→a with confidence in exact basis points
+    * (n_pair·10000 div n_antecedent — integer div, no float) and lift
+    * micro-rounded from ONE identically-parenthesized double expression
+    * over exact integer counts ((n_pair·N)/(n_ant·n_cons), each product
+    * exact below 2^52, same two roundings both engines — the `t_pmi`
+    * discipline). Scale shape: the pair mining is `x_copurchase`'s
+    * two-shuffle plan; the 40-row rule frame then BROADCASTS against the
+    * part-grain support table (computed by map-side-combined distinct
+    * count), so the growing side never shuffles for the join and the
+    * order total rides a one-row cross join. */
+  val xBasketRules: Q = Q(
+    "x_basket_rules",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint()
+      val pairs = li.groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> named_struct('part_a', x, 'part_b', y))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+        .limit(20)
+      val rules = pairs.select(col("part_a").as("antecedent"),
+          col("part_b").as("consequent"), col("n_pair"))
+        .unionAll(pairs.select(col("part_b").as("antecedent"),
+          col("part_a").as("consequent"), col("n_pair")))
+      val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val total = li.agg(countDistinct(col("ok")).as("n_orders"))
+      support.join(broadcast(rules), col("pk") === col("antecedent"))
+        .withColumnRenamed("n_item", "n_ant").drop("pk")
+        .join(broadcast(support.join(
+            broadcast(rules.select(col("consequent")).distinct()),
+            col("pk") === col("consequent"))
+          .select(col("consequent").as("c2"), col("n_item").as("n_cons"))),
+          col("consequent") === col("c2"))
+        .drop("c2")
+        .crossJoin(broadcast(total))
+        .withColumn("conf_bp", expr("n_pair * 10000 div n_ant"))
+        .withColumn("lift_micro",
+          round(col("n_pair").cast("double") * col("n_orders") /
+            (col("n_ant").cast("double") * col("n_cons")) * 1000000).cast("long"))
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          col("conf_bp"), col("lift_micro"))
+        .orderBy("antecedent", "consequent")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY 1, 2 ORDER BY n_pair DESC, part_a, part_b LIMIT 20),
+           |rules AS (SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM pairs
+           |  UNION ALL SELECT part_b, part_a, n_pair FROM pairs),
+           |support AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY pk),
+           |total AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li)
+           |SELECT r.antecedent, r.consequent, r.n_pair,
+           |  CAST(r.n_pair * 10000 // sa.n_item AS BIGINT) AS conf_bp,
+           |  CAST(round(CAST(r.n_pair AS DOUBLE) * t.n_orders /
+           |    (CAST(sa.n_item AS DOUBLE) * sc.n_item) * 1000000) AS BIGINT) AS lift_micro
+           |FROM rules r
+           |JOIN support sa ON sa.pk = r.antecedent
+           |JOIN support sc ON sc.pk = r.consequent
+           |CROSS JOIN total t
+           |ORDER BY antecedent, consequent""".stripMargin))
+
   /** RFM customer segmentation (recency / frequency / monetary), the
     * classic CRM scoring: per customer the days since their last order,
     * their order count, and their lifetime spend in exact cents, each
@@ -383,5 +453,5 @@ object AnalyticsExtQ {
            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase, xIncAgg, xRfm)
+    xCopurchase, xIncAgg, xRfm, xBasketRules)
 }

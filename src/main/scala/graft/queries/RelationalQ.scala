@@ -667,9 +667,47 @@ object RelationalQ {
            |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
            |) t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
 
+  /** Backward as-of join WITH TOLERANCE — pandas merge_asof's `tolerance`
+    * parameter, the one as-of variant the `j_asof`/`j_asof_fwd`/
+    * `j_asof_nearest` trio didn't cover: each purchase takes the latest
+    * signup at-or-before it ONLY if it is within 7 days, else NULL (a
+    * stale match is worse than no match in feature lookups). Same one
+    * partition-sorted window pass as the other as-ofs — the tolerance is
+    * a post-window µs compare, not a range join, so there is still no
+    * pair explosion; timestamps compare as exact integer micros both
+    * engines. */
+  val jAsofTolerance: Q = Q(
+    "j_asof_tolerance",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("back_id",
+          last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("back_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("signup_event_id",
+          when(unix_micros(col("ts")) - unix_micros(col("back_ts")) <=
+            lit(7L * 24 * 3600 * 1000000L), col("back_id")))
+        .select(col("event_id"), col("user_id"), col("signup_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |  CASE WHEN ts - back_ts <= INTERVAL 7 DAY THEN back_id END AS signup_event_id
+           |FROM (
+           | SELECT event_id, user_id, event_type, ts,
+           |  last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS) OVER wb AS back_id,
+           |  last_value(CASE WHEN event_type='signup' THEN ts END IGNORE NULLS) OVER wb AS back_ts
+           | FROM events
+           | WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |) t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qProject, qFilter,
-    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jAsofNearest, jCross,
+    jBroadcast, jShuffle, jLeft, jFull, jSemi, jAnti, jRange, jAsof, jAsofFwd, jAsofNearest,
+    jAsofTolerance, jCross,
     aAgg, aDistinct, aCountDistinct, aApproxDistinct, aRollup, aCube, aGroupingSets,
     aGroupingId, aUdaf,
     wRowNumber, wRankDense, wLagLead, wFrameRows, wFrameRange, wNtile,

@@ -401,6 +401,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window in the BPE count plan:\n$p")
   }
 
+  /** The rule frame (40 rows after the top-20 limit) must broadcast
+    * against the part-grain support table — a sort-merge join here would
+    * shuffle the growing side for a constant-size probe. */
+  test("x_basket_rules broadcasts the rule frame against supports") {
+    val p = executedPlanString("x_basket_rules")
+    assert(p.contains("BroadcastHashJoin"), s"support joins did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"part-grain support table shuffled for a 40-row probe:\n$p")
+  }
+
   /** Label propagation's argmax must stay a partial-aggregable
     * max(struct) — map-side combine before the node-grain shuffle — with
     * no per-node window and no vote-list materialization. */
