@@ -40,7 +40,11 @@ object Plans {
     "a_heavy_hitters" -> "exact heavy hitters: partial_misragries map-side (≤2k longs/partition shuffle), exact pass broadcast-semi-joins the ≤k candidates",
     "e_power_chain" -> "deflated power chain: both Gram·v passes partial-aggregate to 64 rows/partition, inter-pass ray moves as a one-row broadcast",
     "sim_pq_topk" -> "PQ/ADC ANN: codebook and LUT ride broadcasts; the score pass joins codes to LUT entries, raw vectors never move after encoding",
-    "x_inc_agg" -> "incremental agg maintenance: daily partials + delta merged by re-aggregating algebraic parts, avg derived after the merge")
+    "x_inc_agg" -> "incremental agg maintenance: daily partials + delta merged by re-aggregating algebraic parts, avg derived after the merge",
+    "x_rfm" -> "RFM quintiles: three DistributedPrefix rank passes (one per measure) + closed-form ntile — no partition-less Window over the customer grain",
+    "t_bpe_step" -> "BPE pair statistic at the vocab grain: corpus collapses in the first aggregate, top-20 merges via TakeOrderedAndProject",
+    "g_label_prop" -> "label propagation superstep: edge join + partial-aggregable max(struct) argmax, no per-node window",
+    "x_basket_rules" -> "association rules: 40-row rule frame broadcasts against part-grain supports — the growing side never shuffles for the join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
