@@ -11,10 +11,12 @@ object SparkEntry {
     * SURVEY.md §2.1 R7+R8) over the events table.
     */
   def entry(spark: SparkSession): DataFrame = {
-    // entry() is an application entry point handed a driver-built session:
-    // configure it the way every graft main does (events NTZ wall clocks
-    // are UTC; Tables.events asserts rather than silently overwriting).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // entry() is handed a driver-built session. Same contract as every
+    // other events reader: a UTC session is REQUIRED, never silently
+    // imposed — flipping the zone here would reinterpret the caller's own
+    // NTZ casts behind its back (the exact failure Tables.requireUtcSession
+    // exists to prevent). Non-UTC drivers fail loudly with the fix message.
+    Tables.requireUtcSession(spark)
     _root_.graft.queries.RefCoreQ.r8RuleLabel.run(spark, "/root/testdata/sf0.001")
   }
 

@@ -331,6 +331,10 @@ object AnalyticsExtQ {
         .agg(count(lit(1)).as("n_pair"))
         .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
         .limit(20)
+        // The two-shuffle pair mining is the dominant cost and feeds four
+        // downstream references (two union branches × two joins);
+        // materialize its 20 rows once instead of re-mining per reference.
+        .localCheckpoint()
       val rules = pairs.select(col("part_a").as("antecedent"),
           col("part_b").as("consequent"), col("n_pair"))
         .unionAll(pairs.select(col("part_b").as("antecedent"),

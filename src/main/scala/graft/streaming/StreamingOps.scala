@@ -107,28 +107,50 @@ object StreamingOps {
             state.remove()
             Iterator.single(UserSession(userId, s.startMs, s.lastMs, s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= UserSession(userId, s.startMs, s.lastMs, s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
+            val (closed, cur) =
+              foldSessions(userId, rows.toSeq.sortBy(_.ts.getTime), state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
+  }
+
+  /** Interval-correct session fold shared by the v1 (timeout) and v2
+    * (timer) sessionizers, so the twins can never drift. In-batch rows
+    * arrive time-sorted; a cross-batch LATE row (event time at or before
+    * the open session's span) is placed by interval proximity:
+    *  - within `gap` of the span → merges, extending the span DOWNWARD
+    *    too (startMs = min) — late rows must not inflate the recorded
+    *    start;
+    *  - older than startMs − gap → it belongs to a gap-separated EARLIER
+    *    session, which closes immediately as its own single-row session
+    *    (best effort — an even-later arrival can no longer extend it)
+    *    instead of corrupting the open session's span or count.
+    * For per-key time-ordered arrival the fold is exactly batch gap
+    * sessionization (the replay spec pins this). */
+  private[streaming] def foldSessions(
+      userId: Long, sorted: Seq[Event], init: Option[SessionState],
+      gapMs: Long): (List[UserSession], Option[SessionState]) = {
+    var closed = List.empty[UserSession]
+    var cur = init
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t < s.startMs - gapMs =>
+          closed ::= UserSession(userId, t, t, 1)
+        case Some(s) if t - s.lastMs < gapMs =>
+          cur = Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+        case Some(s) =>
+          closed ::= UserSession(userId, s.startMs, s.lastMs, s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (closed.reverse, cur)
   }
 
   /** Timer-driven per-user sessionization via transformWithState +
@@ -142,8 +164,9 @@ object StreamingOps {
     * one timer in RocksDB, sharded by key across executors); a stale
     * timer that raced a session extension is ignored by the expiry
     * guard, so verdicts never depend on timer-delivery timing. Late
-    * rows inside the watermark merge into the open session exactly as
-    * in [[userSessions]]. Emits only CLOSED sessions (append mode).
+    * rows inside the watermark are placed by interval proximity via the
+    * shared [[foldSessions]] (identical in [[userSessions]], so the
+    * twins cannot drift). Emits only CLOSED sessions (append mode).
     * Callers must run with the RocksDB state store provider.
     */
   def timerSessions(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
@@ -317,30 +340,18 @@ private final class TimerSessionProcessor(gapMs: Long)
 
   override def handleInputRows(userId: Long, rows: Iterator[Event],
                                timerValues: TimerValues): Iterator[UserSession] = {
-    val sorted = rows.toArray.sortBy(_.ts.getTime)
-    var cur = if (sess.exists()) Some(sess.get()) else None
+    val prev = if (sess.exists()) Some(sess.get()) else None
     // The previous batch's timer is superseded by whatever we register
     // below; delete it so expired-timer work stays one-per-key. (A racing
     // stale timer is harmless either way — the expiry guard drops it.)
-    cur.foreach(s => getHandle.deleteTimer(s.lastMs + gapMs))
-    var closed = List.empty[UserSession]
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t - s.lastMs < gapMs =>
-          cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-        case Some(s) =>
-          closed ::= UserSession(userId, s.startMs, s.lastMs, s.n)
-          cur = Some(SessionState(t, t, 1))
-        case None =>
-          cur = Some(SessionState(t, t, 1))
-      }
-    }
+    prev.foreach(s => getHandle.deleteTimer(s.lastMs + gapMs))
+    val (closed, cur) =
+      StreamingOps.foldSessions(userId, rows.toArray.sortBy(_.ts.getTime).toSeq, prev, gapMs)
     cur.foreach { s =>
       sess.update(s)
       getHandle.registerTimer(s.lastMs + gapMs)
     }
-    closed.reverseIterator
+    closed.iterator
   }
 
   override def handleExpiredTimer(userId: Long, timerValues: TimerValues,

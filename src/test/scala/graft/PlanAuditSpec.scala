@@ -416,7 +416,7 @@ class PlanAuditSpec extends SparkSpec {
     * no per-node window and no vote-list materialization. */
   test("g_label_prop argmax partial-aggregates, no per-node window") {
     val p = executedPlanString("g_label_prop")
-    assert(p.contains("partial_max") || p.contains("partial_"),
+    assert(p.contains("partial_max"),
       s"vote argmax is not partial+final:\n$p")
     assert(!p.contains("Window"), s"per-node window crept into label prop:\n$p")
   }
@@ -570,11 +570,13 @@ class PlanAuditSpec extends SparkSpec {
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val overlap = (exact intersect pq).size.toDouble / exact.size
     // Recall on near-uniform random vectors is data-dependent (measured
-    // 0.37 on the round-9 driver fixture), so the hard assertion is only
-    // overlap > 0 — a broken ADC wiring scores ~0 recall, while a
-    // regenerated fixture could legitimately land under any higher floor.
+    // 0.37 on the round-9 driver fixture), so the floor sits well under
+    // the measurement but well above what broken wiring scores: a subtle
+    // ADC bug (wrong subvector split, shifted centroid index) lands near
+    // random-guessing recall (~0.0x), while fixture regeneration at the
+    // same shape keeps an order-of-magnitude headroom over 0.10.
     // PqModelSpec pins LUT/ADC arithmetic exactly; this test pins wiring.
-    assert(overlap > 0.0, s"PQ recall vs exact is $overlap — ADC wiring broken")
+    assert(overlap >= 0.10, s"PQ recall vs exact is $overlap — ADC wiring suspect")
     info(f"sim_pq_topk recall vs exact on this fixture: $overlap%.2f")
   }
 }

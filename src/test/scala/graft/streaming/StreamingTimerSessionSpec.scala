@@ -59,17 +59,14 @@ class StreamingTimerSessionSpec extends SparkSpec with RocksDbProvider {
           q.processAllAvailable()
           rest = rest.drop(take)
         }
-        // Flush: one far-future event per user advances the watermark
-        // past every real session's gap boundary, so every real session
-        // closes via its timer; the flush events open sessions that are
-        // never emitted. A trailing lone event pushes the watermark once
-        // more so the flush batch's own timer work is observable.
+        // Flush with a DISJOINT user id: the watermark advances past
+        // every real session's gap boundary while the real users receive
+        // NO input rows — so every end-of-stream open session must close
+        // through handleExpiredTimer (the timer path), not through an
+        // in-batch gap split. A second push triggers the follow-up batch
+        // in which the advanced watermark fires the timers.
         val maxTs = evs.map(_.ts.getTime).max
-        val users = evs.map(_.user_id).distinct
-        val flush = users.zipWithIndex.map { case (u, i) =>
-          Event(900000L + i, new java.sql.Timestamp(maxTs + 10 * gapMs), u, "flush", 0.0)
-        }
-        in.addData(flush.toSeq)
+        in.addData(Event(999998L, new java.sql.Timestamp(maxTs + 10 * gapMs), 999998L, "flush", 0.0))
         q.processAllAvailable()
         in.addData(Event(999999L, new java.sql.Timestamp(maxTs + 20 * gapMs), 999999L, "flush", 0.0))
         q.processAllAvailable()
@@ -80,6 +77,42 @@ class StreamingTimerSessionSpec extends SparkSpec with RocksDbProvider {
           .toSet
         assert(streamed == expected,
           s"stream/batch divergence: onlyStream=${streamed -- expected} onlyBatch=${expected -- streamed}")
+      } finally q.stop()
+    }
+  }
+
+  /** Cross-batch LATE rows (newer than the watermark, older than the open
+    * session) must be placed by interval proximity, not blindly appended:
+    * within the gap of the span they merge and extend the span DOWNWARD;
+    * older than start − gap they close immediately as their own session.
+    * Needs a watermark delay wide enough that Spark's pre-processor
+    * late-record filter doesn't drop them first (rows at or below the
+    * watermark never reach the fold — verified by the tight-watermark
+    * replay test above, where out-of-order feeds are impossible). */
+  test("late rows merge by interval proximity and never inflate the session start") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 30L * 60000
+    val base = 1700000000000L
+    def ev(id: Long, minute: Long, u: Long) =
+      Event(id, new java.sql.Timestamp(base + minute * 60000), u, "x", 0.0)
+    withRocksDbProvider(spark) {
+      val in = MemoryStream[Event]
+      val q = StreamingOps.timerSessions(in.toDS(), gap, watermark = "3 hours")
+        .writeStream.format("memory").queryName("t_late_sessions")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(ev(1, 100, 1)); q.processAllAvailable()
+        in.addData(ev(2, 95, 1)); q.processAllAvailable()  // late, within gap → merge downward
+        in.addData(ev(3, 20, 1)); q.processAllAvailable()  // older than start − gap → own session
+        in.addData(ev(8, 1000, 8)); q.processAllAvailable() // watermark push (disjoint user)
+        in.addData(ev(9, 2000, 9)); q.processAllAvailable() // timer-firing batch
+        val got = spark.table("t_late_sessions").as[UserSession].collect()
+          .filter(_.user_id == 1L)
+          .map(s => ((s.start_ms - base) / 60000, (s.end_ms - base) / 60000, s.n_events)).toSet
+        assert(got == Set((20L, 20L, 1L), (95L, 100L, 2L)),
+          s"late-row placement wrong: $got")
       } finally q.stop()
     }
   }
