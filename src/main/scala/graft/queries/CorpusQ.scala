@@ -152,5 +152,57 @@ object CorpusQ {
            |FROM s WHERE start <= n
            |ORDER BY doc_id, chunk_idx""".stripMargin))
 
-  val all: Seq[Q] = Seq(tNormalize, dUrlCanon, tChunkOverlap)
+  /** Tokenizer-vocabulary coverage audit (round 10): fix the vocab to the
+    * corpus's top-1000 tokens (ties broken by token text), then report per
+    * source the occurrence-weighted coverage — total token occurrences,
+    * occurrences covered by the vocab, and the OOV rate in basis points
+    * (integer division, exact). This is the pre-training question "what
+    * fraction of this source will the tokenizer shatter into bytes?".
+    *
+    * Scale shape: one token-grain scan builds corpus counts; the vocab is
+    * a BOUNDED top-k of that aggregate (1000 rows, broadcast); the
+    * coverage pass re-aggregates the same checkpointed (source, tok, n)
+    * grain against the broadcast vocab — per-source output is bounded by
+    * the source count. Nothing all-pairs, nothing single-task: at 100 TB
+    * the only growing grain is (source, tok), a hash aggregate. */
+  val tVocabCoverage: Q = Q(
+    "t_vocab_coverage",
+    (spark, dir) => {
+      val srcTok = Tables(spark, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds both the vocab build and the coverage pass
+      val vocab = srcTok
+        .groupBy(col("tok"))
+        .agg(sum(col("n")).as("corpus_n"))
+        .orderBy(col("corpus_n").desc, col("tok"))
+        .limit(1000)
+        .select(col("tok").as("v_tok"))
+      srcTok
+        .join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_occ"),
+          sum(when(col("v_tok").isNotNull, col("n")).otherwise(lit(0L))).as("n_covered"))
+        .withColumn("oov_bp",
+          ((col("n_occ") - col("n_covered")) * 10000 / col("n_occ")).cast("long"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH st AS (
+           |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+           |                x -> len(x) > 0)) AS tok FROM documents) t
+           |  GROUP BY source, tok),
+           |vocab AS (
+           |  SELECT tok FROM (SELECT tok, SUM(n) AS corpus_n FROM st GROUP BY tok)
+           |  ORDER BY corpus_n DESC, tok LIMIT 1000)
+           |SELECT source,
+           |  CAST(SUM(n) AS BIGINT) AS n_occ,
+           |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN n ELSE 0 END) AS BIGINT) AS n_covered,
+           |  CAST((SUM(n) - SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN n ELSE 0 END)) * 10000
+           |       // SUM(n) AS BIGINT) AS oov_bp
+           |FROM st GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(tNormalize, dUrlCanon, tChunkOverlap, tVocabCoverage)
 }

@@ -128,5 +128,74 @@ object MlPrepQ {
            |       doc_id AS canonical_doc_id, n_chars AS canonical_chars
            |FROM g WHERE rn = 1 ORDER BY fp""".stripMargin))
 
-  val all: Seq[Q] = Seq(eQuantizeBins, eFeatureScale, dSurvivor)
+  /** Model lift / gains table (round 10): score the customer base (score =
+    * account balance in cents, the stand-in for a model score), define the
+    * response as "placed an order on/after 2001-01-01", decile the
+    * population by score descending, and report per decile the response
+    * rate and the lift vs the base rate — the standard campaign-targeting
+    * readout. All rates in exact integer basis points:
+    * lift_bp = n_resp·N·10000 DIV (n·R) (fits int64 through sf100).
+    *
+    * Scale shape: the responder flag is a semi-join-shaped left join
+    * against the aggregated recent-buyer keys (key grain, not order
+    * grain); the decile is exact ntile(10) via the two-pass
+    * [[graft.ops.DistributedPrefix]] (score-range blocks), never a
+    * partition-less window over the growing customer grain; rate math
+    * runs on the bounded 10-row decile frame. */
+  val xDecileLift: Q = Q(
+    "x_decile_lift",
+    (spark, dir) => {
+      val recent = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val base = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("resp", when(col("o_custkey").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .drop("o_custkey")
+        .localCheckpoint() // feeds bounds + prefix pass
+      val bounds = base.agg(count(lit(1)).as("n_total"),
+        min(col("score")).as("slo"), max(col("score")).as("shi"))
+      val rn = graft.ops.DistributedPrefix.runningSum(
+        base.crossJoin(broadcast(bounds)).withColumn("neg_s", -col("score")),
+        block = graft.ops.DistributedPrefix.rangeBucket(
+          col("neg_s"), -col("shi"), -col("slo"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("neg_s"), col("c_custkey")),
+        value = lit(1L),
+        out = "rn")
+      val deciles = rn.withColumn("decile", expr(
+          """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
+            |     THEN (rn + n_total DIV 10) DIV (n_total DIV 10 + 1)
+            |     ELSE n_total % 10
+            |          + (rn - (n_total % 10) * (n_total DIV 10 + 1)
+            |             + n_total DIV 10 - 1) DIV (n_total DIV 10)
+            |END""".stripMargin).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("resp")).as("n_resp"))
+        .localCheckpoint() // bounded (10 rows); feeds totals + rate math
+      val totals = deciles.agg(sum(col("n")).as("pop"), sum(col("n_resp")).as("resp_tot"))
+      deciles.crossJoin(broadcast(totals))
+        .withColumn("resp_bp", (col("n_resp") * 10000 / col("n")).cast("long"))
+        .withColumn("lift_bp",
+          (col("n_resp") * col("pop") * 10000 / (col("n") * col("resp_tot"))).cast("long"))
+        .select(col("decile"), col("n"), col("n_resp"), col("resp_bp"), col("lift_bp"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH r AS (SELECT DISTINCT o_custkey FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+           |b AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS score,
+           |    CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS resp
+           |  FROM customer c LEFT JOIN r ON r.o_custkey = c.c_custkey),
+           |d AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, c_custkey) AS BIGINT) AS decile,
+           |    resp FROM b),
+           |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(resp) AS BIGINT) AS n_resp FROM d GROUP BY decile),
+           |t AS (SELECT SUM(n) AS pop, SUM(n_resp) AS resp_tot FROM g)
+           |SELECT decile, n, n_resp,
+           |  CAST(n_resp * 10000 // n AS BIGINT) AS resp_bp,
+           |  CAST(n_resp * pop * 10000 // (n * resp_tot) AS BIGINT) AS lift_bp
+           |FROM g, t ORDER BY decile""".stripMargin))
+
+  val all: Seq[Q] = Seq(eQuantizeBins, eFeatureScale, dSurvivor, xDecileLift)
 }

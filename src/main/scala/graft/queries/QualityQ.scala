@@ -63,5 +63,51 @@ object QualityQ {
            |  MAX(CAST(round(l_extendedprice*100) AS BIGINT)) AS max_cents
            |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin))
 
-  val all: Seq[Q] = Seq(qConstraints, aHistogram)
+  /** Distribution-drift audit (round 10): compare the order-value
+    * distribution before vs after a pivot date (1998-01-01) — the
+    * monitoring question "did this feed's distribution move?" asked
+    * before committing a retrain. Per fixed-width value bin: early/late
+    * populations, each side's share in basis points (integer division,
+    * exact), and the per-bin share drift |early_bp − late_bp| — the
+    * L1/total-variation drift in exact integer arithmetic (a chi-square
+    * or PSI formulation needs logs/divisions that hash-diverge across
+    * engines; the TV distance carries the same signal and stays exact).
+    *
+    * Scale shape: ONE scan of the fact table fuses both period counts
+    * (conditional aggregates per bin — the bin count is a constant 10);
+    * side totals come from the bounded bin frame, not a second scan; the
+    * share math is a broadcast of one row. Linear at 100 TB. */
+  val qDrift: Q = Q(
+    "q_drift",
+    (spark, dir) => {
+      val bins = Tables(spark, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 50000), lit(9)).cast("long").as("bin"))
+        .agg(
+          count_if(col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("n_early"),
+          count_if(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")).as("n_late"))
+        .localCheckpoint() // bounded (≤10 rows); feeds totals + share math
+      val totals = bins.agg(sum(col("n_early")).as("tot_early"),
+        sum(col("n_late")).as("tot_late"))
+      bins.crossJoin(broadcast(totals))
+        .withColumn("share_early_bp", (col("n_early") * 10000 / col("tot_early")).cast("long"))
+        .withColumn("share_late_bp", (col("n_late") * 10000 / col("tot_late")).cast("long"))
+        .withColumn("drift_bp", abs(col("share_early_bp") - col("share_late_bp")))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          col("share_early_bp"), col("share_late_bp"), col("drift_bp"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (
+           |  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+           |    CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01') AS BIGINT) AS n_early,
+           |    CAST(COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS BIGINT) AS n_late
+           |  FROM orders GROUP BY 1),
+           |t AS (SELECT SUM(n_early) AS tot_early, SUM(n_late) AS tot_late FROM b)
+           |SELECT bin, n_early, n_late,
+           |  CAST(n_early * 10000 // tot_early AS BIGINT) AS share_early_bp,
+           |  CAST(n_late * 10000 // tot_late AS BIGINT) AS share_late_bp,
+           |  abs(CAST(n_early * 10000 // tot_early AS BIGINT)
+           |      - CAST(n_late * 10000 // tot_late AS BIGINT)) AS drift_bp
+           |FROM b, t ORDER BY bin""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift)
 }

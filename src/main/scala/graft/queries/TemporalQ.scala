@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft._
+import graft.ops.ColumnOps.cents
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,5 +171,108 @@ object TemporalQ {
            |       COUNT(*) AS active_users
            |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort)
+  /** Exponentially-weighted moving average of daily revenue (round 10),
+    * exact fixed-point formulation: per return flag the Q16 EWMA
+    * ewma_fp16 = Σ_{d=0..15} cents(day−d) · 2^(15−d) — dyadic weights as
+    * INTEGER coefficients, so the whole smoothing is int64 arithmetic and
+    * bit-identical across engines (a float α-recursion would be
+    * order-dependent and unhashable). Calendar-day (RANGE) semantics:
+    * a missing day contributes zero, it does not shift the window.
+    *
+    * Scale shape: no windowed weighted sum exists in SQL, and a window
+    * partitioned by the 3-value flag would serialize the growing day
+    * grain into 3 tasks. Instead each daily total EXPLODES into its ≤16
+    * forward target days (bounded 16× fan-out of the bounded daily
+    * grain) and one hash aggregate on (flag, target_day) re-assembles
+    * every window — an equi-join-free, skew-free shape that parallelizes
+    * over the full (flag, day) grain at any scale. The inner join back
+    * to the daily frame keeps only days that exist in the series. */
+  val wEwma: Q = Q(
+    "w_ewma",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+        .localCheckpoint() // feeds both the contribution explode and the day filter
+      val contrib = daily
+        .withColumn("d", explode(sequence(lit(0), lit(15))))
+        .select(col("l_returnflag").as("t_flag"),
+          date_add(col("day"), col("d")).cast("timestamp").as("tday"),
+          expr("day_cents * shiftleft(CAST(1 AS BIGINT), 15 - d)").as("w_cents"))
+        .groupBy(col("t_flag"), col("tday"))
+        .agg(sum(col("w_cents")).as("ewma_fp16"))
+      daily.join(contrib,
+          col("l_returnflag") === col("t_flag") && col("day") === col("tday"))
+        .select(col("l_returnflag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_cents"), col("ewma_fp16"))
+        .orderBy(col("l_returnflag"), col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM lineitem GROUP BY 1, 2)
+           |SELECT a.l_returnflag, strftime(a.day, '%Y-%m-%d') AS day, a.day_cents,
+           |  CAST(SUM(b.day_cents * (CAST(1 AS BIGINT) << (15 - date_diff('day', b.day, a.day)))) AS BIGINT) AS ewma_fp16
+           |FROM daily a JOIN daily b
+           |  ON a.l_returnflag = b.l_returnflag
+           | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 15
+           |GROUP BY a.l_returnflag, a.day, a.day_cents
+           |ORDER BY a.l_returnflag, day""".stripMargin))
+
+  /** Rolling 30-day OLS trend of daily revenue (round 10): per return
+    * flag and day, the least-squares slope of (epoch_day, day_cents)
+    * over the trailing 30 calendar days, emitted as the EXACT rational
+    * slope_num = n·Σxy − Σx·Σy over slope_den = n·Σx² − (Σx)² — all
+    * int64 (x is centered at epoch day 10000 to keep n·Σxy well inside
+    * 2^63 through sf100), no float division to hash-diverge. den = 0
+    * (single-day windows) stays meaningful: num is 0 there too.
+    *
+    * Scale shape: same explode-to-target-days pattern as [[wEwma]] — a
+    * bounded 30× fan-out of the daily grain into one hash aggregate on
+    * (flag, target_day), instead of a 3-task flag-partitioned window or
+    * an O(days²) range self-join. Linear, skew-free, and the sums are
+    * map-side combinable. */
+  val wTrend: Q = Q(
+    "w_trend",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+        .withColumn("x", (datediff(col("day"), lit("1970-01-01").cast("timestamp")) - 10000).cast("long"))
+        .localCheckpoint()
+      val sums = daily
+        .withColumn("d", explode(sequence(lit(0), lit(29))))
+        .select(col("l_returnflag").as("t_flag"),
+          date_add(col("day"), col("d")).cast("timestamp").as("tday"),
+          col("x"), col("day_cents"))
+        .groupBy(col("t_flag"), col("tday"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"),
+          sum(col("day_cents")).as("sy"),
+          sum(col("x") * col("day_cents")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      daily.join(sums,
+          col("l_returnflag") === col("t_flag") && col("day") === col("tday"))
+        .select(col("l_returnflag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_days"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .orderBy(col("l_returnflag"), col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents,
+           |    CAST(date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', l_shipdate)) - 10000 AS BIGINT) AS x
+           |  FROM lineitem GROUP BY 1, 2)
+           |SELECT a.l_returnflag, strftime(a.day, '%Y-%m-%d') AS day,
+           |  CAST(COUNT(*) AS BIGINT) AS n_days,
+           |  CAST(COUNT(*) * SUM(b.x * b.day_cents) - SUM(b.x) * SUM(b.day_cents) AS BIGINT) AS slope_num,
+           |  CAST(COUNT(*) * SUM(b.x * b.x) - SUM(b.x) * SUM(b.x) AS BIGINT) AS slope_den
+           |FROM daily a JOIN daily b
+           |  ON a.l_returnflag = b.l_returnflag
+           | AND date_diff('day', b.day, a.day) BETWEEN 0 AND 29
+           |GROUP BY a.l_returnflag, a.day
+           |ORDER BY a.l_returnflag, day""".stripMargin))
+
+  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend)
 }
