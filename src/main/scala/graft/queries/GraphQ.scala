@@ -179,5 +179,76 @@ object GraphQ {
            |  c AS n_votes
            |FROM win WHERE rk = 1 ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp)
+  /** 3-core decomposition (round 10) of the co-purchase graph: edges are
+    * part pairs bought together in ≥ 2 orders (the same support-pruned
+    * pair derivation as x_copurchase — never all-pairs); then iterative
+    * peeling removes nodes of degree < 3 until fixpoint, the standard
+    * k-core algorithm. The surviving subgraph is the "dense backbone" —
+    * what recommendation/curriculum pipelines keep when they want items
+    * with robust co-occurrence context. Output: each 3-core member with
+    * its within-core degree.
+    *
+    * Scale shape: peeling is degree-filter + semi-join per round — hash
+    * aggregates and equi-joins only, each round strictly shrinks the
+    * edge set, and the loop localCheckpoints per round so lineage stays
+    * flat (the d_cluster_cc discipline). Round count is bounded by the
+    * peel depth (10 at sf0.01, data-dependent but historically ≲
+    * degeneracy, not |V|); a 64-round cap fails LOUDLY if unconverged
+    * rather than returning silently-wrong cores. The DuckDB oracle
+    * unrolls 16 rounds — past the observed fixpoint, and peeling is
+    * idempotent at fixpoint so extra rounds are exact no-ops. */
+  val gKcore: Q = Q(
+    "g_kcore",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+        .select(col("x"), col("y"))
+      var edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      var n = edges.count()
+      var converged = false
+      var round = 0
+      while (!converged && round < 64) {
+        round += 1
+        val keep = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("x").as("k"))
+        val next = edges
+          .join(keep, col("x") === col("k"), "left_semi")
+          .join(keep.select(col("k").as("k2")), col("y") === col("k2"), "left_semi")
+          .localCheckpoint()
+        val m = next.count()
+        converged = m == n
+        n = m
+        edges = next
+      }
+      if (!converged)
+        throw new IllegalStateException(s"g_kcore: peel did not converge in 64 rounds")
+      edges.groupBy(col("x").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("node"))
+    },
+    Some {
+      // AS MATERIALIZED: each round references the previous edge set
+      // twice — left inlined, the CTE chain would expand 2^16-fold.
+      val rounds = (1 to 16).map { i =>
+        val prev = s"e${i - 1}"
+        s"""n$i AS MATERIALIZED (SELECT x FROM $prev GROUP BY x HAVING COUNT(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT e.x, e.y FROM $prev e JOIN n$i a ON e.x = a.x JOIN n$i b ON e.y = b.x)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS MATERIALIZED (SELECT a.pk AS x, b.pk AS y FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+         |$rounds
+         |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM e16 GROUP BY x ORDER BY node""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore)
 }

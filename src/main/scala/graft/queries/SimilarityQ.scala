@@ -591,6 +591,62 @@ object SimilarityQ {
             |SELECT q_id, CAST(rn AS BIGINT) AS rn, neighbor_id, adc
             |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
 
+  /** The deterministic ±1 projection matrix shared by [[eRandProj]]'s
+    * Spark plan and its DuckDB oracle: sign(b,j) from one LCG step on the
+    * flattened index — both sides consume the SAME literal arrays, so the
+    * scheme is a single source of truth here. 16 bits × 64 dims. */
+  private val rpSigns: Seq[Seq[Long]] =
+    (0 until 16).map { b =>
+      (0 until 64).map { j =>
+        val s = ((b * 64 + j).toLong * 1103515245L + 12345L) % 2147483647L
+        if (s % 2L == 0L) 1L else -1L
+      }
+    }
+
+  /** Signed-random-projection hashing (round 10): every embedding maps to
+    * a 16-bit code, bit b = [⟨qv, r_b⟩ ≥ 0] for 16 fixed ±1 hyperplanes —
+    * the classic SimHash-for-dense-vectors LSH family (cosine-similar
+    * vectors collide with probability 1 − θ/π per bit). The query emits
+    * the code histogram with per-bucket label spread (n_labels ≪ n_vecs
+    * means buckets are label-pure — the recall signal) — the planning
+    * readout before sizing an LSH index. Exact by construction: inputs
+    * are the quantized integer vectors, each plane dot is int64, and the
+    * ±1 matrix is interpolated into BOTH engines as literals.
+    *
+    * Scale shape: 16 fused codegen dot products per row (no explode —
+    * [[graft.functions.vec_dot_long]] against broadcast literal arrays),
+    * then one hash aggregate over ≤ 2^16 buckets. Map-only + bounded
+    * aggregate = linear at 100 TB; the code column is precisely what the
+    * bucketed ANN join (sim_lsh_bucket) keys on at the next stage. */
+  val eRandProj: Q = Q(
+    "e_rand_proj",
+    (spark, dir) => {
+      val code = rpSigns.zipWithIndex.map { case (s, b) =>
+        when(dotL(col("qv"), array(s.map(lit): _*)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qv"))
+        .withColumn("code", code)
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count_distinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_vec"))
+        .orderBy(col("code"))
+    },
+    Some {
+      val bitTerms = rpSigns.zipWithIndex.map { case (s, b) =>
+        s"(CASE WHEN list_dot_product(qv, [${s.mkString(", ")}]) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH v AS (SELECT vec_id, label, $qvecSql AS qv FROM embeddings),
+         |c AS (SELECT vec_id, label,
+         |    $bitTerms AS code
+         |  FROM v)
+         |SELECT code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+         |  MIN(vec_id) AS min_vec
+         |FROM c GROUP BY code ORDER BY code""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk)
+    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk, eRandProj)
 }

@@ -143,5 +143,71 @@ object SketchQ {
            |GROUP BY tok HAVING COUNT(*) * 65 > (SELECT n_total FROM n)
            |ORDER BY cnt DESC, tok""".stripMargin))
 
-  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens, aHllMerge, aHeavyHitters)
+  /** Count-Min sketch point estimates (round 10), DETERMINISTIC
+    * formulation: d=3 LCG hash rows × w=512 buckets over the lineitem
+    * part-key stream; for the 20 most frequent parts (exact top-20) the
+    * query reports the exact frequency next to the CMS estimate
+    * est = min_j cms[j][h_j(key)] and the overcount est − exact ≥ 0 —
+    * the one-sided error guarantee made visible. The hash family is
+    * plain modular arithmetic (((a_j·x + b_j) mod p) mod w, p = 2³¹−1),
+    * so BOTH engines compute bit-identical sketches and the estimate is
+    * oracle-checkable — the usual reason CMS escapes exact gates is
+    * implementation-defined hashing, not the math.
+    *
+    * Scale shape: the sketch build is one hash aggregate of a bounded
+    * 3× fan-out into ≤1536 cells (map-side combinable — each partition
+    * ships its 1536-cell partial, never the key grain); the probe joins
+    * the bounded top-k×3 frame against the broadcast cell table. At
+    * 100 TB the sketch stays 12 KB; only the exact top-k pass touches
+    * the key grain, and that is the same aggregate the oracle runs. */
+  val aCms: Q = Q(
+    "a_cms",
+    (spark, dir) => {
+      val keys = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey"))
+        .localCheckpoint() // feeds the sketch build and the exact top-k
+      val bucket = expr(
+        """((element_at(array(1103515245L, 69069L, 1664525L), j + 1) * l_partkey
+          |   + element_at(array(12345L, 362437L, 1013904223L), j + 1))
+          |  % 2147483647) % 512""".stripMargin)
+      val cells = keys
+        .withColumn("j", explode(sequence(lit(0), lit(2))))
+        .withColumn("bucket", bucket)
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("cell_n"))
+      val top = keys
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+        .limit(20)
+      top
+        .withColumn("j", explode(sequence(lit(0), lit(2))))
+        .withColumn("bucket", bucket)
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy(col("l_partkey"), col("exact_n"))
+        .agg(min(col("cell_n")).as("est_n"))
+        .withColumn("over_n", col("est_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT j, ((a * l_partkey + b) % 2147483647) % 512 AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS cell_n
+           |  FROM lineitem CROSS JOIN (VALUES (0, 1103515245, 12345),
+           |    (1, 69069, 362437), (2, 1664525, 1013904223)) h(j, a, b)
+           |  GROUP BY 1, 2),
+           |top AS (
+           |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+           |  FROM lineitem GROUP BY 1 ORDER BY exact_n DESC, l_partkey LIMIT 20)
+           |SELECT t.l_partkey, t.exact_n, MIN(c.cell_n) AS est_n,
+           |  MIN(c.cell_n) - t.exact_n AS over_n
+           |FROM top t
+           |CROSS JOIN (VALUES (0, 1103515245, 12345),
+           |  (1, 69069, 362437), (2, 1664525, 1013904223)) h(j, a, b)
+           |JOIN cells c ON c.j = h.j
+           |  AND c.bucket = ((h.a * t.l_partkey + h.b) % 2147483647) % 512
+           |GROUP BY t.l_partkey, t.exact_n
+           |ORDER BY t.exact_n DESC, t.l_partkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(jBloomPrune, aApproxQuantile, tTopTokens, aHllMerge, aHeavyHitters,
+    aCms)
 }

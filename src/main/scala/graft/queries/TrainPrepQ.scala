@@ -526,7 +526,64 @@ object TrainPrepQ {
            |  CAST(base + CASE WHEN rk <= 10000 - base_total THEN 1 ELSE 0 END AS BIGINT) AS alloc
            |FROM r ORDER BY source""".stripMargin))
 
+  /** Deterministic cross-source dataloader interleave (round 10): assign
+    * every document a global training-epoch position by fixed-stride
+    * round-robin across sources — pos = (rank_within_source − 1)·n_sources
+    * + source_idx − 1 — and emit the first 200 positions. This is the
+    * "shuffle-free epoch order" a distributed data loader wants: any
+    * worker can compute its shard's positions locally, no global sort,
+    * and the order is reproducible run-to-run. Positions have gaps once
+    * a source is exhausted (fixed stride, documented semantics).
+    *
+    * Scale shape: the per-source rank is a [[graft.ops.DistributedPrefix]]
+    * grouped prefix count (doc_id-range blocks × source groups) — never a
+    * window partitioned only by the bounded source key, which would
+    * serialize each source's full doc grain through one task. The source
+    * index comes from a triangular join over the BOUNDED distinct-source
+    * frame (≤ tens of rows), broadcast back. The top-200 filter prunes on
+    * rank ≤ 200 (a superset of pos < 200 since pos ≥ rank − 1) before the
+    * final bounded sort. */
+  val sInterleave: Q = Q(
+    "s_interleave",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents").select(col("source"), col("doc_id"))
+        .localCheckpoint() // feeds bounds, source frame, and the prefix pass
+      val bounds = docs.agg(min(col("doc_id")).as("dlo"), max(col("doc_id")).as("dhi"))
+      val srcs = docs.select(col("source")).distinct().localCheckpoint() // bounded
+      val nSrc = srcs.agg(count(lit(1)).as("n_sources"))
+      val srcIdx = srcs.as("a")
+        .join(broadcast(srcs.as("b")), col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg((count(col("b.source")) + 1).as("src_idx"))
+      val ranked = graft.ops.DistributedPrefix.runningSum(
+        docs.crossJoin(broadcast(bounds)),
+        block = graft.ops.DistributedPrefix.rangeBucket(
+          col("doc_id"), col("dlo"), col("dhi"), 64),
+        blockAsc = true,
+        localOrder = Seq(col("doc_id")),
+        value = lit(1L),
+        out = "r",
+        groupCols = Seq("source"))
+      ranked
+        .filter(col("r") <= 200)
+        .join(broadcast(srcIdx), "source")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("pos", (col("r") - 1) * col("n_sources") + col("src_idx") - 1)
+        .filter(col("pos") < 200)
+        .select(col("pos"), col("source"), col("doc_id"))
+        .orderBy(col("pos"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS r,
+           |    CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS src_idx
+           |  FROM documents),
+           |n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents)
+           |SELECT (r - 1) * n_sources + src_idx - 1 AS pos, source, doc_id
+           |FROM d, n WHERE (r - 1) * n_sources + src_idx - 1 < 200
+           |ORDER BY pos""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
     sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf,
-    sWeightedSample, sTemperature)
+    sWeightedSample, sTemperature, sInterleave)
 }
