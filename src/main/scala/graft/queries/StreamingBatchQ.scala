@@ -102,5 +102,36 @@ object StreamingBatchQ {
            | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES
            |ORDER BY l.user_id, l_id, r_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(gTumble, gSlide, gSession, gStreamJoinTwin)
+  /** Batch twin of the LEFT OUTER stream-stream time-bound join (round
+    * 10), calling the SAME operator (`StreamingOps.leftOuterTimeBoundJoin`
+    * — watermarks are no-ops on batch frames): every 'view' pairs with
+    * same-user 'click's within 30 minutes after it, and views with no such
+    * click survive with null click columns. In batch the outer semantics
+    * are the familiar relational ones — the streaming-only wrinkle (outer
+    * rows emitted at state eviction, not arrival) is pinned separately by
+    * `StreamingOpsSpec`; this twin is what makes the JOIN RESULT itself
+    * DuckDB-checkable. */
+  val gStreamOuterTwin: Q = Q(
+    "g_stream_outer_twin",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val joined = graft.streaming.StreamingOps.leftOuterTimeBoundJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+      joined.select(
+        col("user_id"), col("l_id"), col("r_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts_s"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts_s"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+           | strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts_s,
+           | strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts_s
+           |FROM (SELECT * FROM events WHERE event_type = 'view') l
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id
+           | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES
+           |ORDER BY l.user_id, l_id, r_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(gTumble, gSlide, gSession, gStreamJoinTwin, gStreamOuterTwin)
 }

@@ -89,6 +89,30 @@ object StreamingOps {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT OUTER watermarked stream-stream join: like [[timeBoundJoin]],
+    * but a left event with NO matching right event within `maxGap` is
+    * still emitted (null right columns) — once the watermark passes its
+    * join horizon and the runtime can PROVE no match can arrive. That
+    * proof-then-emit is the semantics under test: outer results are
+    * late by construction (eviction-time, not arrival-time), which is
+    * the documented cost of outer stream joins at any scale. State
+    * stays evictable exactly as in the inner variant — the time bound
+    * plus both-side watermarks are what make the buffer finite. */
+  def leftOuterTimeBoundJoin(left: DataFrame, right: DataFrame,
+                             maxGap: String = "30 minutes",
+                             watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+      "left_outer")
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * reassembly with an event-time timeout — the streaming analogue of the
     * reference's per-flow packet view. Emits a UserSession when the gap

@@ -118,6 +118,38 @@ class StreamingOpsSpec extends SparkSpec with RocksDbProvider {
     } finally q.stop()
   }
 
+  test("left-outer time-bound join emits unmatched left rows at watermark eviction") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingOps.leftOuterTimeBoundJoin(views.toDF(), clicks.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("t_ssouter").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Seq(ev(1, 10, user = 1), ev(2, 10, user = 2)))
+      clicks.addData(Seq(ev(101, 15, user = 1))) // match for view 1; view 2 never matches
+      q.processAllAvailable()
+      // The inner pair is emitted on arrival; view 2's outer row must NOT
+      // exist yet — no-match is only provable once the watermark passes
+      // its join horizon (l_ts + gap).
+      val early = spark.table("t_ssouter")
+        .select("l_id").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(2L), s"outer row emitted before eviction: $early")
+      views.addData(Seq(ev(3, 100, user = 9)))   // advance both watermarks
+      clicks.addData(Seq(ev(104, 100, user = 9)))
+      q.processAllAvailable()
+      views.addData(Seq(ev(4, 200, user = 9)))   // one more trigger to flush evictions
+      clicks.addData(Seq(ev(105, 200, user = 9)))
+      q.processAllAvailable()
+      val got = spark.table("t_ssouter")
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 101L)), s"inner pair missing: $got")
+      assert(got.contains((2L, -1L)), s"evicted outer row missing: $got")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dim attributes onto each micro-batch") {
     val spark2 = spark
     import spark2.implicits._
