@@ -197,6 +197,18 @@ object GraphQ {
     * rather than returning silently-wrong cores. The DuckDB oracle
     * unrolls 16 rounds — past the observed fixpoint, and peeling is
     * idempotent at fixpoint so extra rounds are exact no-ops. */
+  /** One k-core peel round (k=3): survivors = nodes of degree ≥ 3; edges
+    * filtered to survivor endpoints via two LeftSemi joins. Exposed
+    * pre-checkpoint so PlanAuditSpec can pin the per-round join shape
+    * that the loop's localCheckpoints truncate out of the final plan. */
+  private[graft] def peelRound(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 3).select(col("x").as("k"))
+    edges
+      .join(keep, col("x") === col("k"), "left_semi")
+      .join(keep.select(col("k").as("k2")), col("y") === col("k2"), "left_semi")
+  }
+
   val gKcore: Q = Q(
     "g_kcore",
     (spark, dir) => {
@@ -215,12 +227,7 @@ object GraphQ {
       var round = 0
       while (!converged && round < 64) {
         round += 1
-        val keep = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 3).select(col("x").as("k"))
-        val next = edges
-          .join(keep, col("x") === col("k"), "left_semi")
-          .join(keep.select(col("k").as("k2")), col("y") === col("k2"), "left_semi")
-          .localCheckpoint()
+        val next = peelRound(edges).localCheckpoint()
         val m = next.count()
         converged = m == n
         n = m

@@ -142,37 +142,45 @@ object MlPrepQ {
     * [[graft.ops.DistributedPrefix]] (score-range blocks), never a
     * partition-less window over the growing customer grain; rate math
     * runs on the bounded 10-row decile frame. */
+  /** The pre-checkpoint decile aggregate of [[xDecileLift]] — exposed so
+    * PlanAuditSpec can audit the prefix-rank window shape that the
+    * query's localCheckpoint truncates out of its own plan. */
+  private[graft] def decileFrame(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val recent = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("resp", when(col("o_custkey").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .drop("o_custkey")
+      .localCheckpoint() // feeds bounds + prefix pass
+    val bounds = base.agg(count(lit(1)).as("n_total"),
+      min(col("score")).as("slo"), max(col("score")).as("shi"))
+    val rn = graft.ops.DistributedPrefix.runningSum(
+      base.crossJoin(broadcast(bounds)).withColumn("neg_s", -col("score")),
+      block = graft.ops.DistributedPrefix.rangeBucket(
+        col("neg_s"), -col("shi"), -col("slo"), 64),
+      blockAsc = true,
+      localOrder = Seq(col("neg_s"), col("c_custkey")),
+      value = lit(1L),
+      out = "rn")
+    rn.withColumn("decile", expr(
+        """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
+          |     THEN (rn + n_total DIV 10) DIV (n_total DIV 10 + 1)
+          |     ELSE n_total % 10
+          |          + (rn - (n_total % 10) * (n_total DIV 10 + 1)
+          |             + n_total DIV 10 - 1) DIV (n_total DIV 10)
+          |END""".stripMargin).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("resp")).as("n_resp"))
+  }
+
   val xDecileLift: Q = Q(
     "x_decile_lift",
     (spark, dir) => {
-      val recent = Tables(spark, dir, "orders")
-        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-        .select(col("o_custkey")).distinct()
-      val base = Tables(spark, dir, "customer")
-        .select(col("c_custkey"), cents(col("c_acctbal")).as("score"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left")
-        .withColumn("resp", when(col("o_custkey").isNotNull, lit(1L)).otherwise(lit(0L)))
-        .drop("o_custkey")
-        .localCheckpoint() // feeds bounds + prefix pass
-      val bounds = base.agg(count(lit(1)).as("n_total"),
-        min(col("score")).as("slo"), max(col("score")).as("shi"))
-      val rn = graft.ops.DistributedPrefix.runningSum(
-        base.crossJoin(broadcast(bounds)).withColumn("neg_s", -col("score")),
-        block = graft.ops.DistributedPrefix.rangeBucket(
-          col("neg_s"), -col("shi"), -col("slo"), 64),
-        blockAsc = true,
-        localOrder = Seq(col("neg_s"), col("c_custkey")),
-        value = lit(1L),
-        out = "rn")
-      val deciles = rn.withColumn("decile", expr(
-          """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
-            |     THEN (rn + n_total DIV 10) DIV (n_total DIV 10 + 1)
-            |     ELSE n_total % 10
-            |          + (rn - (n_total % 10) * (n_total DIV 10 + 1)
-            |             + n_total DIV 10 - 1) DIV (n_total DIV 10)
-            |END""".stripMargin).cast("long"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n"), sum(col("resp")).as("n_resp"))
+      val deciles = decileFrame(spark, dir)
         .localCheckpoint() // bounded (10 rows); feeds totals + rate math
       val totals = deciles.agg(sum(col("n")).as("pop"), sum(col("n_resp")).as("resp_tot"))
       deciles.crossJoin(broadcast(totals))

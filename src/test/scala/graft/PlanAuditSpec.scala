@@ -579,4 +579,86 @@ class PlanAuditSpec extends SparkSpec {
     assert(overlap >= 0.10, s"PQ recall vs exact is $overlap — ADC wiring suspect")
     info(f"sim_pq_topk recall vs exact on this fixture: $overlap%.2f")
   }
+
+  /** The round-10 time-series smoothers must never plan a Window: the
+    * explode-to-target-day shape replaces the flag-partitioned window
+    * (3 tasks for the whole day grain) with a hash aggregate that
+    * parallelizes over (flag, day). A Window reappearing means the shape
+    * regressed to the serialized form. */
+  test("w_ewma / w_trend aggregate per target day — no window, partial+final") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("w_ewma", "w_trend")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        s"$name: a window reappeared in the smoothing pass:\n$plan")
+      val p = executedPlanString(name)
+      assert(p.contains("partial_sum"), s"$name: window sums are not partial+final:\n$p")
+    }
+  }
+
+  /** CMS contracts: the sketch build partial-aggregates (each partition
+    * ships ≤1536 cell partials, not the key grain) and the probe joins
+    * the bounded top-k frame against the broadcast cell table. */
+  test("a_cms sketch partial-aggregates and the probe broadcasts the cells") {
+    val p = executedPlanString("a_cms")
+    assert(p.contains("partial_count"), s"sketch build not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe did not broadcast the cell table:\n$p")
+    assert(!p.contains("Cartesian"), s"CMS probe fell back to cartesian:\n$p")
+  }
+
+  /** e_rand_proj must stay a map-only projection (16 fused dots against
+    * literal sign arrays — no Generate/explode of the embedding) feeding
+    * one partial+final aggregate. */
+  test("e_rand_proj computes codes without exploding the vectors") {
+    val p = executedPlanString("e_rand_proj")
+    assert(!p.contains("Generate"), s"projection exploded the embeddings:\n$p")
+    assert(p.contains("partial_count"), s"bucket histogram not partial+final:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in the projection:\n$p")
+  }
+
+  /** k-core peel rounds are degree filters + semi joins — never a
+    * cartesian, and the survivor filter reaches the edge frame as a
+    * LeftSemi join (the peel's only join shape). Audited on the exposed
+    * pre-checkpoint round builder: the loop's localCheckpoints truncate
+    * the per-round shape out of the final query plan. */
+  test("g_kcore peels via semi joins, never cartesian") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("x", "y")
+    val round = queries.GraphQ.peelRound(edges)
+    round.count()
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian"), s"k-core peel went cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"survivor filter is not a semi join:\n$p")
+    assert(!executedPlanString("g_kcore").contains("Cartesian"))
+  }
+
+  /** Audited on the exposed pre-checkpoint decile frame (the query
+    * checkpoints the bounded 10-row aggregate, truncating the rank pass
+    * out of its own plan). */
+  test("decile lift blocks by score range — no global sort over the customer grain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = queries.MlPrepQ.decileFrame(spark, dir).queryExecution.optimizedPlan
+    val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty,
+      s"x_decile_lift: a partition-less window reappeared (single-task global sort):\n$plan")
+    val local = plan.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(local.nonEmpty, s"x_decile_lift: expected a block-partitioned local window:\n$plan")
+  }
+
+  test("interleave ranks block by doc range — no per-source-only window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    boundedGlobalWindows("s_interleave")
+    val plan = SparkEntry.queries("s_interleave")(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.size >= 2),
+      s"s_interleave: a window keyed by source alone would cap at n_sources tasks:\n$plan")
+  }
+
+  /** vocab coverage: the 1000-row vocab must ride a broadcast into the
+    * coverage join — the (source, tok) grain never shuffles for it. */
+  test("t_vocab_coverage broadcasts the bounded vocab") {
+    val p = executedPlanString("t_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join did not broadcast:\n$p")
+    assert(p.contains("TakeOrdered"), s"vocab top-k is not TakeOrderedAndProject:\n$p")
+  }
 }
