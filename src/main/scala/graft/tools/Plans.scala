@@ -44,7 +44,14 @@ object Plans {
     "x_rfm" -> "RFM quintiles: three DistributedPrefix rank passes (one per measure) + closed-form ntile — no partition-less Window over the customer grain",
     "t_bpe_step" -> "BPE pair statistic at the vocab grain: corpus collapses in the first aggregate, top-20 merges via TakeOrderedAndProject",
     "g_label_prop" -> "label propagation superstep: edge join + partial-aggregable max(struct) argmax, no per-node window",
-    "x_basket_rules" -> "association rules: 40-row rule frame broadcasts against part-grain supports — the growing side never shuffles for the join")
+    "x_basket_rules" -> "association rules: 40-row rule frame broadcasts against part-grain supports — the growing side never shuffles for the join",
+    "w_ewma" -> "exact Q16 EWMA: NO Window node — bounded 16x explode into a partial+final hash aggregate on (flag, target day)",
+    "w_trend" -> "rolling OLS slope: same explode-to-target-day shape, five int64 sums partial-aggregated, slope emitted as an exact rational",
+    "a_cms" -> "Count-Min sketch: 3x fan-out partial-aggregates to <=1536 cells per partition; probe broadcasts the cell table against the exact top-20",
+    "e_rand_proj" -> "signed random projection: 16 fused codegen dots against literal sign arrays (no Generate), one bounded code-histogram aggregate",
+    "s_interleave" -> "dataloader interleave: grouped DistributedPrefix rank (doc-range blocks x source) + triangular source-index join, rank<=200 prune before the bounded sort",
+    "t_vocab_coverage" -> "vocab coverage: checkpointed (source,tok,n) grain feeds TakeOrdered vocab AND coverage re-aggregate; vocab join broadcasts",
+    "x_decile_lift" -> "lift table: responder semi-join at the key grain, DistributedPrefix decile rank, rate math on the bounded 10-row frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
