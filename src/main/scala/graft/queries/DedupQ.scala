@@ -339,6 +339,144 @@ object DedupQ {
            |  CAST(b.n_spans - COALESCE(o.n_firsts, 0) AS BIGINT) AS n_dup_spans
            |FROM base b LEFT JOIN owners o USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** SemDeDup-style semantic dedup (round 10; Abbas et al. 2023, public):
+    * cluster the embedding space, find high-cosine pairs WITHIN each
+    * cluster only, and drop the member of each duplicate pair that sits
+    * FARTHER from its cluster centroid (keep the most prototypical copy).
+    * The label column stands in for the k-means assignment step — a
+    * deterministic cluster id with the same plan shape. Exact integer
+    * formulation throughout: vectors quantized (round(x·1000)), the
+    * centroid distance compared on the n-SCALED form ‖n·x − S‖² (n =
+    * cluster size, S = per-dim cluster sum) so no division ever happens,
+    * and cosine as the fixed IEEE chain over exact integer dots.
+    *
+    * Scale shape: per-dim cluster sums are 64 codegen'd sum aggregates
+    * (no explode); the pair stage joins WITHIN clusters only — the
+    * documented SemDeDup cost model, O(Σ n_c²) not O(n²), controlled at
+    * scale by the cluster count k growing with the corpus. Output: every
+    * vector with its scaled centroid distance and dropped flag. */
+  val dSemDedup: Q = Q(
+    "d_semdedup",
+    (spark, dir) => {
+      val qv = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
+      val v = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"), qv.as("qv"))
+        .withColumn("n2", graft.functions.vec_dot_long(col("qv"), col("qv")))
+        .localCheckpoint() // feeds centroid sums + both pair sides
+      val sumCols = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+      val cl = v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .withColumn("svec", array((0 until 64).map(i => col(s"s$i")): _*))
+        .select(col("label"), col("n"), col("svec"))
+      val withD = v.join(broadcast(cl), "label")
+        .withColumn("diff", zip_with(col("qv"), col("svec"), (x, s) => col("n") * x - s))
+        .withColumn("d2n", graft.functions.vec_dot_long(col("diff"), col("diff")))
+        .select(col("label"), col("vec_id"), col("qv"), col("n2"), col("d2n"))
+        .localCheckpoint() // pair stage reads it twice
+      val a = withD.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"),
+        col("n2").as("n2a"), col("d2n").as("d2a"))
+      val b = withD.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"),
+        col("n2").as("n2b"), col("d2n").as("d2b"))
+      val cosMicro = round(graft.functions.vec_dot_long(col("qa"), col("qb")).cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double")) * 1000000).cast("long")
+      val victims = a.join(b, Seq("label"))
+        .filter(col("va") < col("vb"))
+        .withColumn("cos_micro", cosMicro)
+        .filter(col("cos_micro") >= 350000L)
+        .select(when(col("d2a") > col("d2b"), col("va"))
+          .when(col("d2a") < col("d2b"), col("vb"))
+          .otherwise(greatest(col("va"), col("vb"))).as("victim"))
+        .distinct()
+      withD.join(victims, col("vec_id") === col("victim"), "left")
+        .select(col("label"), col("vec_id"), col("d2n"),
+          when(col("victim").isNotNull, lit(1L)).otherwise(lit(0L)).as("dropped"))
+        .orderBy(col("label"), col("vec_id"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, ${SimilarityQ.qvecSql} AS qv
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2 FROM v),
+           |ex AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM v),
+           |cl AS (SELECT label, j, SUM(x) AS s FROM ex GROUP BY label, j),
+           |cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY label),
+           |d AS (SELECT ex.vec_id, ex.label,
+           |    CAST(SUM((cn.cnt * ex.x - cl.s) * (cn.cnt * ex.x - cl.s)) AS BIGINT) AS d2n
+           |  FROM ex JOIN cl ON cl.label = ex.label AND cl.j = ex.j
+           |  JOIN cn ON cn.label = ex.label
+           |  GROUP BY ex.vec_id, ex.label),
+           |pairs AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, da.d2n AS d2a, db.d2n AS d2b
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |  JOIN d da ON da.vec_id = a.vec_id
+           |  JOIN d db ON db.vec_id = b.vec_id
+           |  WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
+           |victims AS (SELECT DISTINCT CASE WHEN d2a > d2b THEN va
+           |    WHEN d2a < d2b THEN vb ELSE greatest(va, vb) END AS victim FROM pairs)
+           |SELECT d.label, d.vec_id, d.d2n,
+           |  CASE WHEN v2.victim IS NOT NULL THEN 1 ELSE 0 END AS dropped
+           |FROM d LEFT JOIN victims v2 ON v2.victim = d.vec_id
+           |ORDER BY d.label, d.vec_id""".stripMargin))
+
+  /** Containment near-dup mining (round 10): the ASYMMETRIC overlap
+    * |A∩B| / min(|A|,|B|) over rare 3-token shingles — the metric that
+    * catches quote-inclusion and subset documents that Jaccard misses
+    * (a short doc fully contained in a long one has tiny Jaccard but
+    * containment 1). Shingle space restricted to document frequency
+    * 2..10: df=1 shingles can't form pairs, df>10 shingles are
+    * boilerplate whose posting lists would dominate pair emission — the
+    * standard posting-length bound that makes the pair stage O(Σ df²)
+    * instead of O(n²). Top-100 by containment (total order) in exact
+    * basis points.
+    *
+    * Scale shape: one tokenize pass to the distinct (doc, shingle)
+    * grain; df filter is a hash aggregate + join on the shingle key;
+    * pair emission joins posting lists of ≤10 docs each. Nothing
+    * quadratic in the corpus — the df bound is the knob that holds at
+    * 100 TB. */
+  val dContainment: Q = Q(
+    "d_containment",
+    (spark, dir) => {
+      val sh = Tables(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))")).as("s"))
+        .distinct()
+        .localCheckpoint() // feeds df counts and both pair sides
+      val rare = sh.join(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 10)).select(col("s")),
+        Seq("s"), "left_semi")
+        .localCheckpoint()
+      val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = rare.select(col("s"), col("doc_id").as("da"))
+        .join(rare.select(col("s"), col("doc_id").as("db")), Seq("s"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 5)
+      pairs
+        .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("size_a")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("size_b")), Seq("db"))
+        .withColumn("containment_bp",
+          (col("n_common") * 10000 / least(col("size_a"), col("size_b"))).cast("long"))
+        .select(col("da"), col("db"), col("n_common"), col("size_a"), col("size_b"),
+          col("containment_bp"))
+        .orderBy(col("containment_bp").desc, col("da"), col("db"))
+        .limit(100)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+           |  FROM toks, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) r),
+           |df AS (SELECT s FROM (SELECT s, COUNT(*) AS d FROM sh GROUP BY s)
+           |  WHERE d BETWEEN 2 AND 10),
+           |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)),
+           |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM rare GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+           |SELECT da, db, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b,
+           |  CAST(n_common * 10000 // least(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_bp
+           |FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+           |ORDER BY containment_bp DESC, da, db LIMIT 100""".stripMargin))
+
   val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
-    dChunkCdc, dSpanDedup)
+    dChunkCdc, dSpanDedup, dSemDedup, dContainment)
 }

@@ -257,5 +257,59 @@ object GraphQ {
          |FROM e16 GROUP BY x ORDER BY node""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore)
+  /** Bounded-depth BFS (round 10): shortest-path depths from the minimum
+    * node of the co-purchase graph, 4 supersteps — the "what's reachable
+    * from this item, and how close" primitive behind related-item
+    * expansion. Each superstep is frontier-join + union + min-aggregate
+    * (the Pregel message pattern as plain relational ops), localCheckpoint
+    * per round; depth = MIN over all ≤4-hop paths, so the union-then-min
+    * form is order-insensitive and exactly mirrors the unrolled oracle.
+    *
+    * Scale shape: the per-round join partitions on the edge src key; the
+    * frontier frame stays (node, depth) — at 100 TB this is the standard
+    * iterative-BFS plan whose cost is the frontier's edge expansion, never
+    * |V|². Fixed depth bounds both engines identically. */
+  val gBfsDepth: Q = Q(
+    "g_bfs_depth",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+        .select(col("x"), col("y"))
+      val edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      var dist = edges.agg(min(col("x")).as("node")).withColumn("depth", lit(0L))
+        .localCheckpoint()
+      for (d <- 1 to 4) {
+        val frontier = dist.filter(col("depth") === (d - 1))
+        val next = edges.join(frontier, col("x") === col("node"))
+          .select(col("y").as("node"), lit(d.toLong).as("depth"))
+        dist = dist.unionAll(next)
+          .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+          .localCheckpoint()
+      }
+      dist.orderBy(col("node"))
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, MIN(depth) AS depth FROM (
+           |  SELECT node, depth FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.y, $i FROM e0 e JOIN d${i - 1} p ON e.x = p.node
+           |) GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS MATERIALIZED (SELECT a.pk AS x, b.pk AS y FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e0 AS MATERIALIZED (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+         |d0 AS MATERIALIZED (SELECT MIN(x) AS node, CAST(0 AS BIGINT) AS depth FROM e0),
+         |$rounds
+         |SELECT node, CAST(depth AS BIGINT) AS depth FROM d4 ORDER BY node""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore, gBfsDepth)
 }

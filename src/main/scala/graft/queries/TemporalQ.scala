@@ -274,5 +274,65 @@ object TemporalQ {
            |GROUP BY a.l_returnflag, a.day
            |ORDER BY a.l_returnflag, day""".stripMargin))
 
-  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend)
+  /** Time-series anomaly flags (round 10): a day is anomalous when its
+    * revenue deviates from its own trailing-30-day baseline by more than
+    * 3σ — with the whole test in EXACT integer arithmetic: with n, S, Q
+    * the count/sum/sum-of-squares of the trailing window (ENDING
+    * YESTERDAY — the day under test never contaminates its baseline),
+    *   (x − μ)² > 9σ²  ⟺  (n·x − S)² > 9·(n·Q − S²),
+    * the n²-scaled form that eliminates both divisions. Revenue is
+    * bucketed to exact 1000-dollar units (cents DIV 100000) so the
+    * squares stay inside int64 through sf100. Baselines with n < 10
+    * days are skipped (cold start).
+    *
+    * Scale shape: same bounded 30× explode-to-target-day aggregate as
+    * [[wTrend]] — no window, no self-join on a range predicate; the
+    * anomaly filter is a map-side predicate over the joined daily frame. */
+  val tsAnomaly: Q = Q(
+    "ts_anomaly",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+        .withColumn("xk", expr("day_cents DIV 100000"))
+        .localCheckpoint()
+      val sums = daily
+        .withColumn("d", explode(sequence(lit(1), lit(30)))) // 1..30: window ends yesterday
+        .select(col("l_returnflag").as("t_flag"),
+          date_add(col("day"), col("d")).cast("timestamp").as("tday"),
+          col("xk"))
+        .groupBy(col("t_flag"), col("tday"))
+        .agg(count(lit(1)).as("n_base"),
+          sum(col("xk")).as("sk"),
+          sum(col("xk") * col("xk")).as("skk"))
+      daily.join(sums,
+          col("l_returnflag") === col("t_flag") && col("day") === col("tday"))
+        .filter(col("n_base") >= 10)
+        .withColumn("dev2", (col("n_base") * col("xk") - col("sk")) *
+          (col("n_base") * col("xk") - col("sk")))
+        .withColumn("thr", lit(9L) * (col("n_base") * col("skk") - col("sk") * col("sk")))
+        .filter(col("dev2") > col("thr"))
+        .select(col("l_returnflag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_cents"), col("n_base"), col("dev2"), col("thr"))
+        .orderBy(col("l_returnflag"), col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM lineitem GROUP BY 1, 2),
+           |d2 AS (SELECT l_returnflag, day, day_cents, day_cents // 100000 AS xk FROM daily)
+           |SELECT a.l_returnflag, strftime(a.day, '%Y-%m-%d') AS day, a.day_cents,
+           |  CAST(COUNT(*) AS BIGINT) AS n_base,
+           |  CAST((COUNT(*) * a.xk - SUM(b.xk)) * (COUNT(*) * a.xk - SUM(b.xk)) AS BIGINT) AS dev2,
+           |  CAST(9 * (COUNT(*) * SUM(b.xk * b.xk) - SUM(b.xk) * SUM(b.xk)) AS BIGINT) AS thr
+           |FROM d2 a JOIN d2 b
+           |  ON a.l_returnflag = b.l_returnflag
+           | AND date_diff('day', b.day, a.day) BETWEEN 1 AND 30
+           |GROUP BY a.l_returnflag, a.day, a.day_cents, a.xk
+           |HAVING COUNT(*) >= 10
+           |   AND (COUNT(*) * a.xk - SUM(b.xk)) * (COUNT(*) * a.xk - SUM(b.xk))
+           |       > 9 * (COUNT(*) * SUM(b.xk * b.xk) - SUM(b.xk) * SUM(b.xk))
+           |ORDER BY a.l_returnflag, day""".stripMargin))
+
+  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly)
 }
