@@ -661,4 +661,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"vocab join did not broadcast:\n$p")
     assert(p.contains("TakeOrdered"), s"vocab top-k is not TakeOrderedAndProject:\n$p")
   }
+
+  /** SemDeDup contracts: the pair stage joins WITHIN clusters (equi-join
+    * on the cluster key — never cartesian) and the bounded centroid frame
+    * rides a broadcast. */
+  test("d_semdedup pairs within clusters only, centroids broadcast") {
+    val p = executedPlanString("d_semdedup")
+    assert(!p.contains("Cartesian"), s"semantic dedup went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"centroid frame did not broadcast:\n$p")
+  }
+
+  /** Containment mining: the df filter reaches the shingle grain as a
+    * semi join and pair emission is a posting-list equi-join on the
+    * shingle key — never cartesian. */
+  test("d_containment prunes by document frequency and joins on shingles") {
+    val p = executedPlanString("d_containment")
+    assert(!p.contains("Cartesian"), s"containment pair stage went cartesian:\n$p")
+    assert(p.contains("TakeOrdered"), s"top-100 is not TakeOrderedAndProject:\n$p")
+  }
+
+  /** ts_anomaly must keep the explode-to-target-day shape: no Window,
+    * partial+final baseline sums, anomaly test as a plain filter. */
+  test("ts_anomaly baselines via hash aggregate, no window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("ts_anomaly")(spark, dir).queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      s"ts_anomaly: a window reappeared in the baseline pass:\n$plan")
+    val p = executedPlanString("ts_anomaly")
+    assert(p.contains("partial_sum"), s"baseline sums are not partial+final:\n$p")
+  }
+
+  test("g_bfs_depth supersteps never go cartesian") {
+    assert(!executedPlanString("g_bfs_depth").contains("Cartesian"))
+  }
 }
