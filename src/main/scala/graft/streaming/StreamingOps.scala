@@ -113,6 +113,67 @@ object StreamingOps {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Exactly-once keyed-upsert snapshot sink (CDC-apply): maintain a
+    * "latest state per user" parquet snapshot from the event stream via
+    * foreachBatch. Without a transactional table format, exactly-once
+    * comes from VERSIONED snapshots: batch N deterministically rewrites
+    * `v=N` from (`v=N-1`, batch N), so a replayed micro-batch (crash
+    * after write, before checkpoint commit) overwrites its own version
+    * with identical bytes instead of double-applying. One prior version
+    * is retained for replay; older ones are pruned. Latest-wins is the
+    * total order (ts, event_id) — unique, so the merge is deterministic
+    * and idempotent. At scale the snapshot rewrite is the no-ACID-format
+    * cost; the shape ports to MERGE INTO unchanged on Delta/Iceberg. */
+  def upsertLatestSink(events: DataFrame, snapshotDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsert(batch, snapshotDir, batchId); ()
+      }
+      .start()
+
+  /** One CDC-apply step — exposed so the replay spec can re-run a batch
+    * and prove the rewrite is byte-stable. */
+  private[graft] def applyUpsert(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("s.ts").as("ts"),
+          col("s.event_id").as("event_id"), col("s.value").as("value"))
+    val versions = listVersions(dir)
+    // Replay safety: the previous version is the newest one STRICTLY
+    // below this batch id — a half-written v=batchId from a crashed
+    // attempt is never read as input to its own rewrite.
+    val prev = versions.filter(_ < batchId).sorted.lastOption
+    val merged = prev match {
+      case Some(v) =>
+        latestPerKey(spark.read.parquet(s"$dir/v=$v").unionByName(
+          latestPerKey(batch)))
+      case None => latestPerKey(batch)
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    // Keep exactly one prior version (replay input); prune the rest.
+    versions.filter(v => prev.exists(v < _)).foreach { v =>
+      deleteRecursively(new java.io.File(s"$dir/v=$v"))
+    }
+  }
+
+  private def listVersions(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user session
     * reassembly with an event-time timeout — the streaming analogue of the
     * reference's per-flow packet view. Emits a UserSession when the gap
