@@ -647,6 +647,49 @@ object SimilarityQ {
          |FROM c GROUP BY code ORDER BY code""".stripMargin
     })
 
+  /** Hard-negative mining (round 10): for each query-cohort anchor, the
+    * top-3 highest-cosine vectors with a DIFFERENT label — the
+    * contrastive-training sampler (metric learning / embedding
+    * fine-tuning wants negatives that are similar yet wrongly labeled,
+    * not random ones). Same exact-integer cosine and fixed-cohort pair
+    * stage as sim_topk_cosine — linear in base size, never quadratic —
+    * plus the label predicate in the join condition so same-label pairs
+    * are pruned BEFORE the dot product, and the per-anchor top-3 plans
+    * as WindowGroupLimit (map-side heap before the window shuffle). */
+  val eHardNegatives: Q = Q(
+    "e_hard_negatives",
+    (spark, dir) => {
+      val b = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          qvec(col("embedding")).as("qv"))
+        .withColumn("n2", dotL(col("qv"), col("qv")))
+      val q = b.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("n2").as("qn2"))
+      val pairs = q.join(
+          b.select(col("vec_id"), col("label"), col("qv"), col("n2").as("bn2")),
+          col("q_label") =!= col("label"))
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_micro").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("q_label"), col("rn").cast("long").as("rn"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cos_micro"))
+        .orderBy("q_id", "rn")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $qvecSql AS qv FROM embeddings),
+            |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2 FROM v),
+            |p AS (SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id AS neg_id, b.label AS neg_label,
+            |   CAST(round(list_dot_product(q.qv, b.qv) / sqrt(q.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            | FROM n q JOIN n b ON q.vec_id % 25 = 0 AND q.vec_id < 2000 AND q.label <> b.label),
+            |r AS (SELECT q_id, q_label, neg_id, neg_label, cos_micro,
+            |   row_number() OVER (PARTITION BY q_id ORDER BY cos_micro DESC, neg_id) AS rn
+            | FROM p)
+            |SELECT q_id, q_label, CAST(rn AS BIGINT) AS rn, neg_id, neg_label, cos_micro
+            |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk, eRandProj)
+    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk, eRandProj, eHardNegatives)
 }

@@ -429,6 +429,37 @@ object TextQ {
            |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
            |FROM p GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 20""".stripMargin))
 
+  /** Skip-gram co-occurrence mining (round 10): ordered token pairs
+    * within a 3-token forward window — the word2vec/GloVe context
+    * statistic one step past adjacent bigrams. Pairs are built by a pure
+    * nested array expression (sequence + transform + flatten — no
+    * window, no positional self-join), so the whole pair space is a
+    * bounded ≤3× explode of the token grain feeding one count
+    * aggregate: the same one-shuffle shape as t_bigrams at any corpus
+    * size. Top-20 by frequency, ties by pair text. */
+  val tSkipgram: Q = Q(
+    "t_skipgram",
+    (spark, dir) => {
+      val toks = split(lower(col("text")), " ")
+      Tables(spark, dir, "documents")
+        .select(toks.as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(flatten(transform(sequence(lit(1), size(col("l")) - 1),
+          i => transform(sequence(i + 1, least(i + 3, size(col("l")))),
+            j => concat(element_at(col("l"), i), lit(" "), element_at(col("l"), j))))))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH l AS (SELECT string_split(lower(text), ' ') AS l
+           |          FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+           |b AS (SELECT unnest(flatten(list_transform(range(1, len(l)),
+           |        i -> list_transform(range(i + 1, least(i + 3, len(l)) + 1),
+           |               j -> l[i] || ' ' || l[j])))) AS pair FROM l)
+           |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM b GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
-    tPmi, tBm25, tBpeStep)
+    tPmi, tBm25, tBpeStep, tSkipgram)
 }

@@ -583,7 +583,34 @@ object TrainPrepQ {
            |FROM d, n WHERE (r - 1) * n_sources + src_idx - 1 < 200
            |ORDER BY pos""".stripMargin))
 
+  /** Sort-free epoch shuffle (round 10): a deterministic pseudo-random
+    * permutation of the corpus via an affine map pos = (a·doc_id + b)
+    * mod p with p prime ≥ max id — the way a 100 TB dataloader shuffles
+    * WITHOUT a global sort: any worker computes any document's epoch
+    * position locally in O(1), the permutation is bijective on [0, p),
+    * and a new epoch is just a new (a, b). Emits the first 100 positions
+    * of epoch 1 (a=48271, b=7, the MINSTD multiplier) — reproducible
+    * run-to-run, no shuffle of the data itself.
+    *
+    * Scale shape: map-only projection + TakeOrdered(100) — the only
+    * "sort" is over the bounded output. The permutation replaces the
+    * petabyte-scale sort-by-rand() that a naive shuffle would plan. */
+  val sShuffleEpoch: Q = Q(
+    "s_shuffle_epoch",
+    (spark, dir) => {
+      // p = 2^31 - 1 (prime); doc_id < p always holds for the fixture
+      // id space, making the affine map injective on it.
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("pos", (col("doc_id") * 48271L + 7L) % 2147483647L)
+        .orderBy(col("pos"))
+        .limit(100)
+        .select(col("pos"), col("doc_id"), col("source"))
+    },
+    Some("""SELECT (doc_id * 48271 + 7) % 2147483647 AS pos, doc_id, source
+           |FROM documents ORDER BY pos LIMIT 100""".stripMargin))
+
   val all: Seq[Q] = Seq(tPiiRedact, tGopherQuality, wCumeDist, dDecontam,
     sMixWeighted, tSeqPack, tRepetition, sDomainBudget, tQualityClf,
-    sWeightedSample, sTemperature, sInterleave)
+    sWeightedSample, sTemperature, sInterleave, sShuffleEpoch)
 }

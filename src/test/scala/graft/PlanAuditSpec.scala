@@ -694,4 +694,23 @@ class PlanAuditSpec extends SparkSpec {
   test("g_bfs_depth supersteps never go cartesian") {
     assert(!executedPlanString("g_bfs_depth").contains("Cartesian"))
   }
+
+  test("epoch shuffle and skip-gram top-k take ordered, never a global sort") {
+    assert(executedPlanString("s_shuffle_epoch").contains("TakeOrdered"))
+    val p = executedPlanString("t_skipgram")
+    assert(p.contains("TakeOrdered"), s"skip-gram top-20 is not TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in skip-gram mining:\n$p")
+  }
+
+  /** Hard-negative mining: the per-anchor top-3 must plan as
+    * WindowGroupLimit (map-side heap before the window shuffle) and the
+    * label-inequality pair stage must broadcast the fixed cohort, never
+    * a CartesianProduct. */
+  test("e_hard_negatives group-limits per anchor and never goes cartesian") {
+    val p = executedPlanString("e_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), s"per-anchor top-3 lacks WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair stage went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"fixed cohort did not broadcast:\n$p")
+  }
 }
