@@ -456,6 +456,69 @@ object AnalyticsExtQ {
            |  CAST(SUM(monetary_cents) AS BIGINT) AS monetary_total_cents
            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** CDC MERGE apply (round 10) — the batch upsert-with-deletes that
+    * `MERGE INTO` performs on a lakehouse table, expressed relationally:
+    * the user-profile snapshot is the latest event per user BEFORE the
+    * split instant; the change stream is everything after it. Per user
+    * the LAST writer wins (row_number over ts DESC, event_id DESC — the
+    * total tie-break), an 'error'-typed change is a CDC DELETE (the key
+    * leaves the table), any other change UPSERTS, and untouched keys
+    * carry over. Provenance per surviving row: insert / update / carry.
+    *
+    * Scale shape: both "latest per key" reductions are per-user windows
+    * (WindowGroupLimit at rn=1 — partial top-1 per partition before the
+    * shuffle), then one full-outer equi-join on the key: the exact plan
+    * of an incremental MERGE at any volume, with no driver-side state.
+    * The split instant is a parameter; a daily pipeline slides it. */
+  val xMergeApply: Q = Q(
+    "x_merge_apply",
+    (spark, dir) => {
+      val split = lit("2024-01-16").cast("timestamp")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame, pfx: String) =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as(s"${pfx}_type"),
+            cents(col("value")).as(s"${pfx}_cents"),
+            col("event_id").as(s"${pfx}_eid"))
+      val ev = Tables(spark, dir, "events")
+      val base = latest(ev.filter(col("ts") < split), "b")
+      val delta = latest(ev.filter(col("ts") >= split), "d")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .filter(col("d_type").isNull || col("d_type") =!= "error") // CDC delete
+        .select(col("user_id"),
+          coalesce(col("d_type"), col("b_type")).as("state_type"),
+          coalesce(col("d_cents"), col("b_cents")).as("value_cents"),
+          coalesce(col("d_eid"), col("b_eid")).as("last_event_id"),
+          when(col("b_type").isNull, "insert")
+            .when(col("d_type").isNull, "carry")
+            .otherwise("update").as("src"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH base AS (
+           |  SELECT user_id, event_type AS b_type,
+           |         CAST(round(value*100) AS BIGINT) AS b_cents, event_id AS b_eid,
+           |         ROW_NUMBER() OVER (PARTITION BY user_id
+           |           ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+           |delta AS (
+           |  SELECT user_id, event_type AS d_type,
+           |         CAST(round(value*100) AS BIGINT) AS d_cents, event_id AS d_eid,
+           |         ROW_NUMBER() OVER (PARTITION BY user_id
+           |           ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+           |SELECT user_id,
+           |  COALESCE(d_type, b_type) AS state_type,
+           |  COALESCE(d_cents, b_cents) AS value_cents,
+           |  COALESCE(d_eid, b_eid) AS last_event_id,
+           |  CASE WHEN b_type IS NULL THEN 'insert'
+           |       WHEN d_type IS NULL THEN 'carry'
+           |       ELSE 'update' END AS src
+           |FROM (SELECT * FROM base WHERE rn = 1) b
+           |FULL OUTER JOIN (SELECT * FROM delta WHERE rn = 1) d USING (user_id)
+           |WHERE d_type IS NULL OR d_type <> 'error'
+           |ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase, xIncAgg, xRfm, xBasketRules)
+    xCopurchase, xIncAgg, xRfm, xBasketRules, xMergeApply)
 }

@@ -311,5 +311,144 @@ object GraphQ {
          |SELECT node, CAST(depth AS BIGINT) AS depth FROM d4 ORDER BY node""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore, gBfsDepth)
+  /** Link prediction (round 10) over the supplier–part bipartite graph
+    * (same bounded cohort as [[gPagerank]]: suppliers ≤ 40, parts folded
+    * mod 80): for each supplier pair, the three classic integer link
+    * scores — common neighbors (shared distinct parts), preferential
+    * attachment deg(u)·deg(v), and the exact Jaccard as a num/den pair
+    * (cn over deg(u)+deg(v)−cn) — no float division to hash-diverge.
+    *
+    * Scale shape: the pair space comes from a self-equi-join on the
+    * part key, whose per-key fan-out is bounded by suppliers-per-part
+    * (a cohort property, not data size), then one hash aggregate per
+    * pair and a broadcast-size degree join. The same plan serves
+    * user–item co-engagement link prediction at any event volume —
+    * never an all-pairs product. */
+  val gLinkPredict: Q = Q(
+    "g_link_predict",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey") % 80).as("p"))
+        .distinct()
+        .localCheckpoint() // one derivation feeds the self-join and both degree joins
+      val deg = li.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      val pairs = li.select(col("s").as("s1"), col("p"))
+        .join(li.select(col("s").as("s2"), col("p")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("cn"))
+      pairs
+        .join(deg.select(col("s").as("s1"), col("deg").as("d1")), Seq("s1"))
+        .join(deg.select(col("s").as("s2"), col("deg").as("d2")), Seq("s2"))
+        .filter(col("cn") >= 3)
+        .select(col("s1"), col("s2"), col("cn"),
+          (col("d1") * col("d2")).as("pref_attach"),
+          col("cn").as("jacc_num"),
+          (col("d1") + col("d2") - col("cn")).as("jacc_den"))
+        .orderBy(col("cn").desc, col("s1"), col("s2"))
+        .limit(30)
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, l_partkey % 80 AS p
+           |  FROM lineitem WHERE l_suppkey <= 40),
+           |deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY 1),
+           |pairs AS (
+           |  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cn
+           |  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+           |  GROUP BY 1, 2)
+           |SELECT s1, s2, cn,
+           |  d1.deg * d2.deg AS pref_attach,
+           |  cn AS jacc_num,
+           |  d1.deg + d2.deg - cn AS jacc_den
+           |FROM pairs
+           |JOIN deg d1 ON pairs.s1 = d1.s
+           |JOIN deg d2 ON pairs.s2 = d2.s
+           |WHERE cn >= 3
+           |ORDER BY cn DESC, s1, s2 LIMIT 30""".stripMargin))
+
+  /** Partition-quality scoring via modularity (round 10): given the
+    * supplier co-supply projection graph ([[gLinkPredict]]'s cn ≥ 3
+    * pairs) and an exogenous community labeling (the supplier's nation),
+    * score the partition with Newman modularity — in EXACT integers by
+    * scaling away both divisions:  4m²·Q = Σ_c (4m·e_c − d_c²), where
+    * e_c = intra-community edges, d_c = Σ degree, m = total edges. Per
+    * community the row carries (n_nodes, d_sum, e_in, contrib = 4m·e_in
+    * − d_sum²) plus m, so the judge can recompute Q; nothing floats.
+    *
+    * Scale shape: the edge frame is the bounded pairs projection; degree
+    * and intra-edge counts are two hash aggregates over it, the one-row
+    * m frame broadcasts, and the label join partitions on the node key —
+    * the same plan scores a billion-edge graph against any labeling. */
+  val gModularity: Q = Q(
+    "g_modularity",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey") % 80).as("p"))
+        .distinct()
+      val pairs = li.select(col("s").as("s1"), col("p"))
+        .join(li.select(col("s").as("s2"), col("p")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 3)
+        .select(col("s1"), col("s2"))
+        .localCheckpoint() // edges feed m, degrees, labels and intra counts
+      val nat = Tables(spark, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("sk"),
+          col("s_nationkey").cast("long").as("nk"))
+      val e = pairs
+        .join(nat.select(col("sk").as("s1"), col("nk").as("n1")), Seq("s1"))
+        .join(nat.select(col("sk").as("s2"), col("nk").as("n2")), Seq("s2"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(col("s1").as("s"), col("n1").as("n"))
+        .unionAll(e.select(col("s2").as("s"), col("n2").as("n")))
+        .groupBy(col("s"), col("n")).agg(count(lit(1)).as("deg"))
+      val dsum = deg.groupBy(col("n"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+      val ein = e.filter(col("n1") === col("n2"))
+        .groupBy(col("n1").as("n")).agg(count(lit(1)).as("e_in"))
+      dsum.join(ein, Seq("n"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(m))
+        .select(col("n").as("nation"), col("n_nodes"), col("d_sum"),
+          col("e_in"), col("m"),
+          (lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+            .as("contrib_x4m2"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH b AS (
+           |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, l_partkey % 80 AS p
+           |  FROM lineitem WHERE l_suppkey <= 40),
+           |pairs AS (
+           |  SELECT a.s AS s1, b2.s AS s2
+           |  FROM b a JOIN b b2 ON a.p = b2.p AND a.s < b2.s
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           |e AS (
+           |  SELECT s1, s2, CAST(t1.s_nationkey AS BIGINT) AS n1,
+           |         CAST(t2.s_nationkey AS BIGINT) AS n2
+           |  FROM pairs
+           |  JOIN supplier t1 ON s1 = t1.s_suppkey
+           |  JOIN supplier t2 ON s2 = t2.s_suppkey),
+           |m AS (SELECT COUNT(*) AS m FROM e),
+           |deg AS (
+           |  SELECT s, n, COUNT(*) AS deg FROM (
+           |    SELECT s1 AS s, n1 AS n FROM e
+           |    UNION ALL SELECT s2, n2 FROM e) GROUP BY 1, 2),
+           |dsum AS (
+           |  SELECT n, COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS d_sum
+           |  FROM deg GROUP BY 1),
+           |ein AS (
+           |  SELECT n1 AS n, COUNT(*) AS e_in FROM e WHERE n1 = n2 GROUP BY 1)
+           |SELECT dsum.n AS nation, n_nodes, d_sum,
+           |  COALESCE(e_in, 0) AS e_in, m.m AS m,
+           |  4 * m.m * COALESCE(e_in, 0) - d_sum * d_sum AS contrib_x4m2
+           |FROM dsum LEFT JOIN ein ON dsum.n = ein.n CROSS JOIN m
+           |ORDER BY nation""".stripMargin))
+
+  val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore, gBfsDepth,
+    gLinkPredict, gModularity)
 }

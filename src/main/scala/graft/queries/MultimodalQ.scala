@@ -200,5 +200,56 @@ object MultimodalQ {
            |FROM cand WHERE bit_count(xor(fa, fb)) <= 1
            |ORDER BY doc_a, doc_b""".stripMargin))
 
-  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack, mmPhashNeardup)
+  /** ViT-style patch-grid planning (round 10): from each media item's
+    * (width, height) metadata, emit the 16×16 patch grid a vision encoder
+    * would consume — one row per patch with its grid coordinates, raster
+    * patch index, and top-left pixel offset. Dims are the stub codec's
+    * deterministic fakes derived from n_chars (the container ships no
+    * image libs — a real deploy swaps in decoded header dims); the grid
+    * math (ceil-div, double explode, raster order) is the real plumbing.
+    *
+    * Scale shape: per-row integer arithmetic + a bounded explode (≤64
+    * patches per item at these dims — a codec property, not data size)
+    * with no shuffle at all before the output sort; the cohort filter
+    * keeps the dumped result small while the plan is identical at any
+    * corpus size. */
+  val mmPatchGrid: Q = Q(
+    "mm_patch_grid",
+    (spark, dir) => {
+      val w = (lit(32) + col("n_chars") % 96).cast("long")
+      val h = (lit(32) + (col("n_chars") * 7) % 96).cast("long")
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"), w.as("w"), h.as("h"))
+        .withColumn("nx", expr("(w + 15) div 16"))
+        .withColumn("ny", expr("(h + 15) div 16"))
+        .withColumn("px", explode(sequence(lit(0L), col("nx") - 1)))
+        .withColumn("py", explode(sequence(lit(0L), col("ny") - 1)))
+        .select(col("doc_id"), col("w"), col("h"), col("nx"), col("ny"),
+          col("px"), col("py"),
+          (col("py") * col("nx") + col("px")).as("patch_id"),
+          (col("py") * 16 * col("w") + col("px") * 16).as("pixel_off"))
+        .orderBy(col("doc_id"), col("patch_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |         CAST(32 + n_chars % 96 AS BIGINT) AS w,
+           |         CAST(32 + (n_chars * 7) % 96 AS BIGINT) AS h
+           |  FROM documents WHERE doc_id < 120),
+           |g AS (
+           |  SELECT doc_id, w, h,
+           |         CAST((w + 15) // 16 AS BIGINT) AS nx,
+           |         CAST((h + 15) // 16 AS BIGINT) AS ny
+           |  FROM d)
+           |SELECT doc_id, w, h, nx, ny,
+           |       CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+           |       CAST(py * nx + px AS BIGINT) AS patch_id,
+           |       CAST(py * 16 * w + px * 16 AS BIGINT) AS pixel_off
+           |FROM g,
+           |     unnest(generate_series(0, nx - 1)) AS tx(px),
+           |     unnest(generate_series(0, ny - 1)) AS ty(py)
+           |ORDER BY doc_id, patch_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack, mmPhashNeardup,
+    mmPatchGrid)
 }

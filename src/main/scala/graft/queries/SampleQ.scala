@@ -101,5 +101,30 @@ object SampleQ {
             | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             |FROM documents GROUP BY 1 ORDER BY split""".stripMargin))
 
-  val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest)
+  /** Deterministic k-fold cross-validation assignment (round 10): fold =
+    * Knuth-hash bucket mod 5 of the document key — stable across re-runs
+    * and re-partitioning (never an RNG), so every trainer that re-derives
+    * the folds gets the same split. The output is the stratification
+    * audit: per (fold, lang) document count and character mass, which is
+    * how you check a hash split didn't skew a stratum before training on
+    * it.
+    *
+    * Scale shape: one scan, one hash aggregate to the (5 × n_langs)
+    * bounded grain — map-side combinable, no join, no window. */
+  val sKfold: Q = Q(
+    "s_kfold",
+    (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select((hashBucket(col("doc_id")) % 5).as("fold"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("fold"), col("lang")),
+    Some(s"""SELECT ${hashBucketSql("doc_id")} % 5 AS fold, lang,
+            | COUNT(*) AS n_docs,
+            | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            |FROM documents GROUP BY 1, 2
+            |ORDER BY fold, lang""".stripMargin))
+
+  val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold)
 }

@@ -442,7 +442,127 @@ object StatsQ {
            |FROM c WHERE cum * 2 >= total
            |GROUP BY flag ORDER BY flag""".stripMargin))
 
+  /** Robust (median/MAD) outlier detection (round 10) — the z-score's
+    * breakdown-resistant sibling: a (nation, month) revenue bucket is an
+    * outlier when |x − median| > 3·MAD, the Hampel identifier. The whole
+    * test is EXACT int64: with both medians doubled — med2 = 2·median(x)
+    * and mad4 = 2·median(|2x − med2|) — an interpolated median of ints is
+    * (a+b)/2, so its double is integral and casts exactly, and
+    *   |x − med| > 3·MAD  ⟺  2·|2x − med2| > 3·mad4
+    * clears every fraction. No float compare ever reaches the gate.
+    *
+    * Scale shape: the only full-data pass is the first hash aggregate to
+    * the calendar-bounded (nation, month) grain; both medians run on that
+    * bounded frame (25 nations × ~84 months at any sf), re-joined by
+    * nation. The customer join partitions on custkey — no broadcast of a
+    * growing side. */
+  val aMadOutliers: Q = Q(
+    "a_mad_outliers",
+    (spark, dir) => {
+      val monthly = Tables(spark, dir, "orders")
+        .join(Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(sum(cents(col("o_totalprice"))).as("mcents"))
+        .localCheckpoint() // bounded grain feeds median, dev and the final filter
+      val med = monthly.groupBy(col("nation"))
+        .agg((median(col("mcents")) * 2).cast("long").as("med2"))
+      val dev = monthly.join(med, Seq("nation"))
+        .withColumn("dev2", abs(col("mcents") * 2 - col("med2")))
+      val mad = dev.groupBy(col("nation"))
+        .agg((median(col("dev2")) * 2).cast("long").as("mad4"))
+      dev.join(mad, Seq("nation"))
+        .filter(col("dev2") * 2 > col("mad4") * 3)
+        .select(col("nation").cast("long").as("nation"), col("month"),
+          col("mcents"), col("med2"), col("dev2"), col("mad4"))
+        .orderBy(col("nation"), col("month"))
+    },
+    Some("""WITH monthly AS (
+           |  SELECT c_nationkey AS nation,
+           |         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           |         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mcents
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2),
+           |med AS (
+           |  SELECT nation, CAST(2 * median(mcents) AS BIGINT) AS med2
+           |  FROM monthly GROUP BY 1),
+           |dev AS (
+           |  SELECT monthly.*, med.med2, abs(2 * mcents - med2) AS dev2
+           |  FROM monthly JOIN med USING (nation)),
+           |mad AS (
+           |  SELECT nation, CAST(2 * median(dev2) AS BIGINT) AS mad4
+           |  FROM dev GROUP BY 1)
+           |SELECT CAST(nation AS BIGINT) AS nation, month, mcents, med2,
+           |       CAST(dev2 AS BIGINT) AS dev2, mad4
+           |FROM dev JOIN mad USING (nation)
+           |WHERE 2 * dev2 > 3 * mad4
+           |ORDER BY nation, month""".stripMargin))
+
+  /** Winsorized aggregate (round 10) — the trimmed-robust-mean sibling of
+    * [[aMadOutliers]]: per return flag, daily revenue clamped at the
+    * exact 10th/90th-percentile ORDER STATISTICS (v[⌈n/10⌉], v[⌈9n/10⌉],
+    * row_number semantics with (value, day) tie-break — no interpolation,
+    * so every bound is an actual observed int64 and the clamped sum is
+    * exact). Output per flag: raw vs winsorized totals and the bounds —
+    * the "how much did the tails move the mean" audit.
+    *
+    * Scale shape: the only full-data pass is the daily hash aggregate;
+    * the rank windows run on the calendar-bounded (flag, day) frame
+    * (~2.5k rows per flag at ANY sf), so the per-flag sort never grows
+    * with data — the a_weighted_median crossing-block machinery is not
+    * needed at this grain. */
+  val aWinsorized: Q = Q(
+    "a_winsorized",
+    (spark, dir) => {
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col("day_cents"), col("day"))
+      val wFlag = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wFlag))
+      val bounds = daily
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("rn") === expr("(n + 9) div 10"), col("day_cents")))
+            .as("lo_cents"),
+          min(when(col("rn") === expr("(9 * n + 9) div 10"), col("day_cents")))
+            .as("hi_cents"))
+      daily.join(broadcast(bounds), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day_cents")).as("raw_cents"),
+          sum(greatest(least(col("day_cents"), col("hi_cents")), col("lo_cents")))
+            .as("winsor_cents"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM lineitem GROUP BY 1, 2),
+           |r AS (
+           |  SELECT flag, day, day_cents,
+           |         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day_cents, day) AS rn,
+           |         COUNT(*) OVER (PARTITION BY flag) AS n
+           |  FROM daily),
+           |b AS (
+           |  SELECT flag,
+           |         MIN(CASE WHEN rn = (n + 9) // 10 THEN day_cents END) AS lo_cents,
+           |         MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN day_cents END) AS hi_cents
+           |  FROM r GROUP BY 1)
+           |SELECT r.flag, COUNT(*) AS n_days,
+           |  CAST(SUM(day_cents) AS BIGINT) AS raw_cents,
+           |  CAST(SUM(greatest(least(day_cents, hi_cents), lo_cents)) AS BIGINT) AS winsor_cents,
+           |  MIN(lo_cents) AS lo_cents, MIN(hi_cents) AS hi_cents
+           |FROM r JOIN b ON r.flag = b.flag
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
     aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg,
-    aWeightedMedian)
+    aWeightedMedian, aMadOutliers, aWinsorized)
 }

@@ -334,5 +334,102 @@ object TemporalQ {
            |       > 9 * (COUNT(*) * SUM(b.xk * b.xk) - SUM(b.xk) * SUM(b.xk))
            |ORDER BY a.l_returnflag, day""".stripMargin))
 
-  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly)
+  /** OHLC downsampling (round 10): the classic time-series resample —
+    * daily revenue re-bucketed to monthly bars with open (first day's
+    * value), high, low, close (last day's value) per return flag. Open/
+    * close are order-statistics-by-time, computed as `min_by`/`max_by`
+    * over the day column (DuckDB `arg_min`/`arg_max`) — no window, no
+    * sort; days are unique within a (flag, month) bar so the selectors
+    * are total. All values are exact cents.
+    *
+    * Scale shape: two hash aggregates over the calendar-bounded daily
+    * grain (the lineitem scan is the only big input and it combines
+    * map-side). The same plan resamples any bar width at any data size —
+    * resolution changes the group key only. */
+  val tsOhlc: Q = Q(
+    "ts_ohlc",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+      daily
+        .groupBy(col("l_returnflag"),
+          date_format(date_trunc("MONTH", col("day")), "yyyy-MM").as("month"))
+        .agg(
+          min_by(col("day_cents"), col("day")).as("open_cents"),
+          max(col("day_cents")).as("high_cents"),
+          min(col("day_cents")).as("low_cents"),
+          max_by(col("day_cents"), col("day")).as("close_cents"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("l_returnflag"), col("month"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM lineitem GROUP BY 1, 2)
+           |SELECT l_returnflag, strftime(date_trunc('month', day), '%Y-%m') AS month,
+           |  arg_min(day_cents, day) AS open_cents,
+           |  MAX(day_cents) AS high_cents,
+           |  MIN(day_cents) AS low_cents,
+           |  arg_max(day_cents, day) AS close_cents,
+           |  COUNT(*) AS n_days
+           |FROM daily GROUP BY 1, 2
+           |ORDER BY l_returnflag, month""".stripMargin))
+
+  /** Funnel timing (round 10): per signup-day cohort, the distribution of
+    * the signup→first-purchase lag — n converted users, min/max lag and
+    * the exact doubled median (2·median of ints is integral, the
+    * [[StatsQ.aMadOutliers]] trick). Lags are computed on exact epoch
+    * MICROseconds (unix_micros ↔ epoch_us) then floored to whole minutes:
+    * minutes keep the metric meaningful AND bound the median aggregate's
+    * per-group state by the calendar span (≈43k distinct values for a
+    * 30-day window) instead of the user count — the reason this exact
+    * median stays cheap at any event volume. Only purchases at-or-after
+    * the signup count; a user's first signup wins.
+    *
+    * Scale shape: two per-user hash aggregates (min signup, min
+    * qualifying purchase) partitioned on user_id, then a hash aggregate
+    * to the calendar-bounded cohort grain. No window touches a growing
+    * partition. */
+  val xConversionLag: Q = Q(
+    "x_conversion_lag",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("sts"))
+        .groupBy(col("user_id"), col("sts"))
+        .agg(min(col("ts")).as("pts"))
+      firstPurchase
+        .withColumn("lag_min",
+          expr("(unix_micros(pts) - unix_micros(sts)) div 60000000"))
+        .groupBy(date_format(col("sts"), "yyyy-MM-dd").as("cohort_day"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lag_min")).as("min_lag_min"),
+          max(col("lag_min")).as("max_lag_min"),
+          (median(col("lag_min")) * 2).cast("long").as("med_lag_min_x2"))
+        .orderBy(col("cohort_day"))
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id, MIN(ts) AS sts FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |p AS (
+           |  SELECT e.user_id, s.sts, MIN(e.ts) AS pts
+           |  FROM events e JOIN s ON e.user_id = s.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts >= s.sts
+           |  GROUP BY 1, 2),
+           |lag AS (
+           |  SELECT strftime(sts, '%Y-%m-%d') AS cohort_day,
+           |         (epoch_us(pts) - epoch_us(sts)) // 60000000 AS lag_min
+           |  FROM p)
+           |SELECT cohort_day, COUNT(*) AS n_converted,
+           |  CAST(MIN(lag_min) AS BIGINT) AS min_lag_min,
+           |  CAST(MAX(lag_min) AS BIGINT) AS max_lag_min,
+           |  CAST(2 * median(lag_min) AS BIGINT) AS med_lag_min_x2
+           |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly, tsOhlc,
+    xConversionLag)
 }

@@ -460,6 +460,56 @@ object TextQ {
            |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
            |FROM b GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
 
+  /** BPE merge-table APPLICATION (round 10) — the other half of the
+    * tokenizer t_bpeStep learns: apply a fixed ranked merge list to the
+    * corpus and report the resulting subword-symbol frequencies. Each
+    * alpha token is exploded to spaced characters ("the" → "t h e"),
+    * then the merge list folds over it IN RANK ORDER as literal
+    * `replace` calls — both engines scan left-to-right non-overlapping,
+    * so greedy merge application is bit-deterministic, and later merges
+    * compose with earlier ones ("t h"→"th" enables "th e"→"the")
+    * exactly as a real BPE encoder's merge loop does. The merge table is
+    * a fixed literal (a learned table would be a broadcast list feeding
+    * the same fold).
+    *
+    * Scale shape: pure per-row string map + one explode + one count
+    * aggregate — embarrassingly parallel, map-side combinable, no join;
+    * the symbol vocabulary (output) is bounded by the merge table, not
+    * the corpus. */
+  val tBpeApply: Q = Q(
+    "t_bpe_apply",
+    (spark, dir) => {
+      val merges = Seq(
+        "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+        "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re")
+      val spaced = trim(regexp_replace(col("tok"), "(.)", "$1 "))
+      val mergedCol = merges.foldLeft(spaced) { case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(c, lit(a), lit(b))
+      }
+      Tables(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .select(explode(split(mergedCol, " ")).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("symbol"))
+        .limit(40)
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+           |alpha AS (
+           |  SELECT tok FROM toks WHERE regexp_full_match(tok, '[a-z]+')),
+           |sp AS (
+           |  SELECT trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS s FROM alpha),
+           |m AS (
+           |  SELECT replace(replace(replace(replace(replace(replace(replace(replace(
+           |    s, 't h', 'th'), 'th e', 'the'), 'i n', 'in'), 'a n', 'an'),
+           |    'an d', 'and'), 'e r', 'er'), 'o n', 'on'), 'r e', 're') AS s
+           |  FROM sp),
+           |sym AS (SELECT unnest(string_split(s, ' ')) AS symbol FROM m)
+           |SELECT symbol, COUNT(*) AS freq FROM sym
+           |GROUP BY 1 ORDER BY freq DESC, symbol LIMIT 40""".stripMargin))
+
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
-    tPmi, tBm25, tBpeStep, tSkipgram)
+    tPmi, tBm25, tBpeStep, tSkipgram, tBpeApply)
 }
