@@ -713,4 +713,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"fixed cohort did not broadcast:\n$p")
   }
+
+  /** Round-10 batch: pair-mining stays on the blocking key, map-only
+    * shapes stay join-free, and the latest-per-key merge group-limits. */
+  test("link prediction and modularity pair stages stay equi-joins on the part key") {
+    assert(!executedPlanString("g_link_predict").contains("CartesianProduct"))
+    val p = executedPlanString("g_modularity")
+    // the only nested-loop is the one-row m frame broadcast (bounded)
+    assert(!p.contains("CartesianProduct"), s"modularity went cartesian:\n$p")
+  }
+
+  test("BPE apply and k-fold are join-free single-aggregate map plans") {
+    val bpe = executedPlanString("t_bpe_apply")
+    assert(!bpe.contains("Join"), s"unexpected join in BPE apply:\n$bpe")
+    assert(bpe.contains("TakeOrdered"), s"top-40 is not TakeOrderedAndProject:\n$bpe")
+    val kf = executedPlanString("s_kfold")
+    assert(!kf.contains("Join"), s"unexpected join in k-fold audit:\n$kf")
+    assert(kf.contains("partial"), s"k-fold aggregate is not partial+final:\n$kf")
+  }
+
+  test("mm_patch_grid is a pure explode: no join, no aggregate before the output sort") {
+    val p = executedPlanString("mm_patch_grid")
+    assert(!p.contains("Join"), s"unexpected join in patch grid:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate in patch grid:\n$p")
+  }
+
+  test("x_merge_apply latest-per-key windows get the WindowGroupLimit partial top-1") {
+    val p = executedPlanString("x_merge_apply")
+    assert(p.contains("WindowGroupLimit"), s"rn=1 filter lacks WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("winsorized bounds ride a broadcast join; OHLC and MAD plans stay window-free") {
+    val p = executedPlanString("a_winsorized")
+    assert(p.contains("BroadcastHashJoin"), s"per-flag bounds did not broadcast:\n$p")
+    assert(!executedPlanString("ts_ohlc").contains("Window"),
+      "OHLC must be min_by/max_by aggregates, not windows")
+    assert(!executedPlanString("a_mad_outliers").contains("Window"),
+      "MAD outliers must use median aggregates, not windows")
+  }
 }
