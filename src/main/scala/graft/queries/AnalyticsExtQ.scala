@@ -519,6 +519,66 @@ object AnalyticsExtQ {
            |WHERE d_type IS NULL OR d_type <> 'error'
            |ORDER BY user_id""".stripMargin))
 
+  /** Rank movers (round 10) — the period-over-period "movers and
+    * shakers" report: top-50 parts by revenue in the early half of the
+    * calendar vs the late half, full-outer-joined on the part, with the
+    * exact rank delta (absent-from-a-side ranks as 51, one past the
+    * board). Ranks are row_number with (revenue DESC, partkey)
+    * tie-break — total and reproducible.
+    *
+    * Scale shape: each period collapses to the part grain in one
+    * map-side-combinable aggregate, then TakeOrderedAndProject keeps 50
+    * rows — the rank window and the join both run on ≤50-row frames.
+    * Never a global sort, never a rank over the full part grain. */
+  val xRankMovers: Q = Q(
+    "x_rank_movers",
+    (spark, dir) => {
+      def half(cond: org.apache.spark.sql.Column, pfx: String) = {
+        val w = Window.orderBy(col(s"${pfx}_cents").desc, col("partkey"))
+        Tables(spark, dir, "lineitem")
+          .filter(cond)
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(cents(col("l_extendedprice"))).as(s"${pfx}_cents"))
+          .orderBy(col(s"${pfx}_cents").desc, col("partkey"))
+          .limit(50)
+          .withColumn(s"${pfx}_rank", row_number().over(w).cast("long"))
+      }
+      val split = lit("1995-01-01").cast("timestamp")
+      half(col("l_shipdate") < split, "early")
+        .join(half(col("l_shipdate") >= split, "late"), Seq("partkey"), "full_outer")
+        .select(col("partkey"),
+          coalesce(col("early_rank"), lit(51L)).as("early_rank"),
+          coalesce(col("late_rank"), lit(51L)).as("late_rank"),
+          coalesce(col("early_cents"), lit(0L)).as("early_cents"),
+          coalesce(col("late_cents"), lit(0L)).as("late_cents"))
+        .withColumn("rank_delta", col("early_rank") - col("late_rank"))
+        .orderBy(col("rank_delta").desc, col("partkey"))
+    },
+    Some("""WITH early AS (
+           |  SELECT l_partkey AS partkey,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS early_cents
+           |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+           |  GROUP BY 1 ORDER BY early_cents DESC, partkey LIMIT 50),
+           |er AS (SELECT partkey, early_cents,
+           |  ROW_NUMBER() OVER (ORDER BY early_cents DESC, partkey) AS early_rank
+           |  FROM early),
+           |late AS (
+           |  SELECT l_partkey AS partkey,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS late_cents
+           |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           |  GROUP BY 1 ORDER BY late_cents DESC, partkey LIMIT 50),
+           |lr AS (SELECT partkey, late_cents,
+           |  ROW_NUMBER() OVER (ORDER BY late_cents DESC, partkey) AS late_rank
+           |  FROM late)
+           |SELECT partkey,
+           |  COALESCE(early_rank, 51) AS early_rank,
+           |  COALESCE(late_rank, 51) AS late_rank,
+           |  COALESCE(early_cents, 0) AS early_cents,
+           |  COALESCE(late_cents, 0) AS late_cents,
+           |  COALESCE(early_rank, 51) - COALESCE(late_rank, 51) AS rank_delta
+           |FROM er FULL OUTER JOIN lr USING (partkey)
+           |ORDER BY rank_delta DESC, partkey""".stripMargin))
+
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase, xIncAgg, xRfm, xBasketRules, xMergeApply)
+    xCopurchase, xIncAgg, xRfm, xBasketRules, xMergeApply, xRankMovers)
 }

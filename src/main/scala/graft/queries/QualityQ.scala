@@ -109,5 +109,48 @@ object QualityQ {
            |      - CAST(n_late * 10000 // tot_late AS BIGINT)) AS drift_bp
            |FROM b, t ORDER BY bin""".stripMargin))
 
-  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift)
+  /** Classifier confusion matrix (round 10): the model-evaluation
+    * aggregate — t_langid's heuristic predictions crossed against the
+    * labeled `lang` column, one row per (true label, predicted class)
+    * cell with the count and its share of the true-label row total in
+    * exact basis points (integer division — a float rate would be the
+    * only nondeterminism in an otherwise exact count table). The label
+    * sets differ (en/de/es/fr/zh vs en/db/spark) exactly as they do when
+    * auditing a weak heuristic against curated labels.
+    *
+    * Scale shape: the prediction is a pure column expression, so the
+    * matrix is ONE map-side-combinable hash aggregate to a (labels ×
+    * classes)-bounded frame; row totals come from a window over that
+    * bounded frame. */
+  val qConfusion: Q = Q(
+    "q_confusion",
+    (spark, dir) => {
+      import graft.queries.TextQ.{dbSet, enSet, hits, sparkSet}
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables(spark, dir, "documents")
+        .select(col("lang"),
+          when(hits(enSet) >= hits(dbSet) && hits(enSet) >= hits(sparkSet), "en")
+            .when(hits(dbSet) >= hits(sparkSet), "db")
+            .otherwise("spark").as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(w))
+        .select(col("lang"), col("guess"), col("n"), col("row_total"),
+          expr("n * 10000 div row_total").as("share_bp"))
+        .orderBy(col("lang"), col("guess"))
+    },
+    Some(s"""WITH pred AS (
+            |  SELECT lang,
+            |    CASE WHEN ${TextQ.hitsSql(TextQ.enSet)} >= ${TextQ.hitsSql(TextQ.dbSet)}
+            |           AND ${TextQ.hitsSql(TextQ.enSet)} >= ${TextQ.hitsSql(TextQ.sparkSet)} THEN 'en'
+            |         WHEN ${TextQ.hitsSql(TextQ.dbSet)} >= ${TextQ.hitsSql(TextQ.sparkSet)} THEN 'db'
+            |         ELSE 'spark' END AS guess
+            |  FROM documents),
+            |m AS (SELECT lang, guess, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+            |SELECT lang, guess, n,
+            |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+            |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
+            |FROM m ORDER BY lang, guess""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion)
 }

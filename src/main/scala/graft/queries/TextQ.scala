@@ -27,12 +27,12 @@ object TextQ {
   // Marker-token sets for the n-gram language-ID heuristic. The synthetic
   // corpus shares one vocabulary, so these are "dialect" markers; the
   // operator shape (per-class token-hit counting + argmax) is the real one.
-  private val enSet = Seq("the", "a", "fast", "slow")
-  private val dbSet = Seq("table", "scan", "join", "merge", "hash")
-  private val sparkSet = Seq("spark", "stream", "batch", "vector")
-  private def hits(set: Seq[String]) =
+  private[queries] val enSet = Seq("the", "a", "fast", "slow")
+  private[queries] val dbSet = Seq("table", "scan", "join", "merge", "hash")
+  private[queries] val sparkSet = Seq("spark", "stream", "batch", "vector")
+  private[queries] def hits(set: Seq[String]) =
     size(filter(split(col("text"), " "), t => t.isin(set: _*))).cast("long")
-  private def hitsSql(set: Seq[String]) = {
+  private[queries] def hitsSql(set: Seq[String]) = {
     val in = set.map(s => s"'$s'").mkString(", ")
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS BIGINT)"
   }

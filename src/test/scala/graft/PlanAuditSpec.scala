@@ -752,4 +752,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!executedPlanString("a_mad_outliers").contains("Window"),
       "MAD outliers must use median aggregates, not windows")
   }
+
+  test("x_rank_movers periods take ordered top-50, never a global part sort") {
+    val p = executedPlanString("x_rank_movers")
+    assert(p.contains("TakeOrdered"), s"period boards are not TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

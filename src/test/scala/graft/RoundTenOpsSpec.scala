@@ -113,4 +113,30 @@ class RoundTenOpsSpec extends SparkSpec {
       assert(2 * min <= med2 && med2 <= 2 * max, s"median outside [min, max]: $row")
     }
   }
+
+  test("q_confusion row shares sum to ~10000 bp per true label") {
+    val byLang = rows("q_confusion").groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, cells) =>
+      val rowTotal = cells.head.getLong(3)
+      assert(cells.map(_.getLong(2)).sum == rowTotal, s"$lang: cell counts != row_total")
+      val bpSum = cells.map(_.getLong(4)).sum
+      // integer division floors each cell, so the sum is within n_cells of 10000
+      assert(bpSum <= 10000 && bpSum > 10000 - cells.length * 2,
+        s"$lang: share_bp sum $bpSum implausible")
+    }
+  }
+
+  test("x_rank_movers ranks are unique within each period and bounded by 51") {
+    val r = rows("x_rank_movers")
+    assert(r.nonEmpty)
+    val early = r.map(_.getLong(1)).filter(_ <= 50)
+    val late = r.map(_.getLong(2)).filter(_ <= 50)
+    assert(early.distinct.length == early.length, "duplicate early rank")
+    assert(late.distinct.length == late.length, "duplicate late rank")
+    r.foreach { row =>
+      assert(row.getLong(5) == row.getLong(1) - row.getLong(2), s"rank_delta identity: $row")
+      assert(row.getLong(1) <= 51 && row.getLong(2) <= 51)
+    }
+  }
 }
