@@ -51,7 +51,11 @@ object Plans {
     "e_rand_proj" -> "signed random projection: 16 fused codegen dots against literal sign arrays (no Generate), one bounded code-histogram aggregate",
     "s_interleave" -> "dataloader interleave: grouped DistributedPrefix rank (doc-range blocks x source) + triangular source-index join, rank<=200 prune before the bounded sort",
     "t_vocab_coverage" -> "vocab coverage: checkpointed (source,tok,n) grain feeds TakeOrdered vocab AND coverage re-aggregate; vocab join broadcasts",
-    "x_decile_lift" -> "lift table: responder semi-join at the key grain, DistributedPrefix decile rank, rate math on the bounded 10-row frame")
+    "x_decile_lift" -> "lift table: responder semi-join at the key grain, DistributedPrefix decile rank, rate math on the bounded 10-row frame",
+    "x_merge_apply" -> "CDC MERGE: latest-per-key via Partial+Final WindowGroupLimit (top-1 map-side before the window shuffle), one full-outer equi-join on the key",
+    "g_link_predict" -> "link prediction: pair space from a self-equi-join on the part blocking key (fan-out bounded by suppliers-per-part), degree joins on the bounded node frame",
+    "a_winsorized" -> "winsorized totals: daily hash agg is the only full-data pass; rank windows on the calendar-bounded frame, per-flag bounds broadcast back",
+    "x_rank_movers" -> "rank movers: each period collapses to the part grain then TakeOrderedAndProject(50); rank windows and the full-outer join run on 50-row frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
