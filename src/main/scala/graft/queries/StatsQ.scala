@@ -524,6 +524,10 @@ object StatsQ {
         .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
         .withColumn("rn", row_number().over(wRank))
         .withColumn("n", count(lit(1)).over(wFlag))
+        // the bounded daily frame feeds BOTH the bounds aggregate and the
+        // final clamp join — materialize once or Catalyst inlines the
+        // lineitem scan + aggregate into each reference
+        .localCheckpoint()
       val bounds = daily
         .groupBy(col("flag"))
         .agg(
