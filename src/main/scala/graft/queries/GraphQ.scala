@@ -396,13 +396,18 @@ object GraphQ {
         .agg(count(lit(1)).as("cn"))
         .filter(col("cn") >= 3)
         .select(col("s1"), col("s2"))
-        .localCheckpoint() // edges feed m, degrees, labels and intra counts
       val nat = Tables(spark, dir, "supplier")
         .select(col("s_suppkey").cast("long").as("sk"),
           col("s_nationkey").cast("long").as("nk"))
+      // Materialize the LABELED edge frame (bounded: ≤ C(cohort, 2) rows):
+      // it feeds m, both degree unions and the intra-community count —
+      // un-checkpointed, Catalyst inlines the pair mining AND both
+      // supplier joins into each of those four references (the round-10
+      // ScanAudit showed supplier x8).
       val e = pairs
         .join(nat.select(col("sk").as("s1"), col("nk").as("n1")), Seq("s1"))
         .join(nat.select(col("sk").as("s2"), col("nk").as("n2")), Seq("s2"))
+        .localCheckpoint()
       val m = e.agg(count(lit(1)).as("m"))
       val deg = e.select(col("s1").as("s"), col("n1").as("n"))
         .unionAll(e.select(col("s2").as("s"), col("n2").as("n")))
