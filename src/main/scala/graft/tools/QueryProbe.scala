@@ -26,6 +26,12 @@ object QueryProbe {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()
         println(f"PROBE $name pass$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // Release this pass's localCheckpoint blocks (Verify/Bench do the
+        // same): at the 100x probe scale three passes of an un-released
+        // checkpointed grain stack up real storage pressure and pass 3
+        // measures eviction, not the plan.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.count() // resolve AQE before printing the final plan
