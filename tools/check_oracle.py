@@ -17,7 +17,9 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata = single files; MakeSf scale-up dirs = Spark layout
+    pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
