@@ -152,5 +152,46 @@ object QualityQ {
             |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
             |FROM m ORDER BY lang, guess""".stripMargin))
 
-  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion)
+  /** Join-key skew diagnostic (round 10) — the pre-flight check before
+    * any big shuffle: the 10 hottest l_partkey values with their row
+    * counts, each row carrying the global context (distinct keys, total
+    * rows, max frequency) and the skew ratio max·n_keys/n_rows in exact
+    * basis points — 10000 bp = perfectly uniform; the salting/AQE-skew
+    * decision threshold reads straight off this number.
+    *
+    * Scale shape: one map-side-combinable aggregate to the key grain,
+    * TakeOrderedAndProject for the top-10, and the three global scalars
+    * re-aggregate the KEY-GRAIN frame (never a second fact scan) onto a
+    * one-row broadcast. The exact plan you'd run on a 100 TB join input
+    * to decide its shuffle strategy. */
+  val qSkew: Q = Q(
+    "q_skew",
+    (spark, dir) => {
+      val freq = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint() // key grain feeds the top-10 AND the scalars
+      val tot = freq.agg(count(lit(1)).as("n_keys"), sum(col("freq")).as("n_rows"),
+        max(col("freq")).as("max_freq"))
+      freq.orderBy(col("freq").desc, col("l_partkey")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("freq"), col("n_keys"), col("n_rows"),
+          col("max_freq"),
+          expr("max_freq * n_keys * 10000 div n_rows").as("skew_bp"))
+        .orderBy(col("freq").desc, col("l_partkey"))
+    },
+    Some("""WITH freq AS (
+           |  SELECT l_partkey, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+           |tot AS (
+           |  SELECT COUNT(*) AS n_keys, CAST(SUM(freq) AS BIGINT) AS n_rows,
+           |         MAX(freq) AS max_freq
+           |  FROM freq),
+           |top AS (
+           |  SELECT l_partkey, freq FROM freq
+           |  ORDER BY freq DESC, l_partkey LIMIT 10)
+           |SELECT l_partkey, freq, n_keys, n_rows, max_freq,
+           |  CAST(max_freq * n_keys * 10000 // n_rows AS BIGINT) AS skew_bp
+           |FROM top CROSS JOIN tot
+           |ORDER BY freq DESC, l_partkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew)
 }

@@ -430,6 +430,45 @@ object TemporalQ {
            |  CAST(2 * median(lag_min) AS BIGINT) AS med_lag_min_x2
            |FROM lag GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Period-over-period growth (round 10): monthly revenue per return
+    * flag with month-over-month and year-over-year deltas in exact basis
+    * points (integer division of cents — the only way a growth table
+    * hash-matches across engines). Months with no comparable prior
+    * period emit NULL growth, not zero. lag(1)/lag(12) run on the
+    * calendar-bounded monthly frame (~84 rows per flag at ANY sf), so
+    * the windows never see a growing partition.
+    *
+    * Scale shape: one map-side-combinable hash aggregate to the monthly
+    * grain is the only full-data pass. */
+  val xYoyGrowth: Q = Q(
+    "x_yoy_growth",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(date_trunc("MONTH", col("l_shipdate")), "yyyy-MM").as("month"))
+        .agg(sum(cents(col("l_extendedprice"))).as("mcents"))
+        .withColumn("prev_m", lag(col("mcents"), 1).over(w))
+        .withColumn("prev_y", lag(col("mcents"), 12).over(w))
+        .select(col("l_returnflag"), col("month"), col("mcents"),
+          expr("(mcents - prev_m) * 10000 div prev_m").as("mom_bp"),
+          expr("(mcents - prev_y) * 10000 div prev_y").as("yoy_bp"))
+        .orderBy(col("l_returnflag"), col("month"))
+    },
+    Some("""WITH m AS (
+           |  SELECT l_returnflag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS mcents
+           |  FROM lineitem GROUP BY 1, 2),
+           |l AS (
+           |  SELECT l_returnflag, month, mcents,
+           |         LAG(mcents, 1) OVER w AS prev_m,
+           |         LAG(mcents, 12) OVER w AS prev_y
+           |  FROM m WINDOW w AS (PARTITION BY l_returnflag ORDER BY month))
+           |SELECT l_returnflag, month, mcents,
+           |  CAST((mcents - prev_m) * 10000 // prev_m AS BIGINT) AS mom_bp,
+           |  CAST((mcents - prev_y) * 10000 // prev_y AS BIGINT) AS yoy_bp
+           |FROM l ORDER BY l_returnflag, month""".stripMargin))
+
   val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly, tsOhlc,
-    xConversionLag)
+    xConversionLag, xYoyGrowth)
 }

@@ -758,4 +758,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrdered"), s"period boards are not TakeOrderedAndProject:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_skew takes ordered top-10 and re-aggregates the key grain, never the fact table") {
+    val p = executedPlanString("q_skew")
+    assert(p.contains("TakeOrdered"), s"top-10 is not TakeOrderedAndProject:\n$p")
+    // the scalars come from the checkpointed key grain: exactly one lineitem scan
+    assert(p.split("lineitem").length - 1 <= 1, s"fact table scanned more than once:\n$p")
+  }
+
+  test("x_yoy_growth windows run over the bounded monthly grain") {
+    val p = executedPlanString("x_yoy_growth")
+    assert(p.contains("partial_sum"), "monthly aggregate must be partial+final")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

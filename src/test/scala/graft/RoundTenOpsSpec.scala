@@ -139,4 +139,33 @@ class RoundTenOpsSpec extends SparkSpec {
       assert(row.getLong(1) <= 51 && row.getLong(2) <= 51)
     }
   }
+
+  test("x_yoy_growth emits NULL (not zero) growth where no prior period exists") {
+    val df = SparkEntry.queries("x_yoy_growth")(spark, dir)
+    val r = df.collect()
+    assert(r.nonEmpty)
+    val byFlag = r.groupBy(_.getString(0))
+    byFlag.foreach { case (flag, months) =>
+      assert(months.head.isNullAt(3), s"$flag: first month must have NULL mom_bp")
+      assert(months.take(12).forall(_.isNullAt(4)), s"$flag: yoy_bp before month 13 must be NULL")
+      months.sliding(2).foreach {
+        case Array(prev, cur) if !cur.isNullAt(3) =>
+          val expect = (cur.getLong(2) - prev.getLong(2)) * 10000 / prev.getLong(2)
+          assert(cur.getLong(3) == expect, s"$flag ${cur.getString(1)}: mom_bp identity broken")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_skew scalars are consistent with the key-grain frame") {
+    val r = rows("q_skew")
+    assert(r.length == 10)
+    val (nKeys, nRows, maxFreq) = (r.head.getLong(2), r.head.getLong(3), r.head.getLong(4))
+    assert(r.forall(x => x.getLong(2) == nKeys && x.getLong(3) == nRows && x.getLong(4) == maxFreq),
+      "global context must be constant across rows")
+    assert(r.head.getLong(1) == maxFreq, "top-1 frequency must equal max_freq")
+    assert(r.forall(_.getLong(1) <= maxFreq))
+    assert(r.head.getLong(5) == maxFreq * nKeys * 10000 / nRows, "skew_bp identity broken")
+    assert(r.head.getLong(5) >= 10000, "max-based skew ratio cannot be below uniform")
+  }
 }
