@@ -163,7 +163,12 @@ object QualityQ {
     * TakeOrderedAndProject for the top-10, and the three global scalars
     * re-aggregate the KEY-GRAIN frame (never a second fact scan) onto a
     * one-row broadcast. The exact plan you'd run on a 100 TB join input
-    * to decide its shuffle strategy. */
+    * to decide its shuffle strategy. Int64 domain: the numerator
+    * max_freq·n_keys·10⁴ needs max_freq·n_keys < 9.2e14 — holds for any
+    * realistic skew profile (a hot key implies few rows elsewhere, so
+    * max_freq·n_keys ≈ skew_ratio·n_rows); the simultaneous
+    * one-key-holds-trillions AND billions-of-keys corner would take the
+    * DECIMAL form of this expression. */
   val qSkew: Q = Q(
     "q_skew",
     (spark, dir) => {

@@ -443,14 +443,17 @@ object TemporalQ {
   val xYoyGrowth: Q = Q(
     "x_yoy_growth",
     (spark, dir) => {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("m"))
+      // group on the NATIVE truncated timestamp and format yyyy-MM only on
+      // the bounded monthly frame: per-row date_format in the groupBy key
+      // cost 9x at the 100x probe (60M string formats vs 60M date_truncs)
       Tables(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag"),
-          date_format(date_trunc("MONTH", col("l_shipdate")), "yyyy-MM").as("month"))
+        .groupBy(col("l_returnflag"), date_trunc("MONTH", col("l_shipdate")).as("m"))
         .agg(sum(cents(col("l_extendedprice"))).as("mcents"))
         .withColumn("prev_m", lag(col("mcents"), 1).over(w))
         .withColumn("prev_y", lag(col("mcents"), 12).over(w))
-        .select(col("l_returnflag"), col("month"), col("mcents"),
+        .select(col("l_returnflag"), date_format(col("m"), "yyyy-MM").as("month"),
+          col("mcents"),
           expr("(mcents - prev_m) * 10000 div prev_m").as("mom_bp"),
           expr("(mcents - prev_y) * 10000 div prev_y").as("yoy_bp"))
         .orderBy(col("l_returnflag"), col("month"))
