@@ -40,8 +40,12 @@ object JoinExtQ {
           col("l_shipdate").as("s"),
           expr("l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT) % 14 + 1)").as("e"))
       li.select(explode(expr("sequence(date_trunc('month', s), date_trunc('month', e), interval 1 month)")).as("m"))
-        .groupBy(date_format(col("m"), "yyyy-MM").as("ship_month"))
+        // aggregate on the native month timestamp; format the label on the
+        // bounded bin frame (per-row date_format over the explode grain
+        // was the x_yoy_growth 100×-probe anti-pattern)
+        .groupBy(col("m"))
         .agg(count(lit(1)).as("n_items"))
+        .select(date_format(col("m"), "yyyy-MM").as("ship_month"), col("n_items"))
         .orderBy("ship_month")
     },
     Some("""WITH i AS (

@@ -459,12 +459,16 @@ object StatsQ {
   val aMadOutliers: Q = Q(
     "a_mad_outliers",
     (spark, dir) => {
+      // native date_trunc key per row; yyyy-MM formatting only on the
+      // bounded (nation, month) frame — the x_yoy_growth 100×-probe lesson
       val monthly = Tables(spark, dir, "orders")
         .join(Tables(spark, dir, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nation"),
-          date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM").as("month"))
+          date_trunc("MONTH", col("o_orderdate")).as("m"))
         .agg(sum(cents(col("o_totalprice"))).as("mcents"))
+        .withColumn("month", date_format(col("m"), "yyyy-MM"))
+        .drop("m")
         .localCheckpoint() // bounded grain feeds median, dev and the final filter
       val med = monthly.groupBy(col("nation"))
         .agg((median(col("mcents")) * 2).cast("long").as("med2"))

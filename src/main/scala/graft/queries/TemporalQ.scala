@@ -405,11 +405,16 @@ object TemporalQ {
       firstPurchase
         .withColumn("lag_min",
           expr("(unix_micros(pts) - unix_micros(sts)) div 60000000"))
-        .groupBy(date_format(col("sts"), "yyyy-MM-dd").as("cohort_day"))
+        // native day key per user row; the string cohort label is minted
+        // on the calendar-bounded cohort frame
+        .groupBy(date_trunc("DAY", col("sts")).as("d"))
         .agg(count(lit(1)).as("n_converted"),
           min(col("lag_min")).as("min_lag_min"),
           max(col("lag_min")).as("max_lag_min"),
           (median(col("lag_min")) * 2).cast("long").as("med_lag_min_x2"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("cohort_day"),
+          col("n_converted"), col("min_lag_min"), col("max_lag_min"),
+          col("med_lag_min_x2"))
         .orderBy(col("cohort_day"))
     },
     Some("""WITH s AS (
