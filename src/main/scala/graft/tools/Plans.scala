@@ -55,7 +55,8 @@ object Plans {
     "x_merge_apply" -> "CDC MERGE: latest-per-key via Partial+Final WindowGroupLimit (top-1 map-side before the window shuffle), one full-outer equi-join on the key",
     "g_link_predict" -> "link prediction: pair space from a self-equi-join on the part blocking key (fan-out bounded by suppliers-per-part), degree joins on the bounded node frame",
     "a_winsorized" -> "winsorized totals: daily hash agg is the only full-data pass; rank windows on the calendar-bounded frame, per-flag bounds broadcast back",
-    "x_rank_movers" -> "rank movers: each period collapses to the part grain then TakeOrderedAndProject(50); rank windows and the full-outer join run on 50-row frames")
+    "x_rank_movers" -> "rank movers: each period collapses to the part grain then TakeOrderedAndProject(50); rank windows and the full-outer join run on 50-row frames",
+    "q_skew" -> "skew diagnostic: one fact scan to the checkpointed key grain; top-10 via TakeOrdered, global scalars re-aggregate the key grain onto a one-row broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
