@@ -477,6 +477,63 @@ object TemporalQ {
            |  CAST((mcents - prev_y) * 10000 // prev_y AS BIGINT) AS yoy_bp
            |FROM l ORDER BY l_returnflag, month""".stripMargin))
 
+  /** CUSUM change-point detection (round 10): flag the days where the
+    * cumulative upward drift of daily revenue exceeds five mean-days —
+    * the classical S_t = max(0, S_{t−1} + y_t) control chart. The
+    * recursion LOOKS inherently sequential, but it has the exact closed
+    * form S_t = P_t − min_{0≤k≤t} P_k (P = prefix sum of the centered
+    * series), so two plain windows — running sum then running min —
+    * compute it distributed. Everything is int64: the centered term is
+    * scaled by 20n (y = 20n·xk − 21·tot encodes xk − mean − 5%·mean with
+    * zero fractions), revenue is bucketed to 1000-dollar units first
+    * (the ts_anomaly trick) so prefix sums stay far inside the domain,
+    * and the alarm threshold 100·tot is five mean-days in the same
+    * units.
+    *
+    * Scale shape: the only full-data pass is the daily hash aggregate;
+    * both windows and the per-flag totals run on the calendar-bounded
+    * daily frame. At a grain that grows with data the prefix would move
+    * to [[graft.ops.DistributedPrefix]] blocks — same closed form. */
+  val tsCusum: Q = Q(
+    "ts_cusum",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("day"))
+      val daily = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
+        .withColumn("xk", expr("day_cents DIV 100000"))
+      val tot = daily.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("xk")).as("tot"))
+      daily.join(broadcast(tot), Seq("l_returnflag"))
+        .withColumn("yv", lit(20L) * col("n") * col("xk") - lit(21L) * col("tot"))
+        .withColumn("pv", sum(col("yv")).over(w))
+        .withColumn("cusum", col("pv") - least(min(col("pv")).over(w), lit(0L)))
+        .filter(col("cusum") > lit(100L) * col("tot"))
+        .select(col("l_returnflag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_cents"), col("cusum"), (lit(100L) * col("tot")).as("thresh"))
+        .orderBy(col("l_returnflag"), col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+           |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           |  FROM lineitem GROUP BY 1, 2),
+           |d2 AS (SELECT l_returnflag, day, day_cents, day_cents // 100000 AS xk FROM daily),
+           |t AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(xk) AS BIGINT) AS tot
+           |      FROM d2 GROUP BY 1),
+           |y AS (SELECT d2.l_returnflag, day, day_cents, tot,
+           |        20 * n * xk - 21 * tot AS yv
+           |      FROM d2 JOIN t USING (l_returnflag)),
+           |p AS (SELECT *, SUM(yv) OVER w AS pv FROM y
+           |      WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)),
+           |s AS (SELECT l_returnflag, day, day_cents, tot,
+           |        pv - LEAST(MIN(pv) OVER (PARTITION BY l_returnflag ORDER BY day), 0) AS cusum
+           |      FROM p)
+           |SELECT l_returnflag, strftime(day, '%Y-%m-%d') AS day, day_cents,
+           |  CAST(cusum AS BIGINT) AS cusum,
+           |  CAST(100 * tot AS BIGINT) AS thresh
+           |FROM s WHERE cusum > 100 * tot
+           |ORDER BY l_returnflag, day""".stripMargin))
+
   val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly, tsOhlc,
-    xConversionLag, xYoyGrowth)
+    xConversionLag, xYoyGrowth, tsCusum)
 }

@@ -168,4 +168,40 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(r.head.getLong(5) == maxFreq * nKeys * 10000 / nRows, "skew_bp identity broken")
     assert(r.head.getLong(5) >= 10000, "max-based skew ratio cannot be below uniform")
   }
+
+  test("ts_cusum closed form matches the literal sequential recursion") {
+    // recompute S_t = max(0, S_{t-1} + y_t) per flag with a plain fold and
+    // check every alarmed day the query emits is exactly the set where the
+    // recursion exceeds the threshold
+    val daily = SparkEntry.queries("ts_ohlc")(spark, dir) // just to warm tables
+    val _ = daily
+    import org.apache.spark.sql.functions._
+    val frame = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
+      .agg(sum(graft.ops.ColumnOps.cents(col("l_extendedprice"))).as("day_cents"))
+      .withColumn("xk", expr("day_cents DIV 100000"))
+      .orderBy("l_returnflag", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = frame.groupBy(_._1).toSeq.flatMap { case (flag, days) =>
+      val sorted = days.sortBy(_._2.getTime)
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._4).sum
+      var s = 0L
+      sorted.flatMap { case (_, day, cents, xk) =>
+        val y = 20L * n * xk - 21L * tot
+        s = math.max(0L, s + y)
+        if (s > 100L * tot) {
+          val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC")) // match the UTC session
+          Some((flag, fmt.format(day), cents, s))
+        } else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = rows("ts_cusum")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"closed-form CUSUM diverged from the recursion: got ${got.take(3)} expected ${expected.take(3)}")
+    assert(expected.nonEmpty, "fixture produced no alarms — test is vacuous")
+  }
 }
