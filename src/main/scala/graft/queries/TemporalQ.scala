@@ -502,6 +502,9 @@ object TemporalQ {
         .groupBy(col("l_returnflag"), date_trunc("DAY", col("l_shipdate")).as("day"))
         .agg(sum(cents(col("l_extendedprice"))).as("day_cents"))
         .withColumn("xk", expr("day_cents DIV 100000"))
+        // bounded daily frame feeds BOTH the totals and the chart join —
+        // materialize once or the lineitem scan + aggregate inline twice
+        .localCheckpoint()
       val tot = daily.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("xk")).as("tot"))
       daily.join(broadcast(tot), Seq("l_returnflag"))
