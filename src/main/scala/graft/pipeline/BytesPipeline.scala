@@ -105,9 +105,66 @@ object BytesPipeline {
       .start()
   }
 
+  // --- crash-consistent dual-sink snapshot protocol ---------------------
+  //
+  // The naive batch shape (two independent mode("overwrite") commits) has
+  // a torn-pair window: a crash between the `data` and `adversarial`
+  // writes leaves a NEW data table beside a STALE adversarial table with
+  // nothing tying versions together. `run` therefore stages both tables
+  // under a fresh `$outDir/v=N/{data,adversarial}` and COMMITS by
+  // atomically creating the zero-byte marker `$outDir/_published_v=N`
+  // only after both writes finish. Readers resolve through [[latest]]
+  // (highest published marker wins), so a crash anywhere before the
+  // marker — including between the two table writes — leaves the
+  // previous snapshot fully visible and the orphan staging dir invisible;
+  // the next successful run prunes it. Marker creation is a single file
+  // create (atomic on posix and HDFS; an object-store PUT is equally
+  // all-or-nothing). This mirrors the streaming twin's versioned-snapshot
+  // discipline (StreamingOps.applyUpsert). Adversarial elision
+  // (BytesProcessor.py:115-117) is preserved PER SNAPSHOT: the published
+  // version simply has no adversarial dir when no rule fired — the stale
+  // adversarial of the overwrite scheme cannot survive a publish.
+
+  private val MarkerPrefix = "_published_v="
+
+  private def fsOf(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def listNames(spark: SparkSession, outDir: String): Seq[String] = {
+    val (fs, root) = fsOf(spark, outDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+  }
+
+  /** Committed snapshot versions (marker files present). */
+  private[pipeline] def publishedVersions(spark: SparkSession, outDir: String): Seq[Long] =
+    listNames(spark, outDir).filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+
+  /** All staged version dirs, published or not (orphans from crashed runs
+    * included — version numbering must never reuse them). */
+  private[pipeline] def stagedVersions(spark: SparkSession, outDir: String): Seq[Long] =
+    listNames(spark, outDir).filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+
+  /** Resolve the committed snapshot a reader should use: (dataPath,
+    * Some(advPath) iff that snapshot published an adversarial table).
+    * Never returns a torn pair — both paths come from one committed
+    * version. None until the first successful `run`. */
+  def latest(spark: SparkSession, outDir: String): Option[(String, Option[String])] =
+    publishedVersions(spark, outDir).sorted.lastOption.map { v =>
+      val (fs, _) = fsOf(spark, outDir)
+      val adv = new org.apache.hadoop.fs.Path(s"$outDir/v=$v/adversarial")
+      (s"$outDir/v=$v/data", if (fs.exists(adv)) Some(adv.toString) else None)
+    }
+
   /** Run end-to-end: returns (dataPath, Some(advPath) if any adversarial
-    * rows). Two sinks share one persisted upstream so decode+vectorize
-    * run once (:110-119 writes both tables from one in-memory chunk).
+    * rows), both inside the newly committed snapshot dir. Two sinks share
+    * one persisted upstream so decode+vectorize run once (:110-119 writes
+    * both tables from one in-memory chunk).
     */
   def run(spark: SparkSession, pcapPaths: Seq[String], outDir: String, cfg: Config)
       : (String, Option[String]) = {
@@ -116,17 +173,29 @@ object BytesPipeline {
       else PcapSource.packets(spark, pcapPaths)
     val labeled = features(packets, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val prev = publishedVersions(spark, outDir)
+      val v = (prev ++ stagedVersions(spark, outDir)).foldLeft(0L)(math.max) + 1
+      val stage = s"$outDir/v=$v"
       val out = if (cfg.widen) widen(labeled, cfg.width) else labeled
-      val dataPath = s"$outDir/data"
+      val dataPath = s"$stage/data"
       out.write.mode("overwrite").parquet(dataPath)
       val adv = labeled.filter(forwardMask(cfg.rules))
       val advPath =
         if (adv.isEmpty) None // adversarial table only when non-empty (:115-117)
         else {
-          val p = s"$outDir/adversarial"
+          val p = s"$stage/adversarial"
           (if (cfg.widen) widen(adv, cfg.width) else adv).write.mode("overwrite").parquet(p)
           Some(p)
         }
+      // COMMIT: the snapshot becomes visible in one atomic file create.
+      val (fs, _) = fsOf(spark, outDir)
+      fs.create(new org.apache.hadoop.fs.Path(outDir, s"$MarkerPrefix$v"), false).close()
+      // Prune everything the commit superseded: old markers first (so a
+      // crash mid-prune can only leave EXTRA consistent snapshots, never
+      // a marker without its dir), then stale + orphan staging dirs.
+      prev.foreach(o => fs.delete(new org.apache.hadoop.fs.Path(outDir, s"$MarkerPrefix$o"), false))
+      stagedVersions(spark, outDir).filter(_ != v).foreach(o =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/v=$o"), true))
       (dataPath, advPath)
     } finally labeled.unpersist()
   }

@@ -15,7 +15,11 @@ class MergeModelSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("x_merge_apply matches a sequential last-writer-wins CDC fold") {
-    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    // Build the split as an instant: Timestamp.valueOf parses in the JVM
+    // default zone, but the query's lit('2024-01-16').cast('timestamp')
+    // resolves in the session zone (UTC) — on a non-UTC host the two
+    // would disagree and misclassify boundary events.
+    val split = Timestamp.from(java.time.Instant.parse("2024-01-16T00:00:00Z"))
     val events = Tables(spark, dir, "events")
       .select("user_id", "ts", "event_id", "event_type", "value")
       .collect()

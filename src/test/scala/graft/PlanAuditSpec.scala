@@ -770,5 +770,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlanString("x_yoy_growth")
     assert(p.contains("partial_sum"), "monthly aggregate must be partial+final")
     assert(!p.contains("CartesianProduct"))
+    // The lag windows must consume the AGGREGATED monthly frame, not the
+    // raw per-row grain. executedPlan.toString prints parents first, so a
+    // Window whose child is the aggregate appears BEFORE every
+    // HashAggregate line; a regression to window-over-raw-rows would put
+    // the aggregate above it (or drop it entirely).
+    val wIdx = p.indexOf("Window")
+    val aIdx = p.indexOf("HashAggregate")
+    assert(wIdx >= 0, s"no Window node in plan:\n$p")
+    assert(aIdx >= 0, s"no HashAggregate node in plan:\n$p")
+    assert(wIdx < aIdx,
+      s"Window is below the aggregate — lag runs over the raw grain:\n$p")
   }
 }

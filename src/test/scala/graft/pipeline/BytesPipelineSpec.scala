@@ -150,4 +150,44 @@ class BytesPipelineSpec extends SparkSpec {
     assert(split.length == whole.length)
     assert(split.sameElements(whole))
   }
+
+  test("dual sink is crash-consistent: a reader never sees a torn pair") {
+    val dir = Files.createTempDirectory("graft-atomic").toFile
+    dir.deleteOnExit()
+    val pcap = new java.io.File(dir, "cap.pcap")
+    Files.write(pcap.toPath, pcapOf(frames: _*))
+    val out = s"$dir/out"
+
+    // v=1: a committed snapshot WITH an adversarial table
+    val (data1, adv1) = BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), out, cfg)
+    assert(data1 == s"$out/v=1/data" && adv1.contains(s"$out/v=1/adversarial"))
+    assert(BytesPipeline.latest(spark, out).contains((data1, adv1)))
+
+    // Simulate a run KILLED between the two writes: v=2/data staged, no
+    // adversarial, no marker. This is exactly the on-disk state of the
+    // old overwrite scheme's torn window.
+    spark.read.parquet(data1).limit(1).write.parquet(s"$out/v=2/data")
+    val seen = BytesPipeline.latest(spark, out).get
+    assert(seen == (data1, adv1),
+      s"reader surfaced the uncommitted half-snapshot: $seen")
+    // both halves of the visible pair are intact and from ONE version
+    assert(spark.read.parquet(seen._1).count() == 4)
+    assert(spark.read.parquet(seen._2.get).count() == 1)
+
+    // The retry publishes PAST the orphan (never reuses v=2), prunes both
+    // the superseded v=1 and the orphan staging dir.
+    val (data3, adv3) = BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), out, cfg)
+    assert(data3 == s"$out/v=3/data" && adv3.contains(s"$out/v=3/adversarial"))
+    assert(BytesPipeline.latest(spark, out).contains((data3, adv3)))
+    assert(!new java.io.File(s"$out/v=1").exists(), "superseded snapshot not pruned")
+    assert(!new java.io.File(s"$out/v=2").exists(), "orphan staging dir not pruned")
+
+    // Adversarial ELISION is versioned too: publish with no rule firing
+    // and the old adversarial must stop being visible (the stale-pair bug
+    // of the overwrite scheme).
+    val quiet = cfg.copy(rules = Seq(LabelRule(100.0, 200.0, Seq("99.9.9.9"), Nil, "x")))
+    val (data4, adv4) = BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), out, quiet)
+    assert(adv4.isEmpty)
+    assert(BytesPipeline.latest(spark, out).contains((data4, None)))
+  }
 }
