@@ -19,12 +19,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional per-query wall limit (SPARK_GRAFT_TIMEOUT_S) for scale
+    // sweeps: a query that blows the limit has its jobs cancelled and is
+    // recorded as failed instead of starving the rest of the run. The
+    // driver's sf0.01 gate sets no limit — behavior there is unchanged.
+    val timeoutS: Option[Long] = sys.env.get("SPARK_GRAFT_TIMEOUT_S").map(_.toLong)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      val t0 = System.nanoTime()
+      def work(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        timeoutS match {
+          case None => work()
+          case Some(limit) =>
+            import scala.concurrent.{Await, Future, TimeoutException}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fut = Future {
+              spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+              work()
+            }
+            try Await.result(fut, limit.seconds)
+            catch { case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(name)
+              throw new RuntimeException(s"timeout after ${limit}s")
+            }
+        }
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Release this query's localCheckpoint blocks — they accumulate

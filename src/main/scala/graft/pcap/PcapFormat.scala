@@ -19,8 +19,10 @@ final case class PcapRecord(ts: Double, frame: Array[Byte])
   *
   * A truncated final record ends iteration quietly — the reference treats
   * EOFError as flush-and-finish, not failure
-  * (/root/reference/BytesProcessor.py:96-104). pcapng is out of scope,
-  * matching the reference (/root/reference/README.md:72).
+  * (/root/reference/BytesProcessor.py:96-104). pcapng — which the
+  * reference punts on (/root/reference/README.md:72) — is an engine
+  * extension handled by [[PcapngFormat]]; [[records]] dispatches on the
+  * leading magic so callers never care which framing a capture uses.
   */
 object PcapFormat {
   val MagicMicro = 0xa1b2c3d4
@@ -48,11 +50,17 @@ object PcapFormat {
     Some(Header(order, div, snaplen))
   }
 
-  /** Lazily iterate records from an in-memory pcap image. Stops (without
-    * throwing) at EOF or a truncated trailing record. Non-pcap input
-    * yields no records.
+  /** Lazily iterate records from an in-memory capture image — classic
+    * pcap, or pcapng via [[PcapngFormat]] (magic-dispatched, so every
+    * consumer of this entry point reads both). Stops (without throwing)
+    * at EOF or a truncated trailing record. Unrecognized input yields no
+    * records.
     */
-  def records(buf: Array[Byte]): Iterator[PcapRecord] = header(buf) match {
+  def records(buf: Array[Byte]): Iterator[PcapRecord] =
+    if (PcapngFormat.isPcapng(buf)) PcapngFormat.records(buf)
+    else classicRecords(buf)
+
+  private def classicRecords(buf: Array[Byte]): Iterator[PcapRecord] = header(buf) match {
     case None => Iterator.empty
     case Some(h) =>
       new Iterator[PcapRecord] {

@@ -51,7 +51,7 @@ object PcapSource {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
-      .option("pathGlobFilter", "*.pcap")
+      .option("pathGlobFilter", "*.pcap*") // .pcap and .pcapng both ingest
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(new org.apache.spark.sql.types.StructType()
         .add("path", "string").add("modificationTime", "timestamp")
@@ -62,10 +62,15 @@ object PcapSource {
       .flatMap(r => PacketDecoder.decode(r.ts, r.frame))
   }
 
-  /** One byte-range split of one pcap file. */
+  /** One byte-range split of one capture file. `ng` marks pcapng framing;
+    * for those, `ifcDivisors` carries the per-interface timestamp divisor
+    * table the driver collected from the file's leading SHB/IDB blocks
+    * (tcpdump/Wireshark declare interfaces up front; a file that defines
+    * interfaces mid-stream is served by the whole-file reader). */
   final case class PcapSplit(
       path: String, start: Long, end: Long, fileLen: Long,
-      bigEndian: Boolean, nanos: Boolean)
+      bigEndian: Boolean, nanos: Boolean,
+      ng: Boolean = false, ifcDivisors: Seq[Double] = Nil)
 
   /** How many consecutive record headers must chain-parse before an
     * offset counts as a record boundary. */
@@ -74,6 +79,10 @@ object PcapSource {
     * cross-split record overhang. */
   private val MaxFrame = 262144
 
+  /** Metadata bytes the driver reads per pcapng file to collect the
+    * interface table (SHB + leading IDBs). */
+  private val NgHeadBytes = 64 * 1024
+
   def planSplits(spark: SparkSession, paths: Seq[String],
                  targetSplitBytes: Long = 128L * 1024 * 1024): Seq[PcapSplit] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -81,19 +90,30 @@ object PcapSource {
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val len = fs.getFileStatus(hp).getLen
-      val head = new Array[Byte](PcapFormat.GlobalHeaderLen)
+      val head = new Array[Byte](math.min(len, NgHeadBytes.toLong).toInt)
       val in = fs.open(hp)
       try in.readFully(0, head) finally in.close()
-      PcapFormat.header(head).toSeq.flatMap { h =>
-        val bigEndian = h.order == java.nio.ByteOrder.BIG_ENDIAN
-        val nanos = h.fracDivisor == 1e9
-        val dataStart = PcapFormat.GlobalHeaderLen.toLong
+      def ranges(dataStart: Long): Seq[(Long, Long)] = {
         val n = math.max(1L, (len - dataStart + targetSplitBytes - 1) / targetSplitBytes)
-        (0L until n).map { i =>
-          PcapSplit(p, dataStart + i * targetSplitBytes,
-            math.min(len, dataStart + (i + 1) * targetSplitBytes), len, bigEndian, nanos)
-        }
+        (0L until n).map(i => (dataStart + i * targetSplitBytes,
+          math.min(len, dataStart + (i + 1) * targetSplitBytes)))
       }
+      if (PcapngFormat.isPcapng(head))
+        PcapngFormat.headMeta(head).toSeq.flatMap { m =>
+          // start at 0: the first task skips SHB/IDB blocks while walking
+          ranges(0L).map { case (a, b) =>
+            PcapSplit(p, a, b, len, m.bigEndian, nanos = false,
+              ng = true, ifcDivisors = m.divisors)
+          }
+        }
+      else
+        PcapFormat.header(head).toSeq.flatMap { h =>
+          val bigEndian = h.order == java.nio.ByteOrder.BIG_ENDIAN
+          val nanos = h.fracDivisor == 1e9
+          ranges(PcapFormat.GlobalHeaderLen.toLong).map { case (a, b) =>
+            PcapSplit(p, a, b, len, bigEndian, nanos)
+          }
+        }
     }
   }
 
@@ -109,8 +129,13 @@ object PcapSource {
 
   /** Read the records whose HEADER starts inside [start, end); executed on
     * executors, one task per split. Reads range + overhang only.
+    * Dispatches on framing: classic record-chain resync, or pcapng
+    * block-boundary resync ([[readSplitNg]]).
     */
-  def readSplit(s: PcapSplit): Iterator[PcapRecord] = {
+  def readSplit(s: PcapSplit): Iterator[PcapRecord] =
+    if (s.ng) readSplitNg(s) else readSplitClassic(s)
+
+  private def readSplitClassic(s: PcapSplit): Iterator[PcapRecord] = {
     val order = if (s.bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
     val hp = new Path(s.path)
     val fs = hp.getFileSystem(new Configuration())
@@ -124,13 +149,23 @@ object PcapSource {
     def u32(off: Int): Long = if (off + 4 <= buf.length) bb.getInt(off) & 0xffffffffL else -1L
 
     // A header at `off` is plausible if incl_len is sane and, recursively,
-    // the following ResyncChain headers are too (or EOF is reached).
+    // the following ResyncChain headers are too (or EOF is reached). The
+    // ANCHOR (depth == ResyncChain) must be fully verifiable inside the
+    // buffer — a candidate whose claimed length jumps past the readable
+    // range would otherwise self-certify (every continuation check would
+    // hit "beyond buffer"), which is exactly how a payload word that
+    // happens to look like a huge-but-sane incl_len forges a sync point.
+    // A TRUE anchor always fits: the overhang covers one max-size record,
+    // and near EOF the buffer extends to fileLen.
     def chainOk(off: Int, depth: Int): Boolean = {
       if (s.start + off >= s.fileLen) return true // clean EOF
-      if (off + PcapFormat.RecordHeaderLen > buf.length) return true // beyond buffer: assume ok
+      if (off + PcapFormat.RecordHeaderLen > buf.length)
+        return depth < ResyncChain // unverifiable: ok mid-chain, never as anchor
       val incl = u32(off + 8)
       val orig = u32(off + 12)
       if (incl < 0 || incl > MaxFrame || orig < incl || orig > MaxFrame) return false
+      if (off + PcapFormat.RecordHeaderLen + incl > buf.length)
+        return depth < ResyncChain
       if (depth <= 1) true else chainOk(off + PcapFormat.RecordHeaderLen + incl.toInt, depth - 1)
     }
 
@@ -159,6 +194,101 @@ object PcapSource {
           tsSec + tsFrac / (if (s.nanos) 1e9 else 1e6),
           java.util.Arrays.copyOfRange(buf, from, from + incl.toInt))
         off = from + incl.toInt
+      }
+      override def hasNext: Boolean = {
+        if (!done && nextRec == null) advance()
+        !done && nextRec != null
+      }
+      override def next(): PcapRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Largest credible pcapng block (frame + framing + options slack);
+    * bounds resync scanning and the cross-split overhang. */
+  private val MaxNgBlock = MaxFrame + 4096
+
+  /** pcapng byte-range reader: resynchronize to a BLOCK boundary, then
+    * emit the packet blocks whose header starts inside [start, end).
+    *
+    * Resync is stronger than the classic path's: a block boundary must
+    * show a sane 4-aligned total length whose TRAILER copy matches, and
+    * that property must chain across [[ResyncChain]] consecutive blocks —
+    * a false positive needs k forged length-sandwiches in a row. The
+    * interface divisor table rides in the split (driver-collected);
+    * single-section files only, which is what capture tools write.
+    */
+  private def readSplitNg(s: PcapSplit): Iterator[PcapRecord] = {
+    val order = if (s.bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+    val hp = new Path(s.path)
+    val fs = hp.getFileSystem(new Configuration())
+    val readEnd = math.min(s.fileLen, s.end + MaxNgBlock.toLong)
+    val buf = new Array[Byte]((readEnd - s.start).toInt)
+    val in = fs.open(hp)
+    try in.readFully(s.start, buf) finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(buf).order(order)
+    def u32(off: Int): Long = if (off + 4 <= buf.length) bb.getInt(off) & 0xffffffffL else -1L
+
+    // The anchor (depth == ResyncChain) must be fully inside the buffer —
+    // length-sandwich verified — else a payload word masquerading as a
+    // huge-but-sane total length would jump past the buffer and
+    // self-certify through the unverifiable-continuation branch. A true
+    // anchor always fits (overhang covers one max block; near EOF the
+    // buffer reaches fileLen).
+    def blockOk(off: Int, depth: Int): Boolean = {
+      if (s.start + off >= s.fileLen) return true // clean EOF
+      if (off + PcapngFormat.FramingLen > buf.length)
+        return depth < ResyncChain // unverifiable: ok mid-chain, never as anchor
+      val total = u32(off + 4)
+      if (total < PcapngFormat.FramingLen || total > MaxNgBlock || total % 4 != 0) return false
+      if (off + total > buf.length) return depth < ResyncChain
+      if (u32(off + total.toInt - 4) != total) return false
+      if (depth <= 1) true else blockOk(off + total.toInt, depth - 1)
+    }
+
+    val syncedStart: Int =
+      if (s.start == 0L) 0 // SHB-aligned by construction
+      else {
+        var o = 0
+        val scanLimit = math.min(buf.length, MaxNgBlock)
+        while (o < scanLimit && !blockOk(o, ResyncChain)) o += 1
+        o
+      }
+
+    new Iterator[PcapRecord] {
+      private var off = syncedStart
+      private var nextRec: PcapRecord = _
+      private var done = false
+      private def advance(): Unit = {
+        while (!done && nextRec == null) {
+          if (s.start + off >= s.end ||
+              off + PcapngFormat.FramingLen > buf.length) { done = true; return }
+          val total = u32(off + 4)
+          if (total < PcapngFormat.FramingLen || total % 4 != 0 ||
+              off + total > buf.length) { done = true; return }
+          val blockType = u32(off).toInt
+          val bodyStart = off + 8
+          val bodyEnd = off + total.toInt - 4
+          if (blockType == PcapngFormat.EpbType && bodyEnd - bodyStart >= 20) {
+            val ifc = bb.getInt(bodyStart)
+            val ts64 = (bb.getInt(bodyStart + 4).toLong << 32) |
+              (bb.getInt(bodyStart + 8) & 0xffffffffL)
+            val capLen = bb.getInt(bodyStart + 12)
+            if (capLen >= 0 && bodyStart + 20 + capLen <= bodyEnd) {
+              val div = if (ifc >= 0 && ifc < s.ifcDivisors.length) s.ifcDivisors(ifc) else 1e6
+              nextRec = PcapRecord(ts64 / div,
+                java.util.Arrays.copyOfRange(buf, bodyStart + 20, bodyStart + 20 + capLen))
+            }
+          } else if (blockType == PcapngFormat.SpbType && bodyEnd - bodyStart >= 4) {
+            val orig = bb.getInt(bodyStart)
+            val cap = math.min(math.max(orig, 0), bodyEnd - bodyStart - 4)
+            nextRec = PcapRecord(0.0,
+              java.util.Arrays.copyOfRange(buf, bodyStart + 4, bodyStart + 4 + cap))
+          }
+          off += total.toInt
+        }
       }
       override def hasNext: Boolean = {
         if (!done && nextRec == null) advance()

@@ -151,6 +151,47 @@ class BytesPipelineSpec extends SparkSpec {
     assert(split.sameElements(whole))
   }
 
+  test("flagship pipeline ingests pcapng captures unchanged (format dispatch)") {
+    val dir = Files.createTempDirectory("graft-ng").toFile
+    dir.deleteOnExit()
+    val ng = new java.io.File(dir, "cap.pcapng")
+    Files.write(ng.toPath, graft.pcap.PcapngFormat.write(
+      frames.map { case (ts, f) => graft.pcap.PcapRecord(ts, f) }))
+    val (dataPath, advPath) =
+      BytesPipeline.run(spark, Seq(ng.getAbsolutePath), s"$dir/out", cfg)
+    val data = spark.read.parquet(dataPath).collect()
+    assert(data.length == 4) // same 4 survivors as the classic-pcap test
+    assert(data.map(r => r.getDouble(0) -> r.getAs[String]("label")).toMap ==
+      Map(120.0 -> "benign", 130.0 -> "dos", 140.0 -> "dos", 260.0 -> "benign"))
+    assert(spark.read.parquet(advPath.get).collect().map(_.getDouble(0)).toSeq == Seq(130.0))
+  }
+
+  test("splittable pcapng matches whole-file read (block resync)") {
+    val rnd = new scala.util.Random(11)
+    val many = (0 until 400).map { i =>
+      val app = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(app)
+      graft.pcap.PcapRecord(2000.0 + i + 0.000000001 * i,
+        frame(s"10.0.${i % 5}.1", "10.0.9.9", 1000 + i, 80, if (i % 3 == 0) 17 else 6, app))
+    }
+    val dir = Files.createTempDirectory("graft-ngsplit").toFile
+    dir.deleteOnExit()
+    val ng = new java.io.File(dir, "big.pcapng")
+    // nano resolution so split/whole equality also pins the divisor path
+    Files.write(ng.toPath, graft.pcap.PcapngFormat.write(many, divisors = Seq(1e9)))
+
+    val whole = PcapSource.packets(spark, Seq(ng.getAbsolutePath))
+      .collect().map(p => (p.timestamp, p.src_port, p.payload.toSeq)).sortBy(_._1)
+    val split = PcapSource.packetsSplittable(spark, Seq(ng.getAbsolutePath), targetSplitBytes = 4096)
+      .collect().map(p => (p.timestamp, p.src_port, p.payload.toSeq)).sortBy(_._1)
+    assert(split.length == whole.length)
+    assert(split.sameElements(whole))
+    // and the SQL connector plans the same multi-split read
+    val viaSql = spark.read.format("pcap").option("splitBytes", "4096")
+      .load(ng.getAbsolutePath)
+    assert(viaSql.rdd.getNumPartitions > 1, "pcapng file did not split")
+    assert(viaSql.count() == whole.length)
+  }
+
   test("dual sink is crash-consistent: a reader never sees a torn pair") {
     val dir = Files.createTempDirectory("graft-atomic").toFile
     dir.deleteOnExit()
