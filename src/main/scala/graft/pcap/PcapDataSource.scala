@@ -67,16 +67,19 @@ final class PcapTable(paths: Seq[String]) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PcapScanBuilder(paths,
-      Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+      Option(options.get("splitBytes")).map(_.toLong).getOrElse(128L * 1024 * 1024),
+      Option(options.get("ipv6")).exists(_.toBoolean))
 }
 
-final class PcapScanBuilder(paths: Seq[String], splitBytes: Long) extends ScanBuilder {
-  override def build(): Scan = new PcapScan(paths, splitBytes)
+final class PcapScanBuilder(paths: Seq[String], splitBytes: Long, ipv6: Boolean)
+    extends ScanBuilder {
+  override def build(): Scan = new PcapScan(paths, splitBytes, ipv6)
 }
 
 final case class PcapInputPartition(split: PcapSource.PcapSplit) extends InputPartition
 
-final class PcapScan(paths: Seq[String], splitBytes: Long) extends Scan with Batch {
+final class PcapScan(paths: Seq[String], splitBytes: Long, ipv6: Boolean)
+    extends Scan with Batch {
   override def readSchema(): StructType = PcapTable.schema
   override def description(): String = s"PcapScan(${paths.size} files, split=$splitBytes)"
   override def toBatch: Batch = this
@@ -85,15 +88,15 @@ final class PcapScan(paths: Seq[String], splitBytes: Long) extends Scan with Bat
     PcapSource.planSplits(SparkSession.active, paths, splitBytes)
       .map(PcapInputPartition(_): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new PcapReaderFactory(ipv6)
 }
 
-final class PcapReaderFactory extends PartitionReaderFactory {
+final class PcapReaderFactory(ipv6: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[PcapInputPartition].split
     new PartitionReader[InternalRow] {
       private val it: Iterator[Packet] =
-        PcapSource.readSplit(split).flatMap(r => PacketDecoder.decode(r.ts, r.frame))
+        PcapSource.readSplit(split).flatMap(r => PacketDecoder.decode(r.ts, r.frame, ipv6))
       private var cur: Packet = _
       override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
       override def get(): InternalRow = new GenericInternalRow(Array[Any](

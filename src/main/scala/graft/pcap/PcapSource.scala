@@ -34,9 +34,10 @@ object PcapSource {
       .flatMap(PcapFormat.records(_))
   }
 
-  def packets(spark: SparkSession, paths: Seq[String]): Dataset[Packet] = {
+  def packets(spark: SparkSession, paths: Seq[String],
+              ipv6: Boolean = false): Dataset[Packet] = {
     import spark.implicits._
-    rawRecords(spark, paths).flatMap(r => PacketDecoder.decode(r.ts, r.frame))
+    rawRecords(spark, paths).flatMap(r => PacketDecoder.decode(r.ts, r.frame, ipv6))
   }
 
   /** Continuous ingestion: watch a directory for new pcap files and
@@ -47,7 +48,8 @@ object PcapSource {
     * via the file-stream checkpoint log.
     */
   def packetsStream(spark: SparkSession, dir: String,
-                    maxFilesPerTrigger: Int = 16): Dataset[Packet] = {
+                    maxFilesPerTrigger: Int = 16,
+                    ipv6: Boolean = false): Dataset[Packet] = {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
@@ -59,7 +61,7 @@ object PcapSource {
       .load(dir)
       .select(col("content")).as[Array[Byte]]
       .flatMap(PcapFormat.records(_))
-      .flatMap(r => PacketDecoder.decode(r.ts, r.frame))
+      .flatMap(r => PacketDecoder.decode(r.ts, r.frame, ipv6))
   }
 
   /** One byte-range split of one capture file. `ng` marks pcapng framing;
@@ -118,13 +120,14 @@ object PcapSource {
   }
 
   def packetsSplittable(spark: SparkSession, paths: Seq[String],
-                        targetSplitBytes: Long = 128L * 1024 * 1024): Dataset[Packet] = {
+                        targetSplitBytes: Long = 128L * 1024 * 1024,
+                        ipv6: Boolean = false): Dataset[Packet] = {
     import spark.implicits._
     val splits = planSplits(spark, paths, targetSplitBytes)
     spark.createDataset(splits)
       .repartition(math.max(splits.size, 1))
       .flatMap(readSplit(_))
-      .flatMap(r => PacketDecoder.decode(r.ts, r.frame))
+      .flatMap(r => PacketDecoder.decode(r.ts, r.frame, ipv6))
   }
 
   /** Read the records whose HEADER starts inside [start, end); executed on

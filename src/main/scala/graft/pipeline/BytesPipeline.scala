@@ -32,7 +32,11 @@ object BytesPipeline {
       width: Int = 1525, // README.md:8 — initial 1525 B of the IP layer
       widen: Boolean = true, // byte(i) columns at the sink for schema parity (§7.4)
       splittable: Boolean = false,
-      targetSplitBytes: Long = 128L * 1024 * 1024)
+      targetSplitBytes: Long = 128L * 1024 * 1024,
+      // Engine extension: decode IPv6 datagrams too. Default false = the
+      // reference-parity preset (BytesProcessor.py:222 checks dpkt.ip.IP
+      // only, so v6 frames drop).
+      ipv6: Boolean = false)
 
   def forwardMask(rules: Seq[LabelRule]): Column =
     RuleLabeler.forwardMask(col("timestamp"), col("src_ip"), rules)
@@ -75,7 +79,7 @@ object BytesPipeline {
   def runStreaming(spark: SparkSession, watchDir: String, outDir: String, cfg: Config,
                    checkpoint: Option[String] = None, availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val packets = PcapSource.packetsStream(spark, watchDir)
+    val packets = PcapSource.packetsStream(spark, watchDir, ipv6 = cfg.ipv6)
     val fwd = forwardMask(cfg.rules)
     val writer = features(packets, cfg)
       .writeStream
@@ -169,8 +173,9 @@ object BytesPipeline {
   def run(spark: SparkSession, pcapPaths: Seq[String], outDir: String, cfg: Config)
       : (String, Option[String]) = {
     val packets =
-      if (cfg.splittable) PcapSource.packetsSplittable(spark, pcapPaths, cfg.targetSplitBytes)
-      else PcapSource.packets(spark, pcapPaths)
+      if (cfg.splittable)
+        PcapSource.packetsSplittable(spark, pcapPaths, cfg.targetSplitBytes, ipv6 = cfg.ipv6)
+      else PcapSource.packets(spark, pcapPaths, ipv6 = cfg.ipv6)
     val labeled = features(packets, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val prev = publishedVersions(spark, outDir)

@@ -66,6 +66,61 @@ object Fixtures {
     bb.array()
   }
 
+  /** Ethernet/IPv6/{TCP,UDP} frame with an optional extension-header
+    * chain. Addresses are 2001:db8::src / 2001:db8::1:dst (last byte
+    * given). `exts` lists extension-header type codes in chain order;
+    * non-fragment exts are minimal (8 B, hdrExtLen=0) with deterministic
+    * option bytes, a fragment ext (44) takes `fragOffsetUnits` 8-byte
+    * units. Fake transport checksums 0xCAFE so staleness is observable.
+    */
+  def frame6(
+      srcLast: Int, dstLast: Int,
+      sport: Int, dport: Int,
+      proto: Int = 6, // 6 or 17
+      exts: Seq[Int] = Nil,
+      appPayload: Array[Byte] = Array.empty,
+      fragOffsetUnits: Int = 0,
+      padTo: Int = 0): Array[Byte] = {
+    val transportLen = if (proto == 6) 20 else 8
+    val extBytes = exts.length * 8
+    val payloadLen = extBytes + transportLen + appPayload.length
+    val frameLen = math.max(14 + 40 + payloadLen, padTo)
+    val bb = ByteBuffer.allocate(frameLen)
+    bb.put(macs); bb.putShort(0x86DD.toShort)
+    val firstNh = exts.headOption.getOrElse(proto)
+    bb.putInt(0x60000000) // version 6, tc/flow 0
+    bb.putShort(payloadLen.toShort).put(firstNh.toByte).put(64.toByte) // plen, nh, hop limit
+    def addr(last: Int): Array[Byte] = {
+      val a = new Array[Byte](16)
+      a(0) = 0x20; a(1) = 0x01; a(2) = 0x0d; a(3) = 0xb8.toByte; a(15) = last.toByte
+      a
+    }
+    bb.put(addr(srcLast)); bb.put(addr(dstLast))
+    // extension chain: each header's first byte = NEXT header in chain
+    exts.zipWithIndex.foreach { case (t, i) =>
+      val nh = exts.lift(i + 1).getOrElse(proto)
+      if (t == 44) { // fragment: nh, reserved, offset(13b)+M, identification
+        bb.put(nh.toByte).put(0.toByte)
+        bb.putShort(((fragOffsetUnits << 3) | (if (fragOffsetUnits > 0) 1 else 0)).toShort)
+        bb.putInt(0x0000BEEF)
+      } else { // minimal ext: nh, hdrExtLen=0, 6 deterministic option bytes
+        bb.put(nh.toByte).put(0.toByte)
+        bb.put(Array.tabulate[Byte](6)(j => (0x40 + t + j).toByte))
+      }
+    }
+    if (proto == 6) {
+      bb.putShort(sport.toShort).putShort(dport.toShort)
+      bb.putInt(0x01020304).putInt(0x05060708)
+      bb.put(0x50.toByte).put(0x18.toByte).putShort(0x0200.toShort)
+      bb.putShort(0xCAFE.toShort).putShort(0.toShort)
+    } else {
+      bb.putShort(sport.toShort).putShort(dport.toShort)
+      bb.putShort((8 + appPayload.length).toShort).putShort(0xCAFE.toShort)
+    }
+    bb.put(appPayload)
+    bb.array()
+  }
+
   def pcapOf(recs: (Double, Array[Byte])*): Array[Byte] =
     PcapFormat.write(recs.map { case (ts, f) => PcapRecord(ts, f) })
 }

@@ -192,6 +192,28 @@ class BytesPipelineSpec extends SparkSpec {
     assert(viaSql.count() == whole.length)
   }
 
+  test("IPv6 is opt-in: default preset drops v6, ipv6=true decodes it alongside v4") {
+    val dir = Files.createTempDirectory("graft-v6").toFile
+    dir.deleteOnExit()
+    val mixed = frames :+ (135.0, frame6(7, 9, 443, 55000)) // v6 inside the range
+    val pcap = new java.io.File(dir, "mix.pcap")
+    Files.write(pcap.toPath, pcapOf(mixed: _*))
+
+    // reference-parity preset: flagship output identical to a v4-only capture
+    val (d1, _) = BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), s"$dir/o1", cfg)
+    assert(spark.read.parquet(d1).count() == 4)
+
+    val (d2, _) = BytesPipeline.run(spark, Seq(pcap.getAbsolutePath), s"$dir/o2",
+      cfg.copy(ipv6 = true))
+    val rows = spark.read.parquet(d2).collect()
+    assert(rows.length == 5)
+    val v6row = rows.find(_.getDouble(0) == 135.0).get
+    assert(v6row.getAs[String]("src_ip") == "2001:db8:0:0:0:0:0:7")
+    assert(v6row.getAs[String]("label") == "benign") // v4 rules don't match v6 addrs
+    // widened floats show the anonymized v6 address bytes (offsets 8-39) zeroed
+    (8 to 39).foreach(i => assert(v6row.getAs[Float](s"byte($i)") == 0.0f))
+  }
+
   test("dual sink is crash-consistent: a reader never sees a torn pair") {
     val dir = Files.createTempDirectory("graft-atomic").toFile
     dir.deleteOnExit()
