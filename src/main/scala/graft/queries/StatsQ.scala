@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
 object StatsQ {
 
   /** Variance/stddev from exact integer moments (n, Σx, Σx²) — the
-    * numerically-honest formulation: the shuffle moves three longs per
-    * group (tiny agg state at 100 TB), and the float math happens once per
-    * group on exact inputs instead of once per row. */
+    * numerically-honest formulation: the shuffle moves three small values
+    * per group (tiny agg state at 100 TB), and the float math happens once
+    * per group on exact inputs instead of once per row.
+    *
+    * The squared-cents sum accumulates in DECIMAL, not long: cents² is
+    * ~1.3e13 per row, so a per-flag Long sum overflows past ~7e5 rows per
+    * group — the sf100 sweep caught exactly this (ANSI ARITHMETIC_OVERFLOW
+    * at 60M rows). decimal(30,0) holds 1e30: headroom to ~1e16 rows.
+    * DuckDB's SUM(BIGINT) already promotes to HUGEINT, so the oracle was
+    * never at risk; both sides convert the same exact integer to the same
+    * double in the fixed post-agg chain. */
   val aStats: Q = Q(
     "a_stats",
     (spark, dir) => {
@@ -24,7 +32,7 @@ object StatsQ {
         .agg(
           count(lit(1)).as("n"),
           sum(c).as("sum_cents"),
-          sum(c * c).as("s2"))
+          sum((c * c).cast("decimal(20,0)")).as("s2"))
         .select(
           col("l_returnflag"), col("n"), col("sum_cents"),
           round(col("s2") * lit(1.0) / col("n")
@@ -187,7 +195,13 @@ object StatsQ {
         .agg(
           count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+          // Σxy and Σy² accumulate in decimal: y is cents-scale (~1e7),
+          // so Σy² in Long overflows past ~7e5 rows per group (caught by
+          // the sf100 sweep) and Σxy past ~sf3000. DuckDB promotes
+          // SUM(BIGINT) to HUGEINT on its own.
+          sum((x * y).cast("decimal(20,0)")).as("sxy"),
+          sum(x * x).as("sx2"),
+          sum((y * y).cast("decimal(20,0)")).as("sy2"))
         .select(
           col("l_returnflag"), col("n"),
           round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
