@@ -13,13 +13,12 @@ import org.apache.spark.sql.functions._
   * O(log diameter) — 20 rounds covers any graph that fits on disk.
   *
   * Each superstep is two key-equi-joins + one aggregation, all on the node
-  * id; the label frontier is localCheckpoint'ed every SECOND superstep
-  * (the intermediate one persists) so plan/lineage depth stays O(1)
-  * instead of O(iterations) while paying half the barrier overhead — the
-  * pattern that keeps iterative dataflow alive at 100 TB. The convergence
-  * probe moves ONE scalar to the driver per barrier (labels only ever
-  * decrease under min-propagation, so the label sum is strictly monotone
-  * until fixpoint — a cheap agg instead of a changed-rows join).
+  * id; the label frontier is localCheckpoint'ed so plan/lineage depth
+  * stays O(1) instead of O(iterations) — the pattern that keeps iterative
+  * dataflow alive at 100 TB. The convergence probe moves ONE scalar to the
+  * driver per superstep (labels only ever decrease under min-propagation,
+  * so the label sum is strictly monotone until fixpoint — a cheap agg
+  * instead of a changed-rows join).
   *
   * If the iteration cap is reached without convergence the result would be
   * silently wrong (plausible-looking but un-merged labels), so this THROWS
@@ -48,43 +47,29 @@ object ConnectedComponents {
     // converge immediately (sum 0 == 0), not NPE on the driver probe.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-    // One propagation+jump superstep. Propagation: min over neighbors'
-    // labels, folded into the node's own label with least(). Every
-    // labeled node has >=1 edge (labels derive from the edge set), so the
-    // inner joins never drop nodes. Pointer jump: comp := min(comp,
-    // comp(comp)). Labels are always node ids (min of ids is an id), so
-    // the self-join never drops rows.
-    def superstep(cur: DataFrame): DataFrame = {
-      val nbr = edges.join(cur, edges("dst") === cur("id"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nmin"))
-        .withColumnRenamed("src", "nid")
-      val stepped = cur.join(nbr, col("id") === col("nid"))
-        .select(col("id"), least(col("comp"), col("nmin")).as("comp"))
-      val m = stepped.select(col("id").as("mid"), col("comp").as("mcomp"))
-      stepped.join(m, col("comp") === col("mid"))
-        .select(col("id"), least(col("comp"), col("mcomp")).as("comp"))
-    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    // Two supersteps per barrier: the mid step persists (each superstep
-    // references its input three times — neighbor join, fold join, jump
-    // self-join — so the cache is what makes fusion free of recompute),
-    // only the outer step pays the checkpoint + convergence-probe
-    // actions. The label sum is monotone non-increasing per node, so an
-    // unchanged sum across TWO supersteps is still exactly the fixpoint;
-    // at worst one no-op superstep runs past convergence. Halves the
-    // barrier count that dominates iterative dataflow cost.
     while (!converged && iter < maxIter) {
-      val mid = superstep(labels)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = superstep(mid).localCheckpoint()
+      // Propagation: min over neighbors' labels, folded into the node's
+      // own label with least(). Every labeled node has >=1 edge (labels
+      // derive from the edge set), so the inner joins never drop nodes.
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nmin"))
+        .withColumnRenamed("src", "nid")
+      val stepped = labels.join(nbr, col("id") === col("nid"))
+        .select(col("id"), least(col("comp"), col("nmin")).as("comp"))
+      // Pointer jump: comp := min(comp, comp(comp)). Labels are always
+      // node ids (min of ids is an id), so the self-join never drops rows.
+      val m = stepped.select(col("id").as("mid"), col("comp").as("mcomp"))
+      val jumped = stepped.join(m, col("comp") === col("mid"))
+        .select(col("id"), least(col("comp"), col("mcomp")).as("comp"))
+      val next = jumped.localCheckpoint()
       val s = labelSum(next)
-      mid.unpersist(blocking = false)
       converged = s == prevSum
       prevSum = s
       labels = next
-      iter += 2
+      iter += 1
     }
     if (!converged)
       throw new IllegalStateException(

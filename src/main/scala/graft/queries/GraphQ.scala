@@ -225,20 +225,10 @@ object GraphQ {
       var n = edges.count()
       var converged = false
       var round = 0
-      // Two peels per barrier: the mid round persists (computed once,
-      // read by the outer peel's three references — no recompute), only
-      // the outer round pays the checkpoint+count actions. Peeling is
-      // monotone decreasing, so an unchanged count across TWO rounds is
-      // still exactly the fixpoint; at worst one extra no-op peel runs.
-      // Halves the superstep fixed overhead that dominates this query's
-      // cost (the per-round data volume is the bounded pair cohort).
       while (!converged && round < 64) {
-        round += 2
-        val mid = peelRound(edges)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val next = peelRound(mid).localCheckpoint()
+        round += 1
+        val next = peelRound(edges).localCheckpoint()
         val m = next.count()
-        mid.unpersist(blocking = false)
         converged = m == n
         n = m
         edges = next
@@ -292,24 +282,15 @@ object GraphQ {
         .select(col("x"), col("y"))
       val edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
         .localCheckpoint()
-      // Checkpoint every 2nd superstep only: odd rounds persist instead
-      // (their two in-plan references — frontier filter + union arm —
-      // read the cache, no recompute), and the last round feeds the
-      // final sort directly. 3 actions total (edges, d2, result) versus
-      // the former 7 — superstep fixed overhead, not data volume, is
-      // what this query's cost is made of.
       var dist = edges.agg(min(col("x")).as("node")).withColumn("depth", lit(0L))
+        .localCheckpoint()
       for (d <- 1 to 4) {
         val frontier = dist.filter(col("depth") === (d - 1))
         val next = edges.join(frontier, col("x") === col("node"))
           .select(col("y").as("node"), lit(d.toLong).as("depth"))
-        val stepped = dist.unionAll(next)
+        dist = dist.unionAll(next)
           .groupBy(col("node")).agg(min(col("depth")).as("depth"))
-        dist =
-          if (d == 2) stepped.localCheckpoint()
-          else if (d < 4)
-            stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else stepped
+          .localCheckpoint()
       }
       dist.orderBy(col("node"))
     },
