@@ -41,7 +41,18 @@ object PipelineQ {
     bb.array()
   }
 
-  /** Deterministic capture, written once per JVM tmpdir (seeded rng). */
+  /** Deterministic capture, written once per tmpdir (seeded rng).
+    *
+    * The publish is ATOMIC (temp file + rename): a bare
+    * `Files.exists` + `Files.write` guard lets a killed JVM leave a
+    * torn capture behind, and because the pcap reader honors the
+    * reference's truncated-tail flush-and-finish semantics
+    * (BytesProcessor.py:96-104), every later consumer would silently
+    * accept the short file instead of failing. With the rename, the
+    * target path either doesn't exist (some writer recreates it) or is
+    * complete; concurrent writers race benignly — both renames publish
+    * identical bytes.
+    */
   def pcapPath(): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_flagship_$NumPackets.pcap")
     if (!Files.exists(p)) {
@@ -55,7 +66,10 @@ object PipelineQ {
             if (i % 3 == 0) 6 else 17, rnd.nextInt(600), 0x2A.toByte)
         PcapRecord(ts, f)
       }
-      Files.write(p, PcapFormat.write(recs))
+      val tmp = Files.createTempFile(p.getParent, "graft_flagship_", ".pcap.tmp")
+      Files.write(tmp, PcapFormat.write(recs))
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
     }
     p.toString
   }
