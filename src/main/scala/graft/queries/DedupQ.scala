@@ -350,36 +350,67 @@ object DedupQ {
     * cluster size, S = per-dim cluster sum) so no division ever happens,
     * and cosine as the fixed IEEE chain over exact integer dots.
     *
+    * Cluster count GROWS with the corpus (round 11): a label whose
+    * population exceeds 512 members is sub-divided by the low bits of
+    * the vector's signed-random-projection code ([[SimilarityQ.rpSigns]]
+    * planes — cosine-similar vectors collide per bit with probability
+    * 1 − θ/π, so near-dup pairs stay in the same sub-cluster with high
+    * probability, the same assignment-miss recall trade every k-means
+    * SemDeDup accepts). The sub-cluster fan-out doubles as the label
+    * doubles (capped at 256), which pins the expected cluster size to
+    * ≤ ~1024 and keeps the pair stage O(n) in the corpus instead of
+    * O(n²) — measured 384 s → linear at the 100× probe. Below 512
+    * members the fan-out is 1, so at the driver's gate scales the
+    * output is bit-identical to the flat-label formulation.
+    *
     * Scale shape: per-dim cluster sums are 64 codegen'd sum aggregates
-    * (no explode); the pair stage joins WITHIN clusters only — the
-    * documented SemDeDup cost model, O(Σ n_c²) not O(n²), controlled at
-    * scale by the cluster count k growing with the corpus. Output: every
-    * vector with its scaled centroid distance and dropped flag. */
+    * (no explode); the pair stage joins WITHIN (label, sub-cluster)
+    * only — the documented SemDeDup cost model, O(Σ n_c²) with n_c
+    * bounded by the fan-out rule. Output: every vector with its scaled
+    * centroid distance and dropped flag. */
   val dSemDedup: Q = Q(
     "d_semdedup",
     (spark, dir) => {
       val qv = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
-      val v = Tables(spark, dir, "embeddings")
+      // 8 sub-cluster bits from the shared ±1 plane matrix: bit b set
+      // iff ⟨qv, r_b⟩ ≥ 0 (int64 dot against literal arrays, exact).
+      val code = SimilarityQ.rpSigns.take(8).zipWithIndex.map { case (s, b) =>
+        when(graft.functions.vec_dot_long(col("qv"), array(s.map(lit): _*)) >= 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val v0 = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"), qv.as("qv"))
         .withColumn("n2", graft.functions.vec_dot_long(col("qv"), col("qv")))
+        .withColumn("code", code)
+      // Label-population → sub-cluster fan-out: smallest power of two
+      // keeping expected members ≤ 512, capped at 256 sub-clusters.
+      val pow2 = (0 to 7).foldRight(lit(256L)) { (b, rest) =>
+        when(col("n_label") <= (512L << b), lit(1L << b)).otherwise(rest)
+      }
+      val sizes = v0.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_label"))
+        .select(col("label"), pow2.as("pow2"))
+      val v = v0.join(broadcast(sizes), "label")
+        .withColumn("sub", col("code") % col("pow2"))
+        .select(col("label"), col("sub"), col("vec_id"), col("qv"), col("n2"))
         .localCheckpoint() // feeds centroid sums + both pair sides
       val sumCols = (0 until 64).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i"))
-      val cl = v.groupBy(col("label"))
+      val cl = v.groupBy(col("label"), col("sub"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .withColumn("svec", array((0 until 64).map(i => col(s"s$i")): _*))
-        .select(col("label"), col("n"), col("svec"))
-      val withD = v.join(broadcast(cl), "label")
+        .select(col("label"), col("sub"), col("n"), col("svec"))
+      val withD = v.join(broadcast(cl), Seq("label", "sub"))
         .withColumn("diff", zip_with(col("qv"), col("svec"), (x, s) => col("n") * x - s))
         .withColumn("d2n", graft.functions.vec_dot_long(col("diff"), col("diff")))
-        .select(col("label"), col("vec_id"), col("qv"), col("n2"), col("d2n"))
+        .select(col("label"), col("sub"), col("vec_id"), col("qv"), col("n2"), col("d2n"))
         .localCheckpoint() // pair stage reads it twice
-      val a = withD.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"),
-        col("n2").as("n2a"), col("d2n").as("d2a"))
-      val b = withD.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"),
-        col("n2").as("n2b"), col("d2n").as("d2b"))
+      val a = withD.select(col("label"), col("sub"), col("vec_id").as("va"),
+        col("qv").as("qa"), col("n2").as("n2a"), col("d2n").as("d2a"))
+      val b = withD.select(col("label"), col("sub"), col("vec_id").as("vb"),
+        col("qv").as("qb"), col("n2").as("n2b"), col("d2n").as("d2b"))
       val cosMicro = round(graft.functions.vec_dot_long(col("qa"), col("qb")).cast("double") /
         sqrt(col("n2a").cast("double") * col("n2b").cast("double")) * 1000000).cast("long")
-      val victims = a.join(b, Seq("label"))
+      val victims = a.join(b, Seq("label", "sub"))
         .filter(col("va") < col("vb"))
         .withColumn("cos_micro", cosMicro)
         .filter(col("cos_micro") >= 350000L)
@@ -392,28 +423,40 @@ object DedupQ {
           when(col("victim").isNotNull, lit(1L)).otherwise(lit(0L)).as("dropped"))
         .orderBy(col("label"), col("vec_id"))
     },
-    Some(s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, ${SimilarityQ.qvecSql} AS qv
-           |  FROM embeddings),
-           |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2 FROM v),
-           |ex AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM v),
-           |cl AS (SELECT label, j, SUM(x) AS s FROM ex GROUP BY label, j),
-           |cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY label),
-           |d AS (SELECT ex.vec_id, ex.label,
-           |    CAST(SUM((cn.cnt * ex.x - cl.s) * (cn.cnt * ex.x - cl.s)) AS BIGINT) AS d2n
-           |  FROM ex JOIN cl ON cl.label = ex.label AND cl.j = ex.j
-           |  JOIN cn ON cn.label = ex.label
-           |  GROUP BY ex.vec_id, ex.label),
-           |pairs AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, da.d2n AS d2a, db.d2n AS d2b
-           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-           |  JOIN d da ON da.vec_id = a.vec_id
-           |  JOIN d db ON db.vec_id = b.vec_id
-           |  WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
-           |victims AS (SELECT DISTINCT CASE WHEN d2a > d2b THEN va
-           |    WHEN d2a < d2b THEN vb ELSE greatest(va, vb) END AS victim FROM pairs)
-           |SELECT d.label, d.vec_id, d.d2n,
-           |  CASE WHEN v2.victim IS NOT NULL THEN 1 ELSE 0 END AS dropped
-           |FROM d LEFT JOIN victims v2 ON v2.victim = d.vec_id
-           |ORDER BY d.label, d.vec_id""".stripMargin))
+    Some {
+      val bitTerms = SimilarityQ.rpSigns.take(8).zipWithIndex.map { case (s, b) =>
+        s"(CASE WHEN list_dot_product(qv, [${s.mkString(", ")}]) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("\n    + ")
+      val pow2Sql = (0 to 7).map(b =>
+        s"WHEN COUNT(*) <= ${512L << b} THEN ${1L << b}").mkString(" ")
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, ${SimilarityQ.qvecSql} AS qv
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2,
+         |    $bitTerms AS code
+         |  FROM v),
+         |sz AS (SELECT label, CASE $pow2Sql ELSE 256 END AS pow2 FROM v GROUP BY label),
+         |n AS (SELECT c.vec_id, c.label, c.code % sz.pow2 AS sub, c.qv, c.n2
+         |  FROM c JOIN sz ON sz.label = c.label),
+         |ex AS (SELECT vec_id, label, sub, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM n),
+         |cl AS (SELECT label, sub, j, SUM(x) AS s FROM ex GROUP BY label, sub, j),
+         |cn AS (SELECT label, sub, CAST(COUNT(*) AS BIGINT) AS cnt FROM n GROUP BY label, sub),
+         |d AS (SELECT ex.vec_id, ex.label,
+         |    CAST(SUM((cn.cnt * ex.x - cl.s) * (cn.cnt * ex.x - cl.s)) AS BIGINT) AS d2n
+         |  FROM ex JOIN cl ON cl.label = ex.label AND cl.sub = ex.sub AND cl.j = ex.j
+         |  JOIN cn ON cn.label = ex.label AND cn.sub = ex.sub
+         |  GROUP BY ex.vec_id, ex.label),
+         |pairs AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, da.d2n AS d2a, db.d2n AS d2b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+         |  JOIN d da ON da.vec_id = a.vec_id
+         |  JOIN d db ON db.vec_id = b.vec_id
+         |  WHERE CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) >= 350000),
+         |victims AS (SELECT DISTINCT CASE WHEN d2a > d2b THEN va
+         |    WHEN d2a < d2b THEN vb ELSE greatest(va, vb) END AS victim FROM pairs)
+         |SELECT d.label, d.vec_id, d.d2n,
+         |  CASE WHEN v2.victim IS NOT NULL THEN 1 ELSE 0 END AS dropped
+         |FROM d LEFT JOIN victims v2 ON v2.victim = d.vec_id
+         |ORDER BY d.label, d.vec_id""".stripMargin
+    })
 
   /** Containment near-dup mining (round 10): the ASYMMETRIC overlap
     * |A∩B| / min(|A|,|B|) over rare 3-token shingles — the metric that

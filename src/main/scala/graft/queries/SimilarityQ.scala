@@ -595,7 +595,7 @@ object SimilarityQ {
     * Spark plan and its DuckDB oracle: sign(b,j) from one LCG step on the
     * flattened index — both sides consume the SAME literal arrays, so the
     * scheme is a single source of truth here. 16 bits × 64 dims. */
-  private val rpSigns: Seq[Seq[Long]] =
+  private[queries] val rpSigns: Seq[Seq[Long]] =
     (0 until 16).map { b =>
       (0 until 64).map { j =>
         val s = ((b * 64 + j).toLong * 1103515245L + 12345L) % 2147483647L
