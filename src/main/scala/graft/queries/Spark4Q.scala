@@ -95,22 +95,32 @@ object Spark4Q {
     * approximates past its tracking budget), so the oracle is the exact
     * GROUP BY top-k; at real scale the same one-pass mergeable sketch
     * replaces a full shuffle-the-world count when only the head of the
-    * frequency distribution matters. Counts are tie-free in this data
-    * (verified), so the desc-count order is total. */
+    * frequency distribution matters. The sketch's own within-tie order
+    * is arbitrary (the 100× probe manufactured an exact count tie and
+    * caught the rank swap), so ranking happens AFTER the sketch on the
+    * total (count desc, segment) order, over all 5 tracked segments so
+    * selection can never straddle an ambiguous boundary — the window
+    * runs on the ≤k-row sketch readout, never on data. */
   val aTopkFreq: Q = Q(
     "a_topk_freq",
     (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("segment"))
       Tables(spark, dir, "customer")
-        .agg(expr("approx_top_k(c_mktsegment, 3)").as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "e")))
-        .select((col("pos") + 1).cast("long").as("rank"),
-          col("e.item").as("segment"), col("e.count").as("n"))
+        .agg(expr("approx_top_k(c_mktsegment, 5)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("segment"), col("e.count").as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("rank"), col("segment"), col("n"))
         .orderBy("rank")
     },
-    Some("""SELECT CAST(row_number() OVER (ORDER BY COUNT(*) DESC) AS BIGINT) AS rank,
-           | c_mktsegment AS segment, COUNT(*) AS n
-           |FROM customer GROUP BY c_mktsegment
-           |ORDER BY n DESC LIMIT 3""".stripMargin))
+    Some("""SELECT * FROM (
+           | SELECT CAST(row_number() OVER (ORDER BY n DESC, segment) AS BIGINT) AS rank,
+           |   segment, n
+           | FROM (SELECT c_mktsegment AS segment, COUNT(*) AS n
+           |       FROM customer GROUP BY 1))
+           |WHERE rank <= 3 ORDER BY rank""".stripMargin))
 
   /** Exact distinct counting via roaring-style bitmaps: bucket each key
     * (32k-wide buckets), OR per-bucket bit positions into a fixed-size

@@ -15,7 +15,7 @@ sfdir, outdir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout_s = float(sys.argv[4]) if len(sys.argv) > 4 else 900.0
 
 con = duckdb.connect()
-con.execute("SET threads TO 16")
+con.execute(f"SET threads TO {int(os.environ.get('DUCK_THREADS', '16'))}")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
     pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
