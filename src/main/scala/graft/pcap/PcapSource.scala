@@ -65,14 +65,22 @@ object PcapSource {
   }
 
   /** One byte-range split of one capture file. `ng` marks pcapng framing;
-    * for those, `ifcDivisors` carries the per-interface timestamp divisor
-    * table the driver collected from the file's leading SHB/IDB blocks
-    * (tcpdump/Wireshark declare interfaces up front; a file that defines
-    * interfaces mid-stream is served by the whole-file reader). */
+    * for those, `ifcDivisors`/`ifcTsOffsets` carry the per-interface
+    * timestamp divisor and `if_tsoffset` tables the driver collected from
+    * the file's leading SHB/IDB blocks (tcpdump/Wireshark declare
+    * interfaces up front; a file that defines interfaces mid-stream is
+    * served by the whole-file reader). */
   final case class PcapSplit(
       path: String, start: Long, end: Long, fileLen: Long,
       bigEndian: Boolean, nanos: Boolean,
-      ng: Boolean = false, ifcDivisors: Seq[Double] = Nil)
+      ng: Boolean = false, ifcDivisors: Seq[Double] = Nil,
+      ifcTsOffsets: Seq[Long] = Nil) {
+    def ifaceTs(ifc: Int): PcapngFormat.IfaceTs =
+      if (ifc >= 0 && ifc < ifcDivisors.length)
+        PcapngFormat.IfaceTs(ifcDivisors(ifc),
+          if (ifc < ifcTsOffsets.length) ifcTsOffsets(ifc) else 0L)
+      else PcapngFormat.DefaultIfaceTs
+  }
 
   /** How many consecutive record headers must chain-parse before an
     * offset counts as a record boundary. */
@@ -105,7 +113,8 @@ object PcapSource {
           // start at 0: the first task skips SHB/IDB blocks while walking
           ranges(0L).map { case (a, b) =>
             PcapSplit(p, a, b, len, m.bigEndian, nanos = false,
-              ng = true, ifcDivisors = m.divisors)
+              ng = true, ifcDivisors = m.divisors,
+              ifcTsOffsets = m.ifaces.map(_.offsetSeconds))
           }
         }
       else
@@ -280,8 +289,7 @@ object PcapSource {
               (bb.getInt(bodyStart + 8) & 0xffffffffL)
             val capLen = bb.getInt(bodyStart + 12)
             if (capLen >= 0 && bodyStart + 20 + capLen <= bodyEnd) {
-              val div = if (ifc >= 0 && ifc < s.ifcDivisors.length) s.ifcDivisors(ifc) else 1e6
-              nextRec = PcapRecord(ts64 / div,
+              nextRec = PcapRecord(s.ifaceTs(ifc).toSeconds(ts64),
                 java.util.Arrays.copyOfRange(buf, bodyStart + 20, bodyStart + 20 + capLen))
             }
           } else if (blockType == PcapngFormat.SpbType && bodyEnd - bodyStart >= 4) {

@@ -17,6 +17,9 @@ import scala.collection.mutable.ArrayBuffer
   *  - Interface Description (1): link type, snaplen, options — option 9
   *    (`if_tsresol`) sets the timestamp divisor: value v with MSB clear
   *    means 10^v units/second, MSB set means 2^v; absent means 10^6.
+  *    Option 14 (`if_tsoffset`, 64-bit signed seconds) makes packet
+  *    timestamps RELATIVE: absolute time = offset + raw/divisor; absent
+  *    (or zero) means raw timestamps are already absolute.
   *  - Enhanced Packet (6): interface id, 64-bit timestamp in that
   *    interface's resolution (high word first), captured/original
   *    length, frame bytes.
@@ -44,22 +47,36 @@ object PcapngFormat {
     buf.length >= 4 &&
       ByteBuffer.wrap(buf, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt == ShbType
 
-  /** Walk an IDB's options for if_tsresol; divisor in units/second. */
-  private def tsresolDivisor(buf: Array[Byte], order: ByteOrder,
-                             optStart: Int, optEnd: Int): Double = {
+  /** One interface's timestamp interpretation: `absolute = offsetSeconds
+    * + raw / divisor` (divisor in units/second). */
+  final case class IfaceTs(divisor: Double, offsetSeconds: Long) {
+    def toSeconds(raw: Long): Double = offsetSeconds + raw / divisor
+  }
+  val DefaultIfaceTs: IfaceTs = IfaceTs(1e6, 0L)
+
+  /** Walk an IDB's options for if_tsresol (9) and if_tsoffset (14). */
+  private def ifaceTsOpts(buf: Array[Byte], order: ByteOrder,
+                          optStart: Int, optEnd: Int): IfaceTs = {
     val bb = ByteBuffer.wrap(buf).order(order)
+    var div = 1e6
+    var off = 0L
     var o = optStart
-    while (o + 4 <= optEnd) {
+    var stop = false
+    while (!stop && o + 4 <= optEnd) {
       val code = bb.getShort(o) & 0xffff
       val len = bb.getShort(o + 2) & 0xffff
-      if (code == 0) return 1e6 // opt_endofopt
-      if (code == 9 && len >= 1 && o + 4 < optEnd) {
-        val v = buf(o + 4) & 0xff
-        return if ((v & 0x80) == 0) math.pow(10, v) else math.pow(2, v & 0x7f)
+      if (code == 0) stop = true // opt_endofopt
+      else {
+        if (code == 9 && len >= 1 && o + 4 < optEnd) {
+          val v = buf(o + 4) & 0xff
+          div = if ((v & 0x80) == 0) math.pow(10, v) else math.pow(2, v & 0x7f)
+        }
+        if (code == 14 && len >= 8 && o + 12 <= optEnd)
+          off = bb.getLong(o + 4)
+        o += 4 + ((len + 3) & ~3)
       }
-      o += 4 + ((len + 3) & ~3)
     }
-    1e6
+    IfaceTs(div, off)
   }
 
   /** Lazily iterate packet records from an in-memory pcapng image.
@@ -72,7 +89,7 @@ object PcapngFormat {
     new Iterator[PcapRecord] {
       private var off = 0
       private var order: ByteOrder = ByteOrder.BIG_ENDIAN
-      private val divisors = ArrayBuffer.empty[Double]
+      private val ifaces = ArrayBuffer.empty[IfaceTs]
       private var nextRec: PcapRecord = _
       private var done = false
 
@@ -91,7 +108,7 @@ object PcapngFormat {
               if (magicBE == ByteOrderMagic) ByteOrder.BIG_ENDIAN
               else if (Integer.reverseBytes(magicBE) == ByteOrderMagic) ByteOrder.LITTLE_ENDIAN
               else { done = true; return } // corrupt section header
-            divisors.clear() // new section, new interface table
+            ifaces.clear() // new section, new interface table
           }
           val totalLen = u32(off + 4)
           if (totalLen < FramingLen || totalLen % 4 != 0 ||
@@ -101,7 +118,7 @@ object PcapngFormat {
           val bodyEnd = off + totalLen.toInt - 4
           blockType match {
             case IdbType if bodyEnd - bodyStart >= 8 =>
-              divisors += tsresolDivisor(buf, order, bodyStart + 8, bodyEnd)
+              ifaces += ifaceTsOpts(buf, order, bodyStart + 8, bodyEnd)
             case EpbType if bodyEnd - bodyStart >= 20 =>
               val bb = ByteBuffer.wrap(buf).order(order)
               val ifc = bb.getInt(bodyStart)
@@ -109,9 +126,9 @@ object PcapngFormat {
                 (bb.getInt(bodyStart + 8) & 0xffffffffL)
               val capLen = bb.getInt(bodyStart + 12)
               if (capLen >= 0 && bodyStart + 20 + capLen <= bodyEnd) {
-                val div =
-                  if (ifc >= 0 && ifc < divisors.length) divisors(ifc) else 1e6
-                nextRec = PcapRecord(ts64 / div,
+                val ts =
+                  if (ifc >= 0 && ifc < ifaces.length) ifaces(ifc) else DefaultIfaceTs
+                nextRec = PcapRecord(ts.toSeconds(ts64),
                   java.util.Arrays.copyOfRange(buf, bodyStart + 20, bodyStart + 20 + capLen))
               }
             case SpbType if bodyEnd - bodyStart >= 4 =>
@@ -137,12 +154,15 @@ object PcapngFormat {
   }
 
   /** Section metadata for split planning: byte order plus the interface
-    * divisor table collected from the file's LEADING blocks (one pass
-    * over the first `headBytes`). tcpdump/Wireshark declare every
-    * interface before the first packet block, which is the layout the
-    * splittable path supports; IDBs appearing later in the file are
-    * handled only by the whole-file reader. */
-  final case class SectionMeta(bigEndian: Boolean, divisors: Seq[Double])
+    * timestamp table — (divisor, tsoffset) per IDB — collected from the
+    * file's LEADING blocks (one pass over the first `headBytes`).
+    * tcpdump/Wireshark declare every interface before the first packet
+    * block, which is the layout the splittable path supports; IDBs
+    * appearing later in the file are handled only by the whole-file
+    * reader. */
+  final case class SectionMeta(bigEndian: Boolean, ifaces: Seq[IfaceTs]) {
+    def divisors: Seq[Double] = ifaces.map(_.divisor)
+  }
 
   def headMeta(head: Array[Byte]): Option[SectionMeta] = {
     if (!isPcapng(head) || head.length < 12) return None
@@ -151,32 +171,35 @@ object PcapngFormat {
       if (magicBE == ByteOrderMagic) ByteOrder.BIG_ENDIAN
       else if (Integer.reverseBytes(magicBE) == ByteOrderMagic) ByteOrder.LITTLE_ENDIAN
       else return None
-    val divisors = ArrayBuffer.empty[Double]
+    val ifaces = ArrayBuffer.empty[IfaceTs]
     var off = 0
     val bb = ByteBuffer.wrap(head).order(order)
     while (off + FramingLen <= head.length) {
       val totalLen = bb.getInt(off + 4) & 0xffffffffL
       if (totalLen < FramingLen || totalLen % 4 != 0 ||
           off + totalLen > head.length) {
-        return Some(SectionMeta(order == ByteOrder.BIG_ENDIAN, divisors.toSeq))
+        return Some(SectionMeta(order == ByteOrder.BIG_ENDIAN, ifaces.toSeq))
       }
       val t = bb.getInt(off)
       if (t == IdbType && totalLen >= FramingLen + 8)
-        divisors += tsresolDivisor(head, order, off + 16, off + totalLen.toInt - 4)
+        ifaces += ifaceTsOpts(head, order, off + 16, off + totalLen.toInt - 4)
       off += totalLen.toInt
     }
-    Some(SectionMeta(order == ByteOrder.BIG_ENDIAN, divisors.toSeq))
+    Some(SectionMeta(order == ByteOrder.BIG_ENDIAN, ifaces.toSeq))
   }
 
   /** Serialize records to pcapng bytes — fixtures/tests only, the engine
     * just reads. One SHB, one IDB per divisor (with `if_tsresol` when not
-    * the 10^-6 default; powers of two use the MSB form), then one EPB per
-    * record via `ifcFor(index)`.
+    * the 10^-6 default; powers of two use the MSB form; `if_tsoffset`
+    * when a nonzero per-interface offset is given — EPB raw timestamps
+    * are then written RELATIVE to it, as the spec requires), then one
+    * EPB per record via `ifcFor(index)`.
     */
   def write(records: Seq[PcapRecord], divisors: Seq[Double] = Seq(1e6),
             ifcFor: Int => Int = _ => 0, littleEndian: Boolean = false,
-            snaplen: Int = 65535): Array[Byte] = {
+            snaplen: Int = 65535, tsOffsets: Seq[Long] = Nil): Array[Byte] = {
     val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    def offsetOf(ifc: Int): Long = if (ifc < tsOffsets.length) tsOffsets(ifc) else 0L
     val out = new java.io.ByteArrayOutputStream()
     def block(blockType: Int, body: ByteBuffer): Unit = {
       val b = body.array().take(body.position())
@@ -190,23 +213,27 @@ object PcapngFormat {
     val shb = ByteBuffer.allocate(16).order(order)
     shb.putInt(ByteOrderMagic).putShort(1).putShort(0).putLong(-1L)
     block(ShbType, shb)
-    divisors.foreach { d =>
-      val idb = ByteBuffer.allocate(32).order(order)
+    divisors.zipWithIndex.foreach { case (d, ifc) =>
+      val idb = ByteBuffer.allocate(48).order(order)
       idb.putShort(1).putShort(0).putInt(snaplen) // LINKTYPE_ETHERNET
+      val off = offsetOf(ifc)
       if (d != 1e6) {
         val log10 = math.round(math.log10(d)).toInt
         val v: Int =
           if (math.pow(10, log10) == d) log10
           else 0x80 | java.lang.Long.numberOfTrailingZeros(d.toLong)
         idb.putShort(9).putShort(1).put(v.toByte).put(new Array[Byte](3))
-        idb.putShort(0).putShort(0) // opt_endofopt
       }
+      if (off != 0L)
+        idb.putShort(14).putShort(8).putLong(off)
+      if (d != 1e6 || off != 0L)
+        idb.putShort(0).putShort(0) // opt_endofopt
       block(IdbType, idb)
     }
     records.zipWithIndex.foreach { case (r, i) =>
       val ifc = ifcFor(i)
       val div = divisors(ifc)
-      val ts64 = math.rint(r.ts * div).toLong
+      val ts64 = math.rint((r.ts - offsetOf(ifc)) * div).toLong
       val epb = ByteBuffer.allocate(20 + r.frame.length).order(order)
       epb.putInt(ifc).putInt((ts64 >>> 32).toInt).putInt(ts64.toInt)
       epb.putInt(r.frame.length).putInt(r.frame.length).put(r.frame)

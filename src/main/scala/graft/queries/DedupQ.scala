@@ -351,30 +351,37 @@ object DedupQ {
     * and cosine as the fixed IEEE chain over exact integer dots.
     *
     * Cluster count GROWS with the corpus (round 11): a label whose
-    * population exceeds 512 members is sub-divided by the low bits of
+    * population exceeds the split threshold (512 in the registered
+    * query; parameterized for specs) is sub-divided by the low bits of
     * the vector's signed-random-projection code ([[SimilarityQ.rpSigns]]
     * planes — cosine-similar vectors collide per bit with probability
     * 1 − θ/π, so near-dup pairs stay in the same sub-cluster with high
     * probability, the same assignment-miss recall trade every k-means
     * SemDeDup accepts). The sub-cluster fan-out doubles as the label
-    * doubles (capped at 256), which pins the expected cluster size to
-    * ≤ ~1024 and keeps the pair stage O(n) in the corpus instead of
-    * O(n²) — measured 384 s → linear at the 100× probe. Below 512
-    * members the fan-out is 1, so at the driver's gate scales the
-    * output is bit-identical to the flat-label formulation.
+    * doubles, using all 16 rpSigns planes (fan-out cap 65536), which
+    * pins the expected cluster size to ≤ ~2·threshold for labels up to
+    * threshold·65536 members (~33.5M at threshold 512) and keeps the
+    * pair stage O(n) in the corpus instead of O(n²) up to that bound —
+    * measured 384 s → linear at the 100× probe. Beyond the cap the pair
+    * stage degrades gracefully toward O(n²/65536); a corpus with a
+    * single >33M-member semantic cluster needs more hash planes, not a
+    * different algorithm. Below the threshold the fan-out is 1, so at
+    * the driver's gate scales the output is bit-identical to the
+    * flat-label formulation; and because `sub = code % pow2` only reads
+    * the low log2(pow2) bits, extending the plane budget leaves every
+    * sub-threshold-fan-out assignment unchanged.
     *
     * Scale shape: per-dim cluster sums are 64 codegen'd sum aggregates
     * (no explode); the pair stage joins WITHIN (label, sub-cluster)
     * only — the documented SemDeDup cost model, O(Σ n_c²) with n_c
     * bounded by the fan-out rule. Output: every vector with its scaled
     * centroid distance and dropped flag. */
-  val dSemDedup: Q = Q(
-    "d_semdedup",
-    (spark, dir) => {
+  private[graft] def semDedupDf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Long = 512L): org.apache.spark.sql.DataFrame = {
       val qv = transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long"))
-      // 8 sub-cluster bits from the shared ±1 plane matrix: bit b set
+      // 16 sub-cluster bits from the shared ±1 plane matrix: bit b set
       // iff ⟨qv, r_b⟩ ≥ 0 (int64 dot against literal arrays, exact).
-      val code = SimilarityQ.rpSigns.take(8).zipWithIndex.map { case (s, b) =>
+      val code = SimilarityQ.rpSigns.zipWithIndex.map { case (s, b) =>
         when(graft.functions.vec_dot_long(col("qv"), array(s.map(lit): _*)) >= 0,
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -383,9 +390,9 @@ object DedupQ {
         .withColumn("n2", graft.functions.vec_dot_long(col("qv"), col("qv")))
         .withColumn("code", code)
       // Label-population → sub-cluster fan-out: smallest power of two
-      // keeping expected members ≤ 512, capped at 256 sub-clusters.
-      val pow2 = (0 to 7).foldRight(lit(256L)) { (b, rest) =>
-        when(col("n_label") <= (512L << b), lit(1L << b)).otherwise(rest)
+      // keeping expected members ≤ threshold, capped at 2^16 sub-clusters.
+      val pow2 = (0 to 15).foldRight(lit(65536L)) { (b, rest) =>
+        when(col("n_label") <= (threshold << b), lit(1L << b)).otherwise(rest)
       }
       val sizes = v0.groupBy(col("label"))
         .agg(count(lit(1)).as("n_label"))
@@ -422,19 +429,21 @@ object DedupQ {
         .select(col("label"), col("vec_id"), col("d2n"),
           when(col("victim").isNotNull, lit(1L)).otherwise(lit(0L)).as("dropped"))
         .orderBy(col("label"), col("vec_id"))
-    },
-    Some {
-      val bitTerms = SimilarityQ.rpSigns.take(8).zipWithIndex.map { case (s, b) =>
+  }
+
+  /** DuckDB oracle twin of [[semDedupDf]] at the same split threshold. */
+  private[graft] def semDedupSql(threshold: Long = 512L): String = {
+      val bitTerms = SimilarityQ.rpSigns.zipWithIndex.map { case (s, b) =>
         s"(CASE WHEN list_dot_product(qv, [${s.mkString(", ")}]) >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString("\n    + ")
-      val pow2Sql = (0 to 7).map(b =>
-        s"WHEN COUNT(*) <= ${512L << b} THEN ${1L << b}").mkString(" ")
+      val pow2Sql = (0 to 15).map(b =>
+        s"WHEN COUNT(*) <= ${threshold << b} THEN ${1L << b}").mkString(" ")
       s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, ${SimilarityQ.qvecSql} AS qv
          |  FROM embeddings),
          |c AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2,
          |    $bitTerms AS code
          |  FROM v),
-         |sz AS (SELECT label, CASE $pow2Sql ELSE 256 END AS pow2 FROM v GROUP BY label),
+         |sz AS (SELECT label, CASE $pow2Sql ELSE 65536 END AS pow2 FROM v GROUP BY label),
          |n AS (SELECT c.vec_id, c.label, c.code % sz.pow2 AS sub, c.qv, c.n2
          |  FROM c JOIN sz ON sz.label = c.label),
          |ex AS (SELECT vec_id, label, sub, generate_subscripts(qv, 1) AS j, unnest(qv) AS x FROM n),
@@ -456,7 +465,25 @@ object DedupQ {
          |  CASE WHEN v2.victim IS NOT NULL THEN 1 ELSE 0 END AS dropped
          |FROM d LEFT JOIN victims v2 ON v2.victim = d.vec_id
          |ORDER BY d.label, d.vec_id""".stripMargin
-    })
+  }
+
+  val dSemDedup: Q = Q(
+    "d_semdedup",
+    (spark, dir) => semDedupDf(spark, dir),
+    Some(semDedupSql()))
+
+  /** [[dSemDedup]] with the split threshold forced to 8, so the
+    * pow2 > 1 sub-clustering path — dead at gate scale under the
+    * production threshold of 512 — is exercised by the DuckDB oracle
+    * gate itself: every label in the gate fixtures (~40–60 members)
+    * fans out 8-way, hash-checking cross-engine equivalence of the
+    * `code % pow2` assignment, the per-sub-cluster centroid sums, and
+    * the within-sub-cluster pair stage on every driver run instead of
+    * only at the manual 100× probe. */
+  val dSemDedupFine: Q = Q(
+    "d_semdedup_fine",
+    (spark, dir) => semDedupDf(spark, dir, threshold = 8L),
+    Some(semDedupSql(threshold = 8L)))
 
   /** Containment near-dup mining (round 10): the ASYMMETRIC overlap
     * |A∩B| / min(|A|,|B|) over rare 3-token shingles — the metric that
@@ -521,5 +548,5 @@ object DedupQ {
            |ORDER BY containment_bp DESC, da, db LIMIT 100""".stripMargin))
 
   val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
-    dChunkCdc, dSpanDedup, dSemDedup, dContainment)
+    dChunkCdc, dSpanDedup, dSemDedup, dSemDedupFine, dContainment)
 }

@@ -67,9 +67,18 @@ object PipelineQ {
         PcapRecord(ts, f)
       }
       val tmp = Files.createTempFile(p.getParent, "graft_flagship_", ".pcap.tmp")
-      Files.write(tmp, PcapFormat.write(recs))
-      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+      try {
+        // createTempFile makes the file 0600; the published fixture lives
+        // in a shared java.io.tmpdir, so widen to the umask-default
+        // rw-r--r-- or another OS user's JVM would see Files.exists(p)
+        // true yet fail on read.
+        import java.nio.file.attribute.PosixFilePermissions
+        try Files.setPosixFilePermissions(tmp, PosixFilePermissions.fromString("rw-r--r--"))
+        catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+        Files.write(tmp, PcapFormat.write(recs))
+        try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally Files.deleteIfExists(tmp) // leak-proof: no-op after a successful move
     }
     p.toString
   }

@@ -113,6 +113,49 @@ class PcapngFormatSpec extends AnyFunSuite {
       "section-2 EPB must use section-2's interface table (micro), not section-1's nano ifc")
   }
 
+  test("if_tsoffset (option 14): raw hand-built IDB shifts EPB timestamps") {
+    // Golden fixture built WITHOUT our writer: SHB, then an IDB whose
+    // option walk carries a comment (1), if_tsoffset=1499000000 (14),
+    // and if_tsresol (9, micro) — offset deliberately NOT first, so the
+    // walk must keep scanning past other options.
+    val shb = rawBlock(PcapngFormat.ShbType, ByteBuffer.allocate(16)
+      .order(ByteOrder.BIG_ENDIAN)
+      .putInt(PcapngFormat.ByteOrderMagic).putShort(1).putShort(0).putLong(-1L).array())
+    val idbBody = ByteBuffer.allocate(48).order(ByteOrder.BIG_ENDIAN)
+    idbBody.putShort(1).putShort(0).putInt(65535)          // linktype, snaplen
+    idbBody.putShort(1).putShort(4).put("eth0".getBytes)   // if_name (code 1)
+    idbBody.putShort(14).putShort(8).putLong(1499000000L)  // if_tsoffset
+    idbBody.putShort(9).putShort(1).put(6.toByte).put(new Array[Byte](3)) // micro
+    idbBody.putShort(0).putShort(0)                        // opt_endofopt
+    val idb = rawBlock(PcapngFormat.IdbType, idbBody.array().take(idbBody.position()))
+    val f = frame("10.0.0.1", "10.0.0.2", 7, 8, 6)
+    val raw = 350500000L // 350.5 s in micro units, relative to the offset
+    val epb = rawBlock(PcapngFormat.EpbType, ByteBuffer.allocate(20 + f.length)
+      .order(ByteOrder.BIG_ENDIAN)
+      .putInt(0).putInt((raw >>> 32).toInt).putInt(raw.toInt)
+      .putInt(f.length).putInt(f.length).put(f).array())
+    val out = PcapngFormat.records(shb ++ idb ++ epb).toSeq
+    assert(out.length == 1)
+    assert(out.head.ts == 1499000350.5,
+      s"absolute ts must be offset + raw/divisor, got ${out.head.ts}")
+    // headMeta (split planning) must surface the same table
+    val meta = PcapngFormat.headMeta(shb ++ idb ++ epb).get
+    assert(meta.ifaces == Seq(PcapngFormat.IfaceTs(1e6, 1499000000L)))
+  }
+
+  test("if_tsoffset writer round-trip: absolute in, absolute out, per interface") {
+    val in = Seq(
+      PcapRecord(1600000000.25, frame("10.0.0.1", "10.0.0.2", 1, 2, 6)), // ifc0: offset
+      PcapRecord(123.5, frame("10.0.0.3", "10.0.0.4", 3, 4, 17)))        // ifc1: none
+    val img = PcapngFormat.write(in, divisors = Seq(1e6, 1e6), ifcFor = i => i,
+      tsOffsets = Seq(1600000000L, 0L))
+    val out = PcapngFormat.records(img).toSeq
+    assert(out.map(_.ts) == Seq(1600000000.25, 123.5))
+    // The on-wire raw ts for ifc0 must be RELATIVE (0.25 s), not absolute:
+    // reading the same image with the offset ignored must NOT round-trip.
+    assert(PcapngFormat.headMeta(img).get.ifaces.head.offsetSeconds == 1600000000L)
+  }
+
   test("PcapFormat.records dispatches on magic: both framings, one entry point") {
     val in = recs(3)
     val classic = PcapFormat.records(PcapFormat.write(in)).toSeq

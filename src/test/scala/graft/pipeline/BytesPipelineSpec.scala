@@ -192,6 +192,29 @@ class BytesPipelineSpec extends SparkSpec {
     assert(viaSql.count() == whole.length)
   }
 
+  test("splittable pcapng honors if_tsoffset: split == whole, absolute timestamps") {
+    val rnd = new scala.util.Random(14)
+    val offset = 1500000000L
+    val many = (0 until 300).map { i =>
+      val app = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(app)
+      graft.pcap.PcapRecord(offset + 10.0 + i * 0.5,
+        frame(s"10.0.${i % 5}.1", "10.0.9.9", 1000 + i, 80, if (i % 3 == 0) 17 else 6, app))
+    }
+    val dir = Files.createTempDirectory("graft-ngoff").toFile
+    dir.deleteOnExit()
+    val ng = new java.io.File(dir, "off.pcapng")
+    Files.write(ng.toPath, graft.pcap.PcapngFormat.write(many, tsOffsets = Seq(offset)))
+
+    val whole = PcapSource.packets(spark, Seq(ng.getAbsolutePath))
+      .collect().map(p => (p.timestamp, p.src_port)).sortBy(_._1)
+    // absolute time recovered, not the relative raw values
+    assert(whole.head._1 == offset + 10.0 && whole.last._1 == offset + 10.0 + 299 * 0.5)
+    val split = PcapSource.packetsSplittable(spark, Seq(ng.getAbsolutePath), targetSplitBytes = 4096)
+      .collect().map(p => (p.timestamp, p.src_port)).sortBy(_._1)
+    assert(split.sameElements(whole),
+      "split planning must carry if_tsoffset through PcapSplit")
+  }
+
   test("IPv6 is opt-in: default preset drops v6, ipv6=true decodes it alongside v4") {
     val dir = Files.createTempDirectory("graft-v6").toFile
     dir.deleteOnExit()

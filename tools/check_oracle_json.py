@@ -15,7 +15,13 @@ sfdir, outdir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout_s = float(sys.argv[4]) if len(sys.argv) > 4 else 900.0
 
 con = duckdb.connect()
-con.execute(f"SET threads TO {int(os.environ.get('DUCK_THREADS', '16'))}")
+try:
+    duck_threads = int(os.environ.get("DUCK_THREADS", "16"))
+except ValueError:
+    print(f"warning: DUCK_THREADS={os.environ['DUCK_THREADS']!r} is not an "
+          f"integer; falling back to 16", file=sys.stderr)
+    duck_threads = 16
+con.execute(f"SET threads TO {duck_threads}")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
     pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
