@@ -45,7 +45,13 @@ object BytesPipeline {
     * features float32[width]); `payload` never reaches the sink (:167).
     */
   def features(packets: Dataset[Packet], cfg: Config): DataFrame =
-    packets.toDF()
+    featuresDf(packets.toDF(), cfg)
+
+  /** [[features]] over an untyped packet frame (same columns as
+    * [[graft.pcap.Packet]]) — lets callers interpose e.g. an `observe`
+    * node between decode and the range filter. */
+  def featuresDf(packets: DataFrame, cfg: Config): DataFrame =
+    packets
       .filter(RangeFilter.inRanges(
         col("timestamp"),
         cfg.rangesToExtract.map { case (lo, hi) => (lit(lo), lit(hi)) }))
@@ -165,6 +171,18 @@ object BytesPipeline {
       (s"$outDir/v=$v/data", if (fs.exists(adv)) Some(adv.toString) else None)
     }
 
+  /** Accounted-run result: the committed snapshot paths plus ingest
+    * counters observed on the decode stream itself (an `observe` node —
+    * zero extra jobs, zero extra passes): total decoded packets, and how
+    * many carried NO capture timestamp. pcapng Simple Packet Blocks have
+    * no timestamp field and surface as ts=0.0 ([[graft.pcap.PcapngFormat]]);
+    * every time-range rule silently drops such records, so an SPB-heavy
+    * capture would otherwise range-filter to zero rows with no trace.
+    * A nonzero `noTimestampPackets` is therefore also logged LOUDLY to
+    * stderr by [[runAccounted]]. */
+  final case class RunResult(dataPath: String, advPath: Option[String],
+      ingestedPackets: Long, noTimestampPackets: Long)
+
   /** Run end-to-end: returns (dataPath, Some(advPath) if any adversarial
     * rows), both inside the newly committed snapshot dir. Two sinks share
     * one persisted upstream so decode+vectorize run once (:110-119 writes
@@ -172,11 +190,24 @@ object BytesPipeline {
     */
   def run(spark: SparkSession, pcapPaths: Seq[String], outDir: String, cfg: Config)
       : (String, Option[String]) = {
+    val r = runAccounted(spark, pcapPaths, outDir, cfg)
+    (r.dataPath, r.advPath)
+  }
+
+  /** [[run]] plus ingest accounting (see [[RunResult]]). */
+  def runAccounted(spark: SparkSession, pcapPaths: Seq[String], outDir: String, cfg: Config)
+      : RunResult = {
     val packets =
       if (cfg.splittable)
         PcapSource.packetsSplittable(spark, pcapPaths, cfg.targetSplitBytes, ipv6 = cfg.ipv6)
       else PcapSource.packets(spark, pcapPaths, ipv6 = cfg.ipv6)
-    val labeled = features(packets, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    // Ingest counters ride the decode stream BEFORE the range filter —
+    // they count what was read, not what survived.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = packets.toDF().observe(obs,
+      count(lit(1)).as("packets"),
+      count(when(col("timestamp") === 0.0, 1)).as("no_ts_packets"))
+    val labeled = featuresDf(observed, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val prev = publishedVersions(spark, outDir)
       val v = (prev ++ stagedVersions(spark, outDir)).foldLeft(0L)(math.max) + 1
@@ -201,7 +232,18 @@ object BytesPipeline {
       prev.foreach(o => fs.delete(new org.apache.hadoop.fs.Path(outDir, s"$MarkerPrefix$o"), false))
       stagedVersions(spark, outDir).filter(_ != v).foreach(o =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/v=$o"), true))
-      (dataPath, advPath)
+      // The data-sink action already materialized the observe node; get
+      // is immediate. cache() means the adversarial pass never re-fires it.
+      val m = obs.get
+      val nPackets = m("packets").asInstanceOf[Long]
+      val nNoTs = m("no_ts_packets").asInstanceOf[Long]
+      if (nNoTs > 0L)
+        System.err.println(
+          s"[graft.BytesPipeline] WARNING: $nNoTs of $nPackets ingested packets " +
+            "have no capture timestamp (pcapng Simple Packet Blocks surface as " +
+            "ts=0.0) and fail every time-range rule; if the capture is SPB-heavy " +
+            "the published snapshot may be empty.")
+      RunResult(dataPath, advPath, nPackets, nNoTs)
     } finally labeled.unpersist()
   }
 }

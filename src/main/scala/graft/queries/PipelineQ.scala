@@ -201,5 +201,48 @@ object PipelineQ {
          |GROUP BY 1, 2, 3, 4, 5
          |ORDER BY src_ip, src_port, dst_ip, dst_port, protocol""".stripMargin))
 
-  val all: Seq[Q] = Seq(pipeFlagship, pipeFlows)
+  /** Read-through-the-marker exercise of the crash-consistent snapshot
+    * protocol ([[BytesPipeline.latest]]): TWO sequential `run`s into a
+    * fresh outDir — first with a deliberately narrower range config, then
+    * the flagship config — and the result is read ONLY via `latest`. The
+    * oracle is the flagship projection over [[basePath]]: it matches iff
+    * `latest` resolved the SECOND published snapshot (the v1 narrow run
+    * has fewer rows, so serving a stale or torn version hash-fails).
+    * Also pins [[BytesPipeline.runAccounted]]'s ingest counters: the
+    * fixture has no Simple Packet Blocks, so noTimestampPackets must be
+    * 0 and ingestedPackets the full capture. */
+  val pipeSnapshotRead: Q = Q(
+    "pipe_snapshot_read",
+    (spark, _) => {
+      import org.apache.spark.sql.functions._
+      ensureBase(spark)
+      val outDir = Files.createTempDirectory("graft_snapread").toString
+      val slim = cfg.copy(widen = false)
+      BytesPipeline.run(spark, Seq(pcapPath()), outDir,
+        slim.copy(rangesToExtract = cfg.rangesToExtract.take(1))) // v1: narrow
+      val acct = BytesPipeline.runAccounted(spark, Seq(pcapPath()), outDir, slim) // v2
+      require(acct.ingestedPackets == NumPackets.toLong && acct.noTimestampPackets == 0L,
+        s"ingest accounting drifted: $acct")
+      val (dataPath, _) = BytesPipeline.latest(spark, outDir)
+        .getOrElse(sys.error("no published snapshot after two runs"))
+      spark.read.parquet(dataPath).select(
+        col("timestamp"), col("src_ip"), col("dst_ip"),
+        col("src_port"), col("dst_port"), col("protocol"), col("label"),
+        aggregate(col("features"), lit(0.0d), (acc, x) => acc + x.cast("double")).as("feat_sum"),
+        element_at(col("features"), 13).as("byte12"))
+        .orderBy("timestamp")
+    },
+    oracle = Some(
+      s"""SELECT timestamp, src_ip, dst_ip, src_port, dst_port, protocol,
+         |  CASE WHEN timestamp BETWEEN 1499350000.0 AND 1499350600.0
+         |        AND ((src_ip = '$Attacker' AND dst_ip = '$Victim')
+         |          OR (dst_ip = '$Attacker' AND src_ip = '$Victim'))
+         |       THEN 'dos' ELSE 'benign' END AS label,
+         |  feat_sum, byte12
+         |FROM read_parquet('$basePath/*.parquet')
+         |WHERE (timestamp BETWEEN 1499350000.0 AND 1499350150.0)
+         |   OR (timestamp BETWEEN 1499350160.0 AND 1499350999.0)
+         |ORDER BY timestamp""".stripMargin))
+
+  val all: Seq[Q] = Seq(pipeFlagship, pipeFlows, pipeSnapshotRead)
 }

@@ -215,6 +215,35 @@ class BytesPipelineSpec extends SparkSpec {
       "split planning must carry if_tsoffset through PcapSplit")
   }
 
+  test("runAccounted counts SPB (no-timestamp) records loudly instead of silent drops") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // pcapng with 4 timestamped EPBs in range + 3 Simple Packet Blocks.
+    // SPBs carry decodable frames but NO timestamp (ts=0.0) -> every
+    // range rule drops them; the accounting must still see them.
+    val epbs = frames.collect { case (ts, f) if ts != 150.0 => graft.pcap.PcapRecord(ts, f) }
+    val img = graft.pcap.PcapngFormat.write(epbs)
+    def spb(f: Array[Byte]): Array[Byte] = {
+      val pad = (4 - (4 + f.length) % 4) % 4
+      val total = 12 + 4 + f.length + pad
+      ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+        .putInt(graft.pcap.PcapngFormat.SpbType).putInt(total)
+        .putInt(f.length).put(f).put(new Array[Byte](pad)).putInt(total).array()
+    }
+    val spbs = (0 until 3).flatMap(i => spb(frame("10.0.0.5", "10.0.0.6", 5000 + i, 80, 6)))
+    val dir = Files.createTempDirectory("graft-spb").toFile
+    dir.deleteOnExit()
+    val ng = new java.io.File(dir, "spb.pcapng")
+    Files.write(ng.toPath, img ++ spbs)
+
+    val r = BytesPipeline.runAccounted(spark, Seq(ng.getAbsolutePath), s"$dir/out", cfg)
+    assert(r.ingestedPackets == 8, "5 EPBs (ts 50 excluded later by range, still ingested) + 3 SPBs")
+    assert(r.noTimestampPackets == 3)
+    // the SPBs were range-filtered out of the published snapshot...
+    assert(spark.read.parquet(r.dataPath).count() == 4)
+    // ...and latest() resolves the same committed snapshot
+    assert(BytesPipeline.latest(spark, s"$dir/out").map(_._1).contains(r.dataPath))
+  }
+
   test("IPv6 is opt-in: default preset drops v6, ipv6=true decodes it alongside v4") {
     val dir = Files.createTempDirectory("graft-v6").toFile
     dir.deleteOnExit()
