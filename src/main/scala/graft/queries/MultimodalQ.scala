@@ -141,13 +141,22 @@ object MultimodalQ {
     * downsample to a fixed grid — is the stubbed step, exactly like
     * mm_fake_decode), then near-dup = hamming distance ≤ 1.
     *
-    * Scale path is LSH banding, not all-pairs: the 60 bits split into
-    * 4×15-bit bands and candidates must share one band EXACTLY — by
-    * pigeonhole any pair at hamming ≤ 3 shares a band, so recall for the
-    * ≤1 filter is exact. The only pair-producing join keys on
-    * (band_index, band_value) — hash-partitioned, never cartesian; at
-    * corpus scale the band posting lists bound candidate fan-out the
-    * same way d_simhash's text bands do, but over BINARY features. */
+    * Scale path is LSH banding over DISTINCT fingerprints, not
+    * all-pairs: the 60 bits split into 4×15-bit bands and candidates
+    * must share one band EXACTLY — by pigeonhole any pair at hamming
+    * ≤ 3 shares a band, so recall for the ≤1 filter is exact. The only
+    * pair-producing join keys on (band_index, band_value) over the
+    * fp-grain relation — hash-partitioned, never cartesian, and immune
+    * to exact-duplicate families: 100 copies of one image contribute
+    * ONE row to the band join instead of inflating every posting list
+    * 100× (which made the doc-grain formulation quadratic in family
+    * size — caught by the round-12 full-suite 100× probe). Doc pairs
+    * are then recovered by keyed expansion joins on fp: same-fp family
+    * members pair at hamming 0, fp-level band matches at hamming 1 —
+    * output identical to the doc-grain band join (ham=0 ⟺ equal fp;
+    * ham=1 pairs share ≥3 bands). The expansion is output-bound: the
+    * pair contract is inherently quadratic in near-dup family size,
+    * but the JOINS stay linear in candidates. */
   val mmPhashNeardup: Q = Q(
     "mm_phash_neardup",
     (spark, dir) => {
@@ -163,20 +172,29 @@ object MultimodalQ {
             |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
             |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
         .select(col("doc_id"), col("fp"))
-        .localCheckpoint() // both sides of the band join read one fingerprint pass
-      val bands = f.select(col("doc_id"), col("fp"),
-          explode(sequence(lit(0), lit(3))).as("j"))
+        .localCheckpoint() // fingerprint pass feeds bands + both expansions
+      val fps = f.select(col("fp")).distinct()
+      val bands = fps.select(col("fp"), explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("band", expr("(fp >> (15 * j)) & 32767"))
-      val cand = bands.as("a")
+      // fp-level candidates at hamming exactly 1 (0 would mean fa = fb)
+      val fpPairs = bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.fp").as("fa"), col("b.fp").as("fb"))
+            col("a.fp") < col("b.fp"))
+        .select(col("a.fp").as("fa"), col("b.fp").as("fb"))
         .distinct()
-      cand
-        .withColumn("ham", expr("CAST(bit_count(fa ^ fb) AS BIGINT)"))
-        .filter(col("ham") <= 1)
+        .filter(expr("bit_count(fa ^ fb)") === 1)
+      // hamming-0 pairs: members of one exact-fp family
+      val intra = f.as("x").join(f.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), lit(0L).as("ham"))
+      // hamming-1 pairs: expand each fp match to its doc cross product
+      val cross = fpPairs
+        .join(f.select(col("fp").as("fa"), col("doc_id").as("da")), Seq("fa"))
+        .join(f.select(col("fp").as("fb"), col("doc_id").as("db")), Seq("fb"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), lit(1L).as("ham"))
+      intra.unionAll(cross)
         .select(col("doc_a"), col("doc_b"), col("ham"))
         .orderBy("doc_a", "doc_b")
     },
@@ -190,14 +208,20 @@ object MultimodalQ {
            |                      THEN (1::BIGINT << i) ELSE 0 END
            |                 FOR i IN range(60)]) AS BIGINT) AS fp
            |  FROM b),
-           |bands AS (SELECT doc_id, fp, j.j AS j, (fp >> (15*j.j)) & 32767 AS band
-           |  FROM f, range(4) AS j(j)),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    a.fp AS fa, b.fp AS fb
+           |fps AS (SELECT DISTINCT fp FROM f),
+           |bands AS (SELECT fp, j.j AS j, (fp >> (15*j.j)) & 32767 AS band
+           |  FROM fps, range(4) AS j(j)),
+           |fpp AS (SELECT DISTINCT a.fp AS fa, b.fp AS fb
            |  FROM bands a JOIN bands b
-           |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS ham
-           |FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+           |    ON a.j = b.j AND a.band = b.band AND a.fp < b.fp),
+           |fpp1 AS (SELECT fa, fb FROM fpp WHERE bit_count(xor(fa, fb)) = 1),
+           |intra AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+           |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+           |cr AS (SELECT least(da.doc_id, db.doc_id) AS doc_a,
+           |    greatest(da.doc_id, db.doc_id) AS doc_b, CAST(1 AS BIGINT) AS ham
+           |  FROM fpp1 JOIN f da ON da.fp = fpp1.fa JOIN f db ON db.fp = fpp1.fb)
+           |SELECT doc_a, doc_b, ham
+           |FROM (SELECT * FROM intra UNION ALL SELECT * FROM cr)
            |ORDER BY doc_a, doc_b""".stripMargin))
 
   /** ViT-style patch-grid planning (round 10): from each media item's
