@@ -53,7 +53,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!executedPlanString("sim_lsh_bucket").contains("Cartesian"))
     assert(!executedPlanString("d_lsh_buckets").contains("Cartesian"))
     assert(!executedPlanString("d_minhash_lsh").contains("Cartesian"))
-    assert(!executedPlanString("mm_phash_neardup").contains("Cartesian"))
+    val phash = executedPlanString("mm_phash_neardup")
+    assert(!phash.contains("Cartesian") && !phash.contains("BroadcastNestedLoop"))
+    // round 12: the band join runs on the DISTINCT-fingerprint grain
+    // (exact-duplicate families must not inflate posting lists), which
+    // shows as a distinct aggregate on fp feeding the band explode
+    assert(phash.contains("HashAggregate(keys=[fp"),
+      "band join must consume the deduplicated fingerprint relation")
   }
 
   test("flagship feature pipeline is shuffle-free") {
