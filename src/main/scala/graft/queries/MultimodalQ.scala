@@ -150,13 +150,23 @@ object MultimodalQ {
     * to exact-duplicate families: 100 copies of one image contribute
     * ONE row to the band join instead of inflating every posting list
     * 100× (which made the doc-grain formulation quadratic in family
-    * size — caught by the round-12 full-suite 100× probe). Doc pairs
-    * are then recovered by keyed expansion joins on fp: same-fp family
-    * members pair at hamming 0, fp-level band matches at hamming 1 —
-    * output identical to the doc-grain band join (ham=0 ⟺ equal fp;
-    * ham=1 pairs share ≥3 bands). The expansion is output-bound: the
-    * pair contract is inherently quadratic in near-dup family size,
-    * but the JOINS stay linear in candidates. */
+    * size — caught by the round-12 full-suite 100× probe).
+    *
+    * The OUTPUT is a spanning edge list, not the pair clique: each
+    * exact-fp family emits member→representative star edges (ham=0,
+    * representative = min doc_id), and each hamming-1 fp pair emits ONE
+    * representative↔representative edge (ham=1). Union-find over these
+    * edges reconstructs exactly the near-dup clusters the clique would
+    * give (every clique pair is intra-family, family↔family at ham 1, or
+    * implied by transitivity through the representatives), which is the
+    * artifact a dedup pipeline actually consumes — and it keeps the
+    * output LINEAR in corpus size. The full-suite 100× probe is what
+    * forced this: the clique contract emitted 280.7M intra pairs at
+    * sf100 (max family 6 209 docs — family size grows with the corpus,
+    * so quadratic output is a scale killer no join shape can fix).
+    * Carrying the representative through the band join also deletes the
+    * two doc-expansion joins: the ham=1 edge is read straight off the
+    * fp-pair row. */
   val mmPhashNeardup: Q = Q(
     "mm_phash_neardup",
     (spark, dir) => {
@@ -172,26 +182,29 @@ object MultimodalQ {
             |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
             |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
         .select(col("doc_id"), col("fp"))
-        .localCheckpoint() // fingerprint pass feeds bands + both expansions
-      val fps = f.select(col("fp")).distinct()
-      val bands = fps.select(col("fp"), explode(sequence(lit(0), lit(3))).as("j"))
+        .localCheckpoint() // fingerprint pass feeds the family agg + stars
+      // one row per exact-fp family, carrying its representative doc
+      val fam = f.groupBy(col("fp")).agg(min(col("doc_id")).as("canon"))
+      val bands = fam.select(col("fp"), col("canon"),
+          explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("band", expr("(fp >> (15 * j)) & 32767"))
-      // fp-level candidates at hamming exactly 1 (0 would mean fa = fb)
+      // fp-level candidates at hamming exactly 1 (0 would mean fa = fb);
+      // representative doc ids ride along, so no doc-expansion join later
       val fpPairs = bands.as("a")
         .join(bands.as("b"),
           col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
             col("a.fp") < col("b.fp"))
-        .select(col("a.fp").as("fa"), col("b.fp").as("fb"))
+        .select(col("a.fp").as("fa"), col("a.canon").as("da"),
+          col("b.fp").as("fb"), col("b.canon").as("db"))
         .distinct()
         .filter(expr("bit_count(fa ^ fb)") === 1)
-      // hamming-0 pairs: members of one exact-fp family
-      val intra = f.as("x").join(f.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), lit(0L).as("ham"))
-      // hamming-1 pairs: expand each fp match to its doc cross product
+      // ham=0 star edges: every non-representative member → representative
+      val intra = f.join(fam, "fp")
+        .filter(col("doc_id") =!= col("canon"))
+        .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"),
+          lit(0L).as("ham"))
+      // ham=1 edges: one representative pair per hamming-1 fp pair
       val cross = fpPairs
-        .join(f.select(col("fp").as("fa"), col("doc_id").as("da")), Seq("fa"))
-        .join(f.select(col("fp").as("fb"), col("doc_id").as("db")), Seq("fb"))
         .select(least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"), lit(1L).as("ham"))
       intra.unionAll(cross)
@@ -208,18 +221,18 @@ object MultimodalQ {
            |                      THEN (1::BIGINT << i) ELSE 0 END
            |                 FOR i IN range(60)]) AS BIGINT) AS fp
            |  FROM b),
-           |fps AS (SELECT DISTINCT fp FROM f),
-           |bands AS (SELECT fp, j.j AS j, (fp >> (15*j.j)) & 32767 AS band
-           |  FROM fps, range(4) AS j(j)),
-           |fpp AS (SELECT DISTINCT a.fp AS fa, b.fp AS fb
+           |fam AS (SELECT fp, min(doc_id) AS canon FROM f GROUP BY fp),
+           |bands AS (SELECT fp, canon, j.j AS j, (fp >> (15*j.j)) & 32767 AS band
+           |  FROM fam, range(4) AS j(j)),
+           |fpp AS (SELECT DISTINCT a.fp AS fa, a.canon AS da, b.fp AS fb, b.canon AS db
            |  FROM bands a JOIN bands b
            |    ON a.j = b.j AND a.band = b.band AND a.fp < b.fp),
-           |fpp1 AS (SELECT fa, fb FROM fpp WHERE bit_count(xor(fa, fb)) = 1),
-           |intra AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
-           |  FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id),
-           |cr AS (SELECT least(da.doc_id, db.doc_id) AS doc_a,
-           |    greatest(da.doc_id, db.doc_id) AS doc_b, CAST(1 AS BIGINT) AS ham
-           |  FROM fpp1 JOIN f da ON da.fp = fpp1.fa JOIN f db ON db.fp = fpp1.fb)
+           |fpp1 AS (SELECT fa, da, fb, db FROM fpp WHERE bit_count(xor(fa, fb)) = 1),
+           |intra AS (SELECT fam.canon AS doc_a, f.doc_id AS doc_b, CAST(0 AS BIGINT) AS ham
+           |  FROM f JOIN fam ON f.fp = fam.fp WHERE f.doc_id <> fam.canon),
+           |cr AS (SELECT least(da, db) AS doc_a,
+           |    greatest(da, db) AS doc_b, CAST(1 AS BIGINT) AS ham
+           |  FROM fpp1)
            |SELECT doc_a, doc_b, ham
            |FROM (SELECT * FROM intra UNION ALL SELECT * FROM cr)
            |ORDER BY doc_a, doc_b""".stripMargin))
