@@ -3,6 +3,7 @@ package graft.queries
 import graft._
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal/binary-column surface. `documents.text` is encoded to an
@@ -167,21 +168,29 @@ object MultimodalQ {
     * Carrying the representative through the band join also deletes the
     * two doc-expansion joins: the ham=1 edge is read straight off the
     * fp-pair row. */
+  /** The (doc_id, fp) fingerprint frame mm_phash_neardup consumes —
+    * exposed so PhashEdgeSpec can brute-force the hamming≤1 clique over
+    * the SAME fingerprints and prove the spanning-edge output yields the
+    * identical connected components. */
+  private[graft] def phashFingerprints(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("bs", expr(
+        """transform(sequence(0, 59), i ->
+          |  aggregate(sequence(1, 4), 0L,
+          |    (acc, k) -> acc + coalesce(ascii(substring(text, i*4+k, 1)), 0)))""".stripMargin))
+      .withColumn("total", expr("aggregate(bs, 0L, (acc, x) -> acc + x)"))
+      .withColumn("fp", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, i) ->
+          |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
+          |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+
   val mmPhashNeardup: Q = Q(
     "mm_phash_neardup",
     (spark, dir) => {
-      val f = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .withColumn("bs", expr(
-          """transform(sequence(0, 59), i ->
-            |  aggregate(sequence(1, 4), 0L,
-            |    (acc, k) -> acc + coalesce(ascii(substring(text, i*4+k, 1)), 0)))""".stripMargin))
-        .withColumn("total", expr("aggregate(bs, 0L, (acc, x) -> acc + x)"))
-        .withColumn("fp", expr(
-          """aggregate(sequence(0, 59), 0L, (acc, i) ->
-            |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
-            |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-        .select(col("doc_id"), col("fp"))
+      val f = phashFingerprints(spark, dir)
         .localCheckpoint() // fingerprint pass feeds the family agg + stars
       // one row per exact-fp family, carrying its representative doc
       val fam = f.groupBy(col("fp")).agg(min(col("doc_id")).as("canon"))
