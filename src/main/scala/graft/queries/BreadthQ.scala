@@ -115,50 +115,6 @@ object BreadthQ {
            |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
            |FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin))
 
-  /** One k-means (Lloyd) assignment superstep over the quantized
-    * embeddings: formulaic k=4 centroids (identical closed form in both
-    * engines), exact integer squared distances, per-vector argmin via a
-    * rank-1 window, then per-cluster size + inertia. At 100 TB the
-    * centroid side is k rows — a broadcast NLJ with map-side partial
-    * aggregation; iteration = re-running this step with the centroids
-    * from the previous output (driver loop bounded by k·dim scalars,
-    * the same shape as [[SimilarityQ]]'s IVF stage). */
-  val eKmeansStep: Q = Q(
-    "e_kmeans_step",
-    (spark, dir) => {
-      val cents = (0 until 4).map { c =>
-        (c.toLong, (0 until 64).map(i => (((c * 37 + i * 11) % 13) - 6L) * 250L).toArray)
-      }
-      val centDf = spark.createDataFrame(cents).toDF("cid", "cv")
-      val v = Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), qvec(col("embedding")).as("qv"))
-      val dot = graft.functions.vec_dot_long(col("qv"), col("cv"))
-      val d2 = graft.functions.vec_dot_long(col("qv"), col("qv")) - dot * 2 +
-        graft.functions.vec_dot_long(col("cv"), col("cv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-      v.crossJoin(broadcast(centDf))
-        .withColumn("dist2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_assigned"), sum(col("dist2")).as("inertia"))
-        .orderBy("cid")
-    },
-    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
-            |c AS (SELECT CAST(c AS BIGINT) AS cid,
-            |        list_transform(range(0, 64), i -> (((c*37 + i*11) % 13) - 6) * 250.0) AS cv
-            |      FROM range(0, 4) t(c)),
-            |d AS (SELECT vec_id, cid,
-            |        CAST(list_dot_product(qv, qv) - 2*list_dot_product(qv, cv)
-            |             + list_dot_product(cv, cv) AS BIGINT) AS dist2
-            |      FROM v CROSS JOIN c),
-            |r AS (SELECT vec_id, cid, dist2,
-            |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d)
-            |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
-            |  CAST(SUM(dist2) AS BIGINT) AS inertia
-            |FROM r WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin))
-
   /** Percentile-threshold outliers: per-priority p99 of the exact cents
     * measure (percentile/quantile_cont agree bit-for-bit on integer
     * inputs — the proven a_percentile pattern), broadcast the 5-row
@@ -204,5 +160,5 @@ object BreadthQ {
            |FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 40""".stripMargin))
 
   val all: Seq[Q] = Seq(aStringAgg, fLambda, qNaFill, tBigrams,
-    eKmeansStep, xOutliers, sOffset)
+    xOutliers, sOffset)
 }

@@ -198,5 +198,58 @@ object QualityQ {
            |FROM top CROSS JOIN tot
            |ORDER BY freq DESC, l_partkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew)
+  /** Exact ROC-AUC (round 12): the Mann–Whitney rank statistic for "does
+    * event value predict purchase", with ties at half weight — the
+    * threshold-free companion of `q_confusion`'s fixed-threshold
+    * cross-tab. AUC·(2·n_pos·n_neg) = 2·(concordant pairs) + (tied
+    * pairs), accumulated per DISTINCT score: for score s with pos_s/neg_s
+    * counts, concordant += pos_s · (negatives strictly below s), tied +=
+    * pos_s·neg_s. Everything is exact int64 (num2/den2 carried, auc in
+    * truncating basis points), so the statistic hash-matches across
+    * engines — no float rank averaging.
+    *
+    * Scale shape: evaluation runs on the FIXED eval cohort (event_id <
+    * 50000, sf-independent like d_decontam's eval set — AUC at 100 TB is
+    * scored on a held-out set, not the corpus), so the score grain and
+    * its cumulative window are bounded by cohort size; the only
+    * corpus-side work is the pushed-down cohort scan + one map-side-
+    * combinable aggregate to that bounded grain. An unbounded-corpus AUC
+    * would swap the window for a `DistributedPrefix` score-range-blocked
+    * running sum (the x_decile_lift shape) unchanged. */
+  val qAuc: Q = Q(
+    "q_auc",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .filter(col("event_id") < 50000L)
+        .select(cents(col("value")).as("score_cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val g = ev.groupBy(col("score_cents"))
+        .agg(sum(col("pos")).as("pos_s"), sum(lit(1L) - col("pos")).as("neg_s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      g.withColumn("neg_below", sum(col("neg_s")).over(w) - col("neg_s"))
+        .agg(sum(col("pos_s")).as("n_pos"), sum(col("neg_s")).as("n_neg"),
+          (sum(col("pos_s") * col("neg_below")) * 2 +
+            sum(col("pos_s") * col("neg_s"))).as("num2"))
+        .select(col("n_pos"), col("n_neg"), col("num2"),
+          expr("num2 * 10000 DIV (2 * n_pos * n_neg)").as("auc_bp"))
+    },
+    Some("""WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS score_cents,
+           |     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           |   FROM events WHERE event_id < 50000),
+           |g AS (SELECT score_cents, SUM(pos) AS pos_s, SUM(1 - pos) AS neg_s
+           |   FROM e GROUP BY 1),
+           |c AS (SELECT pos_s, neg_s,
+           |     SUM(neg_s) OVER (ORDER BY score_cents
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg_s AS neg_below
+           |   FROM g),
+           |s AS (SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           |     CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           |     CAST(2*SUM(pos_s*neg_below) + SUM(pos_s*neg_s) AS BIGINT) AS num2 FROM c)
+           |SELECT n_pos, n_neg, num2,
+           | CAST(num2 * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp FROM s""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew, qAuc)
 }

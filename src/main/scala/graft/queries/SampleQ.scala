@@ -126,5 +126,37 @@ object SampleQ {
             |FROM documents GROUP BY 1, 2
             |ORDER BY fold, lang""".stripMargin))
 
-  val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold)
+  /** Exact-size deterministic sample (round 12): the fixed-k counterpart
+    * of `s_sample_hash`'s Bernoulli gate — keep EXACTLY k=100 documents,
+    * chosen as the k smallest values of a Knuth-hash priority (ties broken
+    * by doc_id). This is the distributed reservoir/priority sample: every
+    * engine, run, and partitioning draws the same 100 docs, and adding a
+    * document to the corpus evicts at most one previous member (the
+    * bottom-k-stability property real dataloader samples want).
+    *
+    * Scale shape: priority is a pure row-local expression, and the plan is
+    * TakeOrderedAndProject — each partition keeps a bounded k-heap and only
+    * k rows per partition reach the driver-side merge; no global sort, no
+    * shuffle of the corpus. The same query at any corpus size moves
+    * k × n_partitions rows. */
+  val sReservoir: Q = Q(
+    "s_reservoir",
+    (spark, dir) => {
+      // Wide-range priority: reduce mod 1000003 BEFORE the multiply so the
+      // product stays < 2^51 (exact in int64 on any engine), then mod 1e9+7
+      // so hash ties are vanishingly rare (doc_id breaks the remainder).
+      val prio = (col("doc_id") % 1000003L) * 2654435761L % 1000000007L
+      Tables(spark, dir, "documents")
+        .select(prio.as("priority"), col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+    },
+    Some("""SELECT (doc_id % 1000003) * 2654435761 % 1000000007 AS priority,
+           | doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+           |FROM documents
+           |ORDER BY priority, doc_id LIMIT 100""".stripMargin))
+
+  val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold,
+    sReservoir)
 }

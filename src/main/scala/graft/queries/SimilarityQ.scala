@@ -690,6 +690,108 @@ object SimilarityQ {
             |SELECT q_id, q_label, CAST(rn AS BIGINT) AS rn, neg_id, neg_label, cos_micro
             |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin))
 
+  /** One distributed Lloyd (k-means) iteration (round 12): the clustering
+    * step every SemDeDup/IVF pipeline presumes, in exact integers. Seeds
+    * are the k=8 corpus vectors with vec_id < 8 (deterministic, data-
+    * derived); assignment minimizes the exact squared distance
+    * ‖x−c‖² = n2_x − 2·⟨x,c⟩ + n2_c (all int64 on the quantized grid, ties
+    * to the smaller centroid id); output is the per-cluster re-estimation
+    * state — member count, inertia (Σ d², the k-means objective), and the
+    * new-centroid per-dim sums (first/last dim shown) — i.e. exactly the
+    * mergeable partials the next iteration's centroids divide out of.
+    *
+    * Scale shape: the 8 centroids ride ONE broadcast row (sorted
+    * array<struct>), assignment is a pure per-row `aggregate` fold over
+    * that array — map-only, no vec-grain shuffle anywhere; the only
+    * exchange is the final 8-group hash aggregate, map-side-combined to
+    * ≤ k rows per partition. This is the canonical 1000-executor k-means
+    * step: per iteration, broadcast k·d longs out, k·(d+2) longs back. */
+  val eKmeansStep: Q = Q(
+    "e_kmeans_step",
+    (spark, dir) => {
+      val n = base(spark, dir)
+      val cents = n.filter(col("vec_id") < 8)
+        .agg(array_sort(collect_list(struct(
+          col("vec_id").cast("long").as("cid"),
+          col("qv").as("cqv"),
+          col("n2").as("cn2")))).as("cs"))
+      val best = aggregate(
+        col("cs"),
+        struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d2 = col("n2") - lit(2L) * dotL(col("qv"), c.getField("cqv")) +
+            c.getField("cn2")
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+        })
+      n.crossJoin(broadcast(cents))
+        .withColumn("best", best)
+        .select(col("best.cid").as("cid"), col("best.d2").as("d2"), col("qv"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"),
+          sum(element_at(col("qv"), 1)).as("s0"),
+          sum(element_at(col("qv"), 64)).as("s63"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+            |c AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM n WHERE vec_id < 8),
+            |p AS (SELECT n.vec_id, c.cid,
+            |   CAST(n.n2 - 2 * list_dot_product(n.qv, c.cqv) + c.cn2 AS BIGINT) AS d2,
+            |   n.qv FROM n, c),
+            |a AS (SELECT vec_id, cid, d2, qv,
+            |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p)
+            |SELECT cid, COUNT(*) AS n_members, CAST(SUM(d2) AS BIGINT) AS inertia,
+            | CAST(SUM(qv[1]) AS BIGINT) AS s0, CAST(SUM(qv[64]) AS BIGINT) AS s63
+            |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin))
+
+  /** Mutual-kNN graph construction (round 12): for the fixed vec_id < 400
+    * cohort, each vector's top-3 cosine neighbors form directed edges and
+    * only RECIPROCATED pairs survive — the mutual-kNN graph that seeds
+    * density clustering / UMAP / dedup-community pipelines, where one-way
+    * attraction to a hub is noise but mutual selection is structure.
+    *
+    * Scale shape: the pair stage is bounded by the fixed cohort (the
+    * corpus-scale path swaps it for the LSH-bucket candidate join exactly
+    * as sim_lsh_bucket does); per-source top-3 plans as WindowGroupLimit
+    * (bounded per-partition heaps before the window shuffle), and the
+    * mutuality check is a self equi-join of two k·|cohort|-row edge lists
+    * on the reversed key — linear in the edge count, never in pairs. */
+  val eKnnGraph: Q = Q(
+    "e_knn_graph",
+    (spark, dir) => {
+      val c = base(spark, dir).filter(col("vec_id") < 400)
+      val a = c.select(col("vec_id").as("src"), col("qv").as("q_qv"),
+        col("n2").as("qn2"))
+      val bb = c.select(col("vec_id").as("dst"), col("qv"), col("n2").as("bn2"))
+      val pairs = a.join(bb, col("src") =!= col("dst"))
+        .withColumn("dot", dotL(col("q_qv"), col("qv")))
+        .withColumn("cos_micro", cosMicro)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cos_micro").desc, col("dst"))
+      val knn = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("src"), col("dst"), col("cos_micro"))
+      knn.as("f").join(knn.as("r"),
+          col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+        .filter(col("f.src") < col("f.dst"))
+        .select(col("f.src").as("vec_a"), col("f.dst").as("vec_b"),
+          col("f.cos_micro").as("cos_micro"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH v AS (SELECT vec_id, $qvecSql AS qv FROM embeddings WHERE vec_id < 400),
+            |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM v),
+            |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+            |   CAST(round(list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) * 1000000) AS BIGINT) AS cos_micro
+            | FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+            |k AS (SELECT src, dst, cos_micro,
+            |   row_number() OVER (PARTITION BY src ORDER BY cos_micro DESC, dst) AS rn FROM p),
+            |e AS (SELECT src, dst, cos_micro FROM k WHERE rn <= 3)
+            |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_micro AS cos_micro
+            |FROM e f JOIN e r ON f.src = r.dst AND f.dst = r.src
+            |WHERE f.src < f.dst ORDER BY vec_a, vec_b""".stripMargin))
+
   val all: Seq[Q] = Seq(simTopk, simNearDup, simIvf, simIvfTopk, simTopkFloat, simTopkAgg,
-    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk, eRandProj, eHardNegatives)
+    eCentroid, simSq8Topk, ePowerIter, ePowerChain, simPqTopk, eRandProj, eHardNegatives,
+    eKmeansStep, eKnnGraph)
 }

@@ -251,13 +251,6 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("CollectMetrics"))
   }
 
-  test("k-means assignment step broadcasts the centroid side") {
-    val p = executedPlanString("e_kmeans_step")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "centroids not broadcast")
-    assert(!p.contains("CartesianProduct"), "centroid join fell back to cartesian")
-  }
-
   test("projected IN-subquery plans as an ExistenceJoin, not a per-row subquery") {
     val p = executedPlanString("sub_in_flag")
     assert(p.contains("ExistenceJoin"), s"IN-as-value did not plan as ExistenceJoin:\n$p")
@@ -787,5 +780,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(aIdx >= 0, s"no HashAggregate node in plan:\n$p")
     assert(wIdx < aIdx,
       s"Window is below the aggregate — lag runs over the raw grain:\n$p")
+  }
+
+  /** Round-12 batch: the reservoir sample stays a bounded-heap top-k, the
+    * k-means assignment is map-only off a one-row broadcast, and the
+    * mutual-kNN top-3 group-limits before the window shuffle. */
+  test("s_reservoir is TakeOrderedAndProject over a join-free scan") {
+    val p = executedPlanString("s_reservoir")
+    assert(p.contains("TakeOrdered"), s"fixed-k sample is not TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in reservoir sample:\n$p")
+  }
+
+  test("e_kmeans_step assignment is map-only: centroids broadcast, no vec-grain exchange") {
+    val p = executedPlanString("e_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid row did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"assignment went cartesian:\n$p")
+    // the ONLY shuffle is the bounded 8-group final aggregate: one
+    // partial+final HashAggregate pair, no Window, no SortMergeJoin
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in assignment:\n$p")
+    assert(p.contains("partial"), s"cluster re-estimation lacks map-side partials:\n$p")
+  }
+
+  test("e_knn_graph group-limits per source and joins edges, never pairs") {
+    val p = executedPlanString("e_knn_graph")
+    assert(p.contains("WindowGroupLimit"), s"per-source top-3 lacks WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair or mutuality stage went cartesian:\n$p")
   }
 }
