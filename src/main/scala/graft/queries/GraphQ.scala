@@ -454,6 +454,105 @@ object GraphQ {
            |FROM dsum LEFT JOIN ein ON dsum.n = ein.n CROSS JOIN m
            |ORDER BY nation""".stripMargin))
 
+  /** Strongly connected components of a DIRECTED graph — the capability
+    * recursive SQL cannot express here (Spark 4.1 recursion is UNION ALL
+    * only, no fixpoint dedup; see IterativeQ's scaladoc), so the closure
+    * runs on the Pregel-style driver-loop path like [[dClusterCC]].
+    *
+    * Graph: the supplier precedence-dominance digraph. Within each order,
+    * consecutive lines (by l_linenumber) yield a (prev supplier → next
+    * supplier) event; supplier a gets an arc to b iff a precedes b
+    * decisively more often than the reverse (n_ab ≥ 2·n_ba + 2). Cohort
+    * is the same bounded ≤40-supplier set as [[gPagerank]], so the
+    * digraph is sf-independent in NODE count while the edge evidence
+    * grows with the data. SCC = mutual-reachability classes: cyclic
+    * precedence clusters (A dominates B dominates C dominates A) that a
+    * topological "which supplier ships first" ranking cannot linearize.
+    *
+    * Plan shape: the fact-table work is ONE window lag (single shuffle on
+    * l_orderkey) + one hash agg to the ≤1640-row pair frame; dominance,
+    * transitive closure (driver fixpoint loop, ≤41² reach rows,
+    * localCheckpoint'ed per round, loud failure at the 16-round cap) and
+    * the mutual-pair join all run on the bounded cohort. At 100 TB only
+    * the lag/agg stage sees the data; every superstep is constant-size.
+    * Oracle: DuckDB recursive CTE (UNION fixpoint) closure. */
+  val gScc: Q = Q(
+    "g_scc",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val pairs = Tables(spark, dir, "lineitem")
+        .filter(col("l_suppkey") <= 40)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").cast("long").as("s"))
+        .withColumn("prev", lag(col("s"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("s"))
+        .groupBy(col("prev").as("src"), col("s").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val rev = pairs.select(col("src").as("rsrc"), col("dst").as("rdst"),
+        col("n").as("rn"))
+      val e = pairs
+        .join(rev, col("dst") === col("rsrc") && col("src") === col("rdst"), "left")
+        .filter(col("n") >= lit(2L) * coalesce(col("rn"), lit(0L)) + lit(2L))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      var reach = e
+      var size = reach.count()
+      var converged = false
+      var round = 0
+      while (!converged && round < 16) {
+        round += 1
+        val stepped = reach.as("r").join(e.as("e2"), col("r.dst") === col("e2.src"))
+          .select(col("r.src").as("src"), col("e2.dst").as("dst"))
+        val next = reach.unionByName(stepped).distinct().localCheckpoint()
+        val n = next.count()
+        converged = n == size
+        reach = next
+        size = n
+      }
+      if (!converged)
+        throw new IllegalStateException("g_scc closure unconverged after 16 rounds")
+      val nodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val mutual = nodes.select(col("id"), col("id").as("other"))
+        .unionByName(reach.as("r1")
+          .join(reach.as("r2"),
+            col("r1.src") === col("r2.dst") && col("r1.dst") === col("r2.src"))
+          .select(col("r1.src").as("id"), col("r1.dst").as("other")))
+        .distinct()
+      val scc = mutual.groupBy(col("id")).agg(min(col("other")).as("scc_id"))
+      val sizes = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+      scc.join(sizes, Seq("scc_id"))
+        .select(col("id"), col("scc_id"), col("scc_size"))
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE seq AS (
+           |  SELECT l_suppkey AS s,
+           |         LAG(l_suppkey) OVER (PARTITION BY l_orderkey
+           |           ORDER BY l_linenumber) AS prev
+           |  FROM lineitem WHERE l_suppkey <= 40),
+           |pairs AS (
+           |  SELECT prev AS src, s AS dst, COUNT(*) AS n FROM seq
+           |  WHERE prev IS NOT NULL AND prev <> s GROUP BY 1, 2),
+           |e AS (
+           |  SELECT p.src, p.dst FROM pairs p
+           |  LEFT JOIN pairs r ON r.src = p.dst AND r.dst = p.src
+           |  WHERE p.n >= 2 * COALESCE(r.n, 0) + 2),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM e
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+           |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+           |mutual AS (
+           |  SELECT id, id AS other FROM nodes
+           |  UNION
+           |  SELECT r1.src, r1.dst FROM reach r1 JOIN reach r2
+           |    ON r1.src = r2.dst AND r1.dst = r2.src),
+           |scc AS (SELECT id, MIN(other) AS scc_id FROM mutual GROUP BY id),
+           |sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM scc GROUP BY 1)
+           |SELECT scc.id, scc.scc_id, sz.scc_size
+           |FROM scc JOIN sz USING (scc_id) ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(dClusterCC, gPagerank, gTriangles, gLabelProp, gKcore, gBfsDepth,
-    gLinkPredict, gModularity)
+    gLinkPredict, gModularity, gScc)
 }

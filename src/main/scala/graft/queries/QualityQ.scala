@@ -251,5 +251,54 @@ object QualityQ {
            |SELECT n_pos, n_neg, num2,
            | CAST(num2 * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp FROM s""".stripMargin))
 
-  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew, qAuc)
+  /** Benford first-digit drift audit — the classic fabricated-data /
+    * corrupted-feed detector: naturally occurring amounts have first
+    * significant digit d with probability log10(1+1/d); a synthetic or
+    * truncated feed flattens toward uniform. Expected proportions are
+    * FLOOR(log10(1+1/d)·10⁴) basis-point literals (exact integers on both
+    * engines — no runtime float log), observed proportions are integer
+    * division over the 9-row digit frame, so the whole audit is
+    * hash-exact. One scan + one 9-group hash agg; the partition-less
+    * total window runs over 9 rows, never the fact table. TPC-H prices
+    * are uniform-ish, so large dev_bp here is the EXPECTED reading — the
+    * query is the drift report, not an assertion. */
+  val qBenford: Q = Q(
+    "q_benford",
+    (spark, dir) => {
+      val expBp = Map(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+        5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+      val expCase = expBp.foldLeft(lit(null).cast("long")) {
+        case (acc, (d, bp)) => when(col("digit") === d, lit(bp)).otherwise(acc)
+      }
+      Tables(spark, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over())
+        .select(col("digit"), col("n_orders"),
+          expr("n_orders * 10000 div total").as("obs_bp"),
+          expCase.as("exp_bp"))
+        .withColumn("dev_bp", col("obs_bp") - col("exp_bp"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+           |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |obs AS (
+           |  SELECT digit, COUNT(*) AS n_orders,
+           |         SUM(COUNT(*)) OVER () AS total
+           |  FROM d GROUP BY digit),
+           |exp AS (SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249),
+           |  (4, 969), (5, 791), (6, 669), (7, 579), (8, 511), (9, 457))
+           |  AS t(digit, exp_bp))
+           |SELECT obs.digit, obs.n_orders,
+           |       CAST(obs.n_orders * 10000 // obs.total AS BIGINT) AS obs_bp,
+           |       CAST(exp.exp_bp AS BIGINT) AS exp_bp,
+           |       CAST(obs.n_orders * 10000 // obs.total - exp.exp_bp AS BIGINT) AS dev_bp
+           |FROM obs JOIN exp ON obs.digit = exp.digit
+           |ORDER BY obs.digit""".stripMargin))
+
+  val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew, qAuc,
+    qBenford)
 }

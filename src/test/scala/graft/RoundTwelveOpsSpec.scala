@@ -51,6 +51,49 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(aucBp >= 0 && aucBp <= 10000, s"AUC outside [0, 1]: ${r(0)}")
   }
 
+  // sf0.01: at sf0.001 the pair evidence is too thin for the (2n+2)
+  // dominance guard and the digraph is correctly empty — the invariants
+  // need the populated graph the oracle gate actually checks.
+  private lazy val sccRows: Array[Row] =
+    SparkEntry.queries("g_scc")(spark, "/root/testdata/sf0.01").collect()
+
+  test("g_scc is a partition into mutually-reachable classes with consistent sizes") {
+    val r = sccRows
+    assert(r.nonEmpty, "empty dominance digraph at sf0.01")
+    val byScc = r.groupBy(_.getLong(1))
+    // scc_id is the minimum member (canonical representative)
+    byScc.foreach { case (id, members) =>
+      assert(members.map(_.getLong(0)).min == id, s"scc_id $id is not its min member")
+      members.foreach(m => assert(m.getLong(2) == members.length,
+        s"scc_size mismatch for scc $id: $m"))
+    }
+    // every node appears exactly once (it IS a partition)
+    val ids = r.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "node in two SCCs")
+  }
+
+  test("g_scc singleton-vs-cycle structure: a multi-member SCC implies a directed cycle") {
+    // mutual reachability inside a multi-member SCC means the dominance
+    // digraph has a cycle through every member; with the (2n+2) dominance
+    // guard both arcs of a pair can't coexist, so any cycle is length >= 3
+    val multi = sccRows.groupBy(_.getLong(1)).filter(_._2.length > 1)
+    multi.foreach { case (id, members) =>
+      assert(members.length >= 3,
+        s"2-member SCC $id impossible under asymmetric dominance arcs")
+    }
+  }
+
+  test("q_benford digits cover 1..9, proportions sum to ~1, expected literals fixed") {
+    val r = rows("q_benford")
+    assert(r.map(_.getLong(0)).toSeq == (1L to 9L))
+    val obsSum = r.map(_.getLong(2)).sum
+    // integer-div truncation loses < 9 bp total
+    assert(obsSum > 9991 && obsSum <= 10000, s"obs_bp sums to $obsSum")
+    assert(r.map(_.getLong(3)).sum == 9995L, "floor'd Benford literals changed")
+    r.foreach(row => assert(row.getLong(4) == row.getLong(2) - row.getLong(3),
+      s"dev_bp inconsistent: $row"))
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
