@@ -205,5 +205,47 @@ object MlPrepQ {
            |  CAST(n_resp * pop * 10000 // (n * resp_tot) AS BIGINT) AS lift_bp
            |FROM g, t ORDER BY decile""".stripMargin))
 
-  val all: Seq[Q] = Seq(eQuantizeBins, eFeatureScale, dSurvivor, xDecileLift)
+  /** Hashing-trick featurization (feature hashing / "the hashing trick"):
+    * bag-of-words token counts projected into a FIXED 64-dim feature
+    * space by hashing each token, no vocabulary ever materialized — the
+    * property that makes text featurization scale-free: at 100 TB the
+    * vocab grows unboundedly but the feature space, the model width and
+    * this plan's state stay constant. Output is the sparse (doc, feature,
+    * count) triple grain a trainer consumes, over the bounded doc_id<50
+    * eval cohort (whole-corpus featurization is the same plan minus the
+    * cohort filter).
+    *
+    * Plan: row-local split/explode/hash chain + ONE hash agg on
+    * (doc_id, feature); tokens are normalized to 8 chars (rpad/truncate)
+    * so the cross-engine polynomial hash ([[graft.ops.TextHash]]) is a
+    * fixed-length exact-integer chain on both engines. Collisions are
+    * part of the operator's contract (64 bins << vocab), not a bug. */
+  val eFeatureHash: Q = Q(
+    "e_feature_hash",
+    (spark, dir) => {
+      import graft.ops.TextHash
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .withColumn("feature",
+          TextHash.polyHash(rpad(col("tok"), 8, "_"), 8) % 64L)
+        .groupBy(col("doc_id"), col("feature"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "feature")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            |  FROM documents WHERE doc_id < 50),
+            |f AS (
+            |  SELECT doc_id,
+            |         ${graft.ops.TextHash.polyHashSql("rpad(tok, 8, '_')", 8)} % 64 AS feature
+            |  FROM toks WHERE length(tok) >= 2)
+            |SELECT doc_id, feature, COUNT(*) AS n
+            |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[Q] = Seq(eQuantizeBins, eFeatureScale, dSurvivor, xDecileLift,
+    eFeatureHash)
 }

@@ -157,6 +157,46 @@ object SampleQ {
            |FROM documents
            |ORDER BY priority, doc_id LIMIT 100""".stripMargin))
 
+  /** Majority-class undersampling (class rebalancing): every language is
+    * cut to the minority language's document count, members chosen in
+    * deterministic hash-priority order — the standard imbalance fix
+    * before training a classifier, as a pure relational plan.
+    *
+    * Plan: one hash agg to per-class counts (tiny, lang-bounded) → min
+    * reduced to ONE broadcast row, one row_number window per class, one
+    * filter. The per-class window is the only data-sized stage and
+    * partitions by lang; at 100 TB you'd first read min_n off the
+    * (already tiny) count frame and pass it as a literal so the window
+    * collapses to a WindowGroupLimit partial top-k — same plan here
+    * minus the broadcast, kept single-plan for oracle parity. */
+  val sUndersample: Q = Q(
+    "s_undersample",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val minN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("min_n"))
+      val prio = (col("doc_id") % 1000003L) * 2654435761L % 1000000007L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(prio, col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minN))
+        .filter(col("rn") <= col("min_n"))
+        .select(col("lang"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH c AS (
+           |  SELECT MIN(cnt) AS min_n
+           |  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+           |r AS (
+           |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           |         row_number() OVER (PARTITION BY lang
+           |           ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007,
+           |                    doc_id) AS rn
+           |  FROM documents)
+           |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+           |FROM r, c WHERE rn <= min_n ORDER BY lang, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold,
-    sReservoir)
+    sReservoir, sUndersample)
 }

@@ -94,6 +94,35 @@ class RoundTwelveOpsSpec extends SparkSpec {
       s"dev_bp inconsistent: $row"))
   }
 
+  test("s_undersample balances every class to the minority count") {
+    val r = rows("s_undersample")
+    val perLang = r.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val langs = Tables(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    val minN = langs.values.min
+    assert(perLang.keySet == langs.keySet, "a class vanished")
+    perLang.foreach { case (l, n) =>
+      assert(n.toLong == minN, s"class $l kept $n, expected minority count $minN")
+    }
+    val ids = r.map(_.getLong(2))
+    assert(ids.distinct.length == ids.length, "doc sampled twice")
+  }
+
+  test("e_feature_hash lands in [0,64) and conserves the cohort token mass") {
+    val r = rows("e_feature_hash")
+    assert(r.forall(row => row.getLong(1) >= 0 && row.getLong(1) < 64),
+      "feature outside the 64-bin space")
+    assert(r.forall(_.getLong(2) > 0), "zero-count feature row")
+    // the sparse triples must conserve total token count (hashing loses
+    // identity, never mass)
+    import org.apache.spark.sql.functions._
+    val nToks = Tables(spark, dir, "documents").filter(col("doc_id") < 50)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(length(col("tok")) >= 2).count()
+    assert(r.map(_.getLong(2)).sum == nToks, "token mass not conserved")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
