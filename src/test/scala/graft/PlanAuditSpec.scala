@@ -808,4 +808,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"per-source top-3 lacks WindowGroupLimit:\n$p")
     assert(!p.contains("CartesianProduct"), s"pair or mutuality stage went cartesian:\n$p")
   }
+
+  /** Round-12 second batch: SCC's post-closure stages run on checkpointed
+    * cohort frames (never re-deriving the fact table), Benford's total
+    * window sits above the 9-group aggregate, undersampling broadcasts
+    * the min-count row and windows per class, feature hashing is one
+    * partial+final aggregate with no join. */
+  test("g_scc final plan reads checkpointed cohort frames, not lineitem") {
+    // the closure loop localCheckpoints per round, so the SCC assembly
+    // plan must contain no parquet scan and no cartesian anywhere
+    val p = executedPlanString("g_scc")
+    assert(!p.contains("FileScan"), s"post-closure stage re-derives the fact table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"mutual-pair stage went cartesian:\n$p")
+  }
+
+  test("q_benford total window runs over the 9-row digit aggregate") {
+    windowOverAggregatedGrain("q_benford")
+  }
+
+  test("s_undersample broadcasts the min-count row and windows per class") {
+    val p = executedPlanString("s_undersample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min-count row did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"min-count join went cartesian:\n$p")
+    assert(p.contains("Window"), s"per-class rank window missing:\n$p")
+  }
+
+  test("e_feature_hash is one partial+final aggregate, no join, no window") {
+    val p = executedPlanString("e_feature_hash")
+    assert(p.contains("partial"), s"featurization lacks map-side partials:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in featurization:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in featurization:\n$p")
+  }
 }
