@@ -475,7 +475,22 @@ object GraphQ {
     * localCheckpoint'ed per round, loud failure at the 16-round cap) and
     * the mutual-pair join all run on the bounded cohort. At 100 TB only
     * the lag/agg stage sees the data; every superstep is constant-size.
-    * Oracle: DuckDB recursive CTE (UNION fixpoint) closure. */
+    * Oracle: DuckDB recursive CTE (UNION fixpoint) closure.
+    *
+    * Scale reading (measured at the 100× probe): dominance arcs are a
+    * small-sample phenomenon on symmetric data — at sf0.01 the margin
+    * admits ~107 spurious arcs (9 SCCs); as pair counts grow the
+    * symmetric evidence concentrates and no pair passes n ≥ 2·r + 2,
+    * which is the statistically correct answer. The node universe
+    * therefore comes from the PAIR frame (every cohort supplier
+    * observed on consecutive mixed-supplier lines), not the arc frame:
+    * suppliers without arcs surface as singleton SCCs instead of
+    * vanishing. At the MakeSf decades specifically the output is empty
+    * for a FIXTURE reason, not a statistical one: the key remap
+    * (key·f + copy) makes the suppkey ≤ 40 slice all copies of one
+    * original supplier, so every consecutive-line pair is a self-pair
+    * and even the pair frame is empty — on real data the cohort is a
+    * stable dimension list and the partition stays total. */
   val gScc: Q = Q(
     "g_scc",
     (spark, dir) => {
@@ -489,6 +504,7 @@ object GraphQ {
         .filter(col("prev").isNotNull && col("prev") =!= col("s"))
         .groupBy(col("prev").as("src"), col("s").as("dst"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one fact-table pass; e, nodes, closure all reuse it
       val rev = pairs.select(col("src").as("rsrc"), col("dst").as("rdst"),
         col("n").as("rn"))
       val e = pairs
@@ -512,8 +528,8 @@ object GraphQ {
       }
       if (!converged)
         throw new IllegalStateException("g_scc closure unconverged after 16 rounds")
-      val nodes = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct()
+      val nodes = pairs.select(col("src").as("id"))
+        .unionByName(pairs.select(col("dst").as("id"))).distinct()
       val mutual = nodes.select(col("id"), col("id").as("other"))
         .unionByName(reach.as("r1")
           .join(reach.as("r2"),
@@ -542,7 +558,8 @@ object GraphQ {
            |  SELECT src, dst FROM e
            |  UNION
            |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
-           |nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+           |nodes AS (SELECT DISTINCT src AS id FROM pairs
+           |          UNION SELECT dst FROM pairs),
            |mutual AS (
            |  SELECT id, id AS other FROM nodes
            |  UNION

@@ -59,7 +59,8 @@ class RoundTwelveOpsSpec extends SparkSpec {
 
   test("g_scc is a partition into mutually-reachable classes with consistent sizes") {
     val r = sccRows
-    assert(r.nonEmpty, "empty dominance digraph at sf0.01")
+    assert(r.length >= 40, s"output must cover the whole observed cohort, got ${r.length}")
+    assert(r.exists(_.getLong(2) > 1), "no multi-member SCC at sf0.01")
     val byScc = r.groupBy(_.getLong(1))
     // scc_id is the minimum member (canonical representative)
     byScc.foreach { case (id, members) =>
