@@ -579,6 +579,66 @@ object AnalyticsExtQ {
            |FROM er FULL OUTER JOIN lr USING (partkey)
            |ORDER BY rank_delta DESC, partkey""".stripMargin))
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the antitrust/market-structure statistic, and [[tGini]]'s
+    * squared-share sibling. share_bp = supplier revenue ·10⁴ // nation
+    * revenue (truncating integer division), hhi = Σ share_bp² ∈
+    * [10⁸/n, 10⁸] — all int64-exact (shares ≤ 10⁴, ≤ 10⁴ suppliers per
+    * nation at any realistic scale keeps the sum < 2^63), so the index
+    * hash-matches across engines.
+    *
+    * Plan: one fact-table hash agg to the (nation, supplier) revenue
+    * grain (partial+final, shuffles on the composite key), then the
+    * share/HHI math runs on nation-bounded frames: a 25-row nation
+    * total agg joined back, one more bounded agg. The broadcast dim
+    * join attaches names. At 100 TB only the first agg sees data. */
+  val xHhi: Q = Q(
+    "x_hhi",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .join(broadcast(Tables(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("s_rev"))
+      val tot = li.groupBy(col("s_nationkey"))
+        .agg(sum(col("s_rev")).as("nation_rev_cents"),
+          count(lit(1)).as("n_suppliers"))
+      li.join(tot, Seq("s_nationkey"))
+        .withColumn("share_bp", expr("s_rev * 10000 div nation_rev_cents"))
+        .groupBy(col("s_nationkey"), col("nation_rev_cents"), col("n_suppliers"))
+        .agg(sum(col("share_bp") * col("share_bp")).as("hhi"),
+          max(col("share_bp")).as("top_share_bp"))
+        .join(broadcast(Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"),
+          col("nation_rev_cents"), col("top_share_bp"), col("hhi"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH s_rev AS (
+           |  SELECT s.s_nationkey, l.l_suppkey,
+           |         SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS s_rev
+           |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT s_nationkey, SUM(s_rev) AS nation_rev_cents,
+           |         COUNT(*) AS n_suppliers
+           |  FROM s_rev GROUP BY 1),
+           |sh AS (
+           |  SELECT s_rev.s_nationkey, tot.nation_rev_cents, tot.n_suppliers,
+           |         s_rev.s_rev * 10000 // tot.nation_rev_cents AS share_bp
+           |  FROM s_rev JOIN tot ON s_rev.s_nationkey = tot.s_nationkey),
+           |h AS (
+           |  SELECT s_nationkey, n_suppliers,
+           |         CAST(nation_rev_cents AS BIGINT) AS nation_rev_cents,
+           |         CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+           |         CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi
+           |  FROM sh GROUP BY 1, 2, 3)
+           |SELECT n.n_name AS nation, h.n_suppliers, h.nation_rev_cents,
+           |       h.top_share_bp, h.hhi
+           |FROM h JOIN nation n ON h.s_nationkey = n.n_nationkey
+           |ORDER BY nation""".stripMargin))
+
   val all: Seq[Q] = Seq(xSkyline, xAbcClass, gTransitions, wRunningDistinct, tGini,
-    xCopurchase, xIncAgg, xRfm, xBasketRules, xMergeApply, xRankMovers)
+    xCopurchase, xIncAgg, xRfm, xBasketRules, xMergeApply, xRankMovers, xHhi)
 }

@@ -537,6 +537,74 @@ object TemporalQ {
            |FROM s WHERE cusum > 100 * tot
            |ORDER BY l_returnflag, day""".stripMargin))
 
+  /** Cohort lifetime-value curves — [[xRetentionCohort]]'s value twin:
+    * per (acquisition-cohort day, days since acquisition) the period
+    * revenue, the running cumulative revenue, and cumulative LTV per
+    * acquired user — the longitudinal unit-economics table every growth
+    * model reads. Daily grain because the events fixture spans one
+    * month with near-universal day-1 adoption (weekly/monthly cohorts
+    * degenerate to one row); on a multi-year feed swap day→month, same
+    * plan. All money is exact cents; LTV is integer division, so the
+    * curve is hash-exact.
+    *
+    * Plan: one events scan with a user-partitioned min window (cohort
+    * day without a self-join, same move as retention), one hash agg to
+    * the calendar-bounded (cohort, age) grid, cohort sizes as a second
+    * bounded agg joined back, and the cumulative window runs over the
+    * bounded grid — never raw events. */
+  val xCohortLtv: Q = Q(
+    "x_cohort_ltv",
+    (spark, dir) => {
+      val ev = Tables(spark, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          cents(col("value")).as("rev"))
+        .withColumn("cohort_d",
+          min(col("d")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("days_since",
+          datediff(col("d"), col("cohort_d")).cast("long"))
+      val grid = ev.groupBy(col("cohort_d"), col("days_since"))
+        .agg(sum(col("rev")).as("rev_cents"))
+      val sizes = ev.groupBy(col("cohort_d"))
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      grid.join(sizes, Seq("cohort_d"))
+        .withColumn("cum_rev_cents",
+          sum(col("rev_cents")).over(
+            Window.partitionBy(col("cohort_d")).orderBy(col("days_since"))))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+          col("days_since"), col("rev_cents"), col("cum_rev_cents"),
+          col("cohort_users"),
+          expr("cum_rev_cents div cohort_users").as("ltv_cents"))
+        .orderBy(col("cohort_day"), col("days_since"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS d,
+           |         CAST(round(value*100) AS BIGINT) AS rev
+           |  FROM events),
+           |fm AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY 1),
+           |j AS (
+           |  SELECT ev.user_id, fm.cohort_d, ev.rev,
+           |         (ev.d - fm.cohort_d) AS days_since
+           |  FROM ev JOIN fm ON ev.user_id = fm.user_id),
+           |grid AS (
+           |  SELECT cohort_d, days_since, SUM(rev) AS rev_cents
+           |  FROM j GROUP BY 1, 2),
+           |sz AS (
+           |  SELECT cohort_d, COUNT(DISTINCT user_id) AS cohort_users
+           |  FROM j GROUP BY 1),
+           |c AS (
+           |  SELECT grid.cohort_d, days_since, rev_cents,
+           |         SUM(rev_cents) OVER (PARTITION BY grid.cohort_d
+           |           ORDER BY days_since) AS cum_rev_cents,
+           |         sz.cohort_users
+           |  FROM grid JOIN sz ON grid.cohort_d = sz.cohort_d)
+           |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+           |       CAST(days_since AS BIGINT) AS days_since,
+           |       CAST(rev_cents AS BIGINT) AS rev_cents,
+           |       CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+           |       cohort_users,
+           |       CAST(cum_rev_cents // cohort_users AS BIGINT) AS ltv_cents
+           |FROM c ORDER BY cohort_day, days_since""".stripMargin))
+
   val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly, tsOhlc,
-    xConversionLag, xYoyGrowth, tsCusum)
+    xConversionLag, xYoyGrowth, tsCusum, xCohortLtv)
 }

@@ -124,6 +124,34 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(r.map(_.getLong(2)).sum == nToks, "token mass not conserved")
   }
 
+  test("x_cohort_ltv curves are prefix-exact and monotone within each cohort") {
+    val r = rows("x_cohort_ltv")
+    assert(r.nonEmpty)
+    r.groupBy(_.getString(0)).foreach { case (cohort, rws) =>
+      val sorted = rws.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).head == 0L, s"$cohort misses age 0")
+      var cum = 0L
+      sorted.foreach { row =>
+        cum += row.getLong(2)
+        assert(row.getLong(3) == cum, s"cum_rev not the prefix sum: $row")
+        assert(row.getLong(5) == cum / row.getLong(4), s"ltv not cum div users: $row")
+      }
+    }
+  }
+
+  test("x_hhi is bounded by [1e8/n, 1e8] and dominated by the top share") {
+    val r = rows("x_hhi")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, top, hhi) = (row.getLong(1), row.getLong(3), row.getLong(4))
+      assert(top <= 10000L, s"share above 100%: $row")
+      assert(hhi >= top * top, s"hhi below its top-share term: $row")
+      // sum of squares is minimized at equal shares (within truncation slack)
+      assert(hhi >= 100000000L / n - n * 20000, s"hhi below the equal-share floor: $row")
+      assert(hhi <= 100000000L, s"hhi above the monopoly ceiling: $row")
+    }
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
