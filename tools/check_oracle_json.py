@@ -1,13 +1,23 @@
 #!/usr/bin/env python3
-"""Scale-sweep oracle gate: like check_oracle.py (same normalization and
-compare semantics as the driver), but emits a CORRECTNESS_r{N}-shaped
-JSON artifact and bounds each DuckDB oracle with a wall limit (an oracle
-that cannot complete at the target scale is recorded as an explicit
-exclusion, not a hang).
+"""Scale-sweep oracle gate: like check_oracle.py (same rows/schema/value
+gates as the driver), but emits a CORRECTNESS_r{N}-shaped JSON artifact
+and bounds each DuckDB oracle with a wall limit (an oracle that cannot
+complete at the target scale is recorded as an explicit exclusion, not a
+hang).
+
+The value compare runs INSIDE DuckDB as a two-way EXCEPT ALL over the
+name-sorted column list — exact multiset equality, equal-or-stricter
+than the driver's sorted-stringified-rows compare (doubles compare by
+exact value instead of repr, NaN==NaN and NULL==NULL hold in DuckDB set
+semantics, integer widths coerce like the driver's canonical classes).
+The Python-side row loop the driver can afford at sf0.01 is what this
+tool replaces: at 100x several scalar-function queries emit 15M rows and
+stringifying them in Python costs minutes per query; EXCEPT ALL keeps
+the whole compare parallel and out-of-core.
 
 Usage: python3 tools/check_oracle_json.py <sfdir> <verify_out_dir> <json_out> [oracle_timeout_s]
 """
-import sys, os, json, glob, math, threading, time
+import sys, os, json, glob, threading, time
 import duckdb
 import pyarrow as pa
 
@@ -50,26 +60,19 @@ def canon_type(t):
     return str(t)
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    return str(v)
-
-
-def timed_oracle(sql):
-    """Run one oracle with a wall limit; returns (table, err)."""
+def timed(sql):
+    """Run one statement with a wall limit; returns err (None on success)."""
     timer = threading.Timer(timeout_s, con.interrupt)
     timer.start()
     t0 = time.time()
     try:
-        return con.execute(sql).fetch_arrow_table(), None
+        con.execute(sql)
+        return None
     except Exception as e:
         dt = time.time() - t0
         if dt >= timeout_s - 1:
-            return None, f"oracle_timeout after {int(dt)}s"
-        return None, f"duckdb error: {str(e)[:300]}"
+            return f"oracle_timeout after {int(dt)}s"
+        return f"duckdb error: {str(e)[:300]}"
     finally:
         timer.cancel()
 
@@ -84,39 +87,60 @@ for name in sorted(set(oracle) | {os.path.basename(d) for d in glob.glob(os.path
         rec["err"] = "spark output missing"
         continue
     try:
-        spark_tbl = con.execute(
-            f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetch_arrow_table()
+        con.execute("CREATE OR REPLACE TEMP VIEW _spark AS "
+                    f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        spark_schema = con.execute(
+            "SELECT * FROM _spark LIMIT 0").fetch_arrow_table().schema
+        rec["spark_rows"] = con.execute(
+            "SELECT COUNT(*) FROM _spark").fetchone()[0]
     except Exception as e:
         rec["err"] = f"spark output unreadable: {str(e)[:200]}"
         continue
-    rec["spark_rows"] = spark_tbl.num_rows
     if name not in oracle:
         rec["err"] = "no_oracle"
         continue
     t0 = time.time()
-    duck, err = timed_oracle(oracle[name])
+    err = timed("CREATE OR REPLACE TEMP TABLE _oracle AS " + oracle[name])
     if err:
         rec["err"] = err
         continue
-    rec["oracle_rows"] = duck.num_rows
-    dcols, scols = sorted(duck.column_names), sorted(spark_tbl.column_names)
-    rec["rows_match"] = duck.num_rows == spark_tbl.num_rows
+    duck_schema = con.execute(
+        "SELECT * FROM _oracle LIMIT 0").fetch_arrow_table().schema
+    rec["oracle_rows"] = con.execute(
+        "SELECT COUNT(*) FROM _oracle").fetchone()[0]
+    dcols, scols = sorted(duck_schema.names), sorted(spark_schema.names)
+    rec["rows_match"] = rec["oracle_rows"] == rec["spark_rows"]
     rec["schema_match"] = (dcols == scols and all(
-        canon_type(duck.schema.field(c).type) == canon_type(spark_tbl.schema.field(c).type)
+        canon_type(duck_schema.field(c).type) == canon_type(spark_schema.field(c).type)
         for c in dcols))
     if not (rec["rows_match"] and rec["schema_match"]):
         rec["hash_match"] = False
         if dcols != scols:
             rec["err"] = f"schema mismatch duck={dcols} spark={scols}"
+        elif not rec["schema_match"]:
+            bad = [f"{c}: duck={canon_type(duck_schema.field(c).type)} "
+                   f"spark={canon_type(spark_schema.field(c).type)}"
+                   for c in dcols
+                   if canon_type(duck_schema.field(c).type)
+                   != canon_type(spark_schema.field(c).type)]
+            rec["err"] = "type mismatch " + "; ".join(bad)
         continue
-    drows = sorted(tuple(norm(r[c]) for c in dcols) for r in duck.to_pylist())
-    srows = sorted(tuple(norm(r[c]) for c in scols) for r in spark_tbl.to_pylist())
-    rec["hash_match"] = drows == srows
+    cols = ", ".join(f'"{c}"' for c in dcols)
+    err = timed(
+        "CREATE OR REPLACE TEMP TABLE _diff AS "
+        f"(SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM _oracle) "
+        f"UNION ALL BY NAME "
+        f"(SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM _spark)")
+    if err:
+        rec["err"] = err.replace("oracle_timeout", "compare_timeout")
+        continue
+    n_diff = con.execute("SELECT COUNT(*) FROM _diff").fetchone()[0]
+    rec["hash_match"] = n_diff == 0
     if not rec["hash_match"]:
-        bad = next(((a, b) for a, b in zip(drows, srows) if a != b), None)
-        rec["err"] = f"value mismatch; first: duck={bad[0][:4]} spark={bad[1][:4]}"
+        sample = con.execute("SELECT * FROM _diff LIMIT 1").fetchone()
+        rec["err"] = f"value mismatch ({n_diff} rows differ); sample: {str(sample)[:200]}"
     print(f"  {name}: rows={rec['rows_match']} hash={rec['hash_match']} "
-          f"({spark_tbl.num_rows} rows, oracle {time.time()-t0:.0f}s)", flush=True)
+          f"({rec['spark_rows']} rows, oracle+compare {time.time()-t0:.0f}s)", flush=True)
 
 with open(json_out, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
@@ -124,7 +148,7 @@ with open(json_out, "w") as f:
 n_ok = sum(1 for r in results.values()
            if r["rows_match"] and r["schema_match"] and r["hash_match"])
 n_excl = sum(1 for r in results.values() if r["err"] and (
-    r["err"].startswith("oracle_timeout") or r["err"] == "no_oracle"))
+    "timeout" in r["err"] or r["err"] == "no_oracle"))
 n_fail = len(results) - n_ok - n_excl
 print(f"== {n_ok} ok, {n_excl} excluded (timeout/no-oracle), {n_fail} FAIL of {len(results)}")
 for name, r in sorted(results.items()):
