@@ -240,6 +240,65 @@ object CompositeExtQ {
            |      AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Fulfillment-latency SLA table: exact p50/p90/p99 order→ship days
+    * per order priority, computed CLOSED-FORM from the bounded
+    * (priority, lag_days) count grain — never a per-row sort. The
+    * percentile definition is "smallest lag whose cumulative count
+    * reaches p% of the priority's total" (lower/type-1), which is pure
+    * integer arithmetic and therefore hash-exact.
+    *
+    * Plan: one orderkey equi-join (the only data-sized stage) feeding
+    * one hash agg to the (5 priorities × ~400 lag values) grain; the
+    * cumulative window and the three threshold aggregations run on that
+    * bounded frame. This is the at-scale exact-percentile pattern for
+    * discrete domains — contrast [[AdvancedQ]]'s `a_percentile`, which
+    * uses Spark's percentile aggregate (a per-group value buffer): here
+    * state is bounded by the domain, not the row count, so 100 TB costs
+    * one more partial-agg pass, nothing else. */
+  val xFulfillmentLag: Q = Q(
+    "x_fulfillment_lag",
+    (spark, dir) => {
+      val lag = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("priority")).orderBy(col("lag_days"))
+      lag.groupBy(col("priority"), col("lag_days"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("tot", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("priority"))))
+        .groupBy(col("priority"))
+        .agg(max(col("tot")).as("n_lines"),
+          min(when(col("cum") * 100 >= col("tot") * 50, col("lag_days"))).as("p50_days"),
+          min(when(col("cum") * 100 >= col("tot") * 90, col("lag_days"))).as("p90_days"),
+          min(when(col("cum") * 100 >= col("tot") * 99, col("lag_days"))).as("p99_days"),
+          max(col("lag_days")).as("max_days"))
+        .orderBy(col("priority"))
+    },
+    Some("""WITH g AS (
+           |  SELECT o.o_orderpriority AS priority,
+           |         (CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)) AS lag_days,
+           |         COUNT(*) AS n
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2),
+           |c AS (
+           |  SELECT priority, lag_days, n,
+           |         SUM(n) OVER (PARTITION BY priority ORDER BY lag_days) AS cum,
+           |         SUM(n) OVER (PARTITION BY priority) AS tot
+           |  FROM g)
+           |SELECT priority,
+           |       CAST(MAX(tot) AS BIGINT) AS n_lines,
+           |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN lag_days END) AS BIGINT) AS p50_days,
+           |       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN lag_days END) AS BIGINT) AS p90_days,
+           |       CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN lag_days END) AS BIGINT) AS p99_days,
+           |       CAST(MAX(lag_days) AS BIGINT) AS max_days
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(xWaitingOrders, xCustOrdersHist, xMarketShare, xTopValueParts,
-    xPromoRevenue, xIdleCustomers)
+    xPromoRevenue, xIdleCustomers, xFulfillmentLag)
 }

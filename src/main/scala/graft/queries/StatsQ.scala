@@ -584,7 +584,62 @@ object StatsQ {
            |FROM r JOIN b ON r.flag = b.flag
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Chi-square test of independence between two categoricals (order
+    * priority × order status) on a parts-per-million share grid: all
+    * three marginal frames are bounded (5 × 3 cells), the only
+    * data-sized stage is one contingency hash agg, and every later step
+    * is integer math on ppm shares — obs_ppm = n·10⁶ div N, exp_ppm =
+    * row_ppm·col_ppm div 10⁶, term = (obs−exp)² div max(exp, 1). The
+    * ppm grid is what keeps the statistic int64-exact at ANY corpus
+    * size: raw-count chi-square squares n·N terms and overflows past
+    * ~sf30, while shares are bounded by 10⁶ regardless of N (the same
+    * move the exact-integer discipline makes everywhere else). The
+    * truncation chain is part of the statistic's definition and is
+    * identical on both engines, so the drift table is hash-exact. */
+  val aChi2: Q = Q(
+    "a_chi2",
+    (spark, dir) => {
+      val cells = Tables(spark, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+      cells
+        .withColumn("row_n", sum(col("n")).over(w.partitionBy(col("priority"))))
+        .withColumn("col_n", sum(col("n")).over(w.partitionBy(col("status"))))
+        .withColumn("tot", sum(col("n")).over(w.partitionBy()))
+        .select(col("priority"), col("status"), col("n"),
+          expr("n * 1000000 div tot").as("obs_ppm"),
+          expr("(row_n * 1000000 div tot) * (col_n * 1000000 div tot) div 1000000")
+            .as("exp_ppm"))
+        .withColumn("chi2_term",
+          expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div greatest(exp_ppm, 1L)"))
+        .orderBy(col("priority"), col("status"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           |         COUNT(*) AS n
+           |  FROM orders GROUP BY 1, 2),
+           |m AS (
+           |  SELECT priority, status, n,
+           |         SUM(n) OVER (PARTITION BY priority) AS row_n,
+           |         SUM(n) OVER (PARTITION BY status) AS col_n,
+           |         SUM(n) OVER () AS tot
+           |  FROM cells),
+           |g AS (
+           |  SELECT priority, status, n,
+           |         n * 1000000 // tot AS obs_ppm,
+           |         (row_n * 1000000 // tot) * (col_n * 1000000 // tot) // 1000000
+           |           AS exp_ppm
+           |  FROM m)
+           |SELECT priority, status, n,
+           |       CAST(obs_ppm AS BIGINT) AS obs_ppm,
+           |       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           |       CAST((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+           |            // greatest(exp_ppm, 1) AS BIGINT) AS chi2_term
+           |FROM g ORDER BY priority, status""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
     aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg,
-    aWeightedMedian, aMadOutliers, aWinsorized)
+    aWeightedMedian, aMadOutliers, aWinsorized, aChi2)
 }

@@ -605,6 +605,38 @@ object TemporalQ {
            |       CAST(cum_rev_cents // cohort_users AS BIGINT) AS ltv_cents
            |FROM c ORDER BY cohort_day, days_since""".stripMargin))
 
+  /** Day-of-week seasonality profile per event type — the weekly-rhythm
+    * baseline behind anomaly thresholds and traffic forecasts. ISO day
+    * numbering (Monday=1) because it is the one convention both engines
+    * express exactly (Spark `weekday()+1`, DuckDB `isodow`); shares in
+    * truncating basis points of the type's total, so the profile is
+    * hash-exact. One scan into a (5 types × 7 days)-bounded hash agg;
+    * the share window runs over the bounded grid. */
+  val tsSeasonality: Q = Q(
+    "ts_seasonality",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .select(col("event_type"), (weekday(col("ts")) + 1).cast("long").as("iso_dow"))
+        .groupBy(col("event_type"), col("iso_dow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("type_total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+        .select(col("event_type"), col("iso_dow"), col("n"),
+          expr("n * 10000 div type_total").as("share_bp"))
+        .orderBy(col("event_type"), col("iso_dow"))
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           |         COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |t AS (
+           |  SELECT event_type, iso_dow, n,
+           |         SUM(n) OVER (PARTITION BY event_type) AS type_total
+           |  FROM g)
+           |SELECT event_type, iso_dow, n,
+           |       CAST(n * 10000 // type_total AS BIGINT) AS share_bp
+           |FROM t ORDER BY event_type, iso_dow""".stripMargin))
+
   val all: Seq[Q] = Seq(xScd2, jPitScd2, xRetentionCohort, wEwma, wTrend, tsAnomaly, tsOhlc,
-    xConversionLag, xYoyGrowth, tsCusum, xCohortLtv)
+    xConversionLag, xYoyGrowth, tsCusum, xCohortLtv, tsSeasonality)
 }

@@ -152,6 +152,38 @@ class RoundTwelveOpsSpec extends SparkSpec {
     }
   }
 
+  test("a_chi2 shares are a ppm distribution with consistent terms") {
+    val r = rows("a_chi2")
+    assert(r.length >= 6, "contingency table suspiciously small")
+    val obsSum = r.map(_.getLong(3)).sum
+    assert(obsSum > 999900 && obsSum <= 1000000, s"obs_ppm sums to $obsSum")
+    r.foreach { row =>
+      val (obs, exp, term) = (row.getLong(3), row.getLong(4), row.getLong(5))
+      val d = obs - exp
+      assert(term == d * d / math.max(exp, 1L), s"chi2 term inconsistent: $row")
+    }
+  }
+
+  test("x_fulfillment_lag percentiles are ordered and bounded by the max") {
+    val r = rows("x_fulfillment_lag")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (p50, p90, p99, mx) =
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx, s"percentiles out of order: $row")
+      assert(p50 >= 0, s"negative latency: $row")
+    }
+  }
+
+  test("ts_seasonality covers all 7 ISO days per type and shares sum to ~1") {
+    val r = rows("ts_seasonality")
+    r.groupBy(_.getString(0)).foreach { case (t, rws) =>
+      assert(rws.map(_.getLong(1)).sorted.toSeq == (1L to 7L), s"$t misses a weekday")
+      val s = rws.map(_.getLong(3)).sum
+      assert(s > 9990 && s <= 10000, s"$t shares sum to $s")
+    }
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
