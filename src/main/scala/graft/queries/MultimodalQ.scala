@@ -296,6 +296,48 @@ object MultimodalQ {
            |     unnest(generate_series(0, ny - 1)) AS ty(py)
            |ORDER BY doc_id, patch_id""".stripMargin))
 
+  /** Audio-style frame windowing over a fake-decoded sample stream: the
+    * standard feature-extraction front end (frame length 16, hop 8 —
+    * 50 % overlap) with per-frame energy, over the bounded doc_id<50
+    * eval cohort. Samples are the document's code points (the same
+    * deterministic "decode" contract as [[mmFakeDecode]] — real audio
+    * swaps ONE expression, the framing/energy plumbing is the
+    * deliverable), centered at 96 so energy is a small exact integer.
+    *
+    * Plan: one explode of the per-doc frame-index sequence (fan-out =
+    * ⌊(len−16)/8⌋+1, bounded by the blob length), then the energy fold
+    * is a row-local `aggregate` over the frame's 16 samples — whole
+    * pipeline is scan → project → explode → project, no shuffle at all
+    * until the final ORDER BY (which a real pipeline wouldn't run). At
+    * 100 TB framing parallelizes with the scan; state per task is one
+    * frame window. */
+  val mmAudioWindow: Q = Q(
+    "mm_audio_window",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 50 && length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, (length(text) - 16) div 8)")).as("win_idx"))
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          expr("""aggregate(sequence(win_idx * 8 + 1, win_idx * 8 + 16),
+                 |          cast(0 as bigint),
+                 |          (acc, i) -> acc
+                 |            + (ascii(substr(text, i, 1)) - 96L)
+                 |            * (ascii(substr(text, i, 1)) - 96L))""".stripMargin)
+            .as("energy"))
+        .orderBy("doc_id", "win_idx")
+    },
+    Some("""SELECT doc_id, CAST(r.w AS BIGINT) AS win_idx,
+           |  CAST(list_sum(list_transform(range(CAST(r.w * 8 + 1 AS INT),
+           |         CAST(r.w * 8 + 17 AS INT)),
+           |    i -> (ascii(substring(text, CAST(i AS INT), 1)) - 96)
+           |       * (ascii(substring(text, CAST(i AS INT), 1)) - 96)))
+           |    AS BIGINT) AS energy
+           |FROM documents,
+           |     unnest(generate_series(0, (length(text) - 16) // 8)) AS r(w)
+           |WHERE doc_id < 50 AND length(text) >= 16
+           |ORDER BY doc_id, win_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(mmBinaryMeta, mmFakeDecode, mmFrameSample, mmShardPack, mmPhashNeardup,
-    mmPatchGrid)
+    mmPatchGrid, mmAudioWindow)
 }

@@ -184,6 +184,22 @@ class RoundTwelveOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_window frames tile each doc with hop 8 and nonnegative energy") {
+    val r = rows("mm_audio_window")
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(2) >= 0, s"negative energy: $row"))
+    // per doc: win_idx is the contiguous 0..((len-16)/8) range
+    val lens = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      .selectExpr("doc_id", "length(text) AS len").collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    r.groupBy(_.getLong(0)).foreach { case (doc, rws) =>
+      val expect = (lens(doc) - 16) / 8
+      assert(rws.map(_.getLong(1)).sorted.toSeq == (0L to expect),
+        s"doc $doc frame indices not the contiguous hop-8 tiling")
+    }
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
