@@ -197,6 +197,52 @@ object SampleQ {
            |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
            |FROM r, c WHERE rn <= min_n ORDER BY lang, rn""".stripMargin))
 
+  /** Online (Poisson) bootstrap: per (document, replicate) a
+    * DETERMINISTIC resampling weight drawn from the Poisson(1) pmf via
+    * the Knuth-hash bucket of (doc_id·31 + replicate) — thresholds
+    * 368/736/920/981 per mille for w = 0/1/2/3, else 4 — then each
+    * replicate's statistics as weight-scaled aggregates. This is how
+    * bootstrap confidence intervals are computed at 100 TB: no data is
+    * ever resampled or moved, the weight is a row-local expression and
+    * each replicate is one more partial-aggregable sum over the same
+    * scan (R replicates cost one pass, not R). Hash-derived weights
+    * keep the replicate set reproducible across runs, engines and
+    * partitionings — same discipline as every sampler here. */
+  val sBootstrap: Q = Q(
+    "s_bootstrap",
+    (spark, dir) => {
+      val reps = spark.range(3).select(col("id").as("replicate"))
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      docs.crossJoin(broadcast(reps))
+        .withColumn("b", hashBucket(col("doc_id") * 31L + col("replicate")))
+        .withColumn("w",
+          when(col("b") < 368, 0L).when(col("b") < 736, 1L)
+            .when(col("b") < 920, 2L).when(col("b") < 981, 3L).otherwise(4L))
+        .groupBy(col("replicate"))
+        .agg(sum(col("w")).as("n_drawn"),
+          count(when(col("w") > 0, 1)).as("n_docs_used"),
+          sum(col("w") * col("n_chars")).as("chars_drawn"))
+        .orderBy(col("replicate"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, r.replicate
+            |  FROM documents,
+            |       (SELECT unnest(generate_series(0, 2)) AS replicate) r),
+            |w AS (
+            |  SELECT replicate, n_chars,
+            |         CASE WHEN ${hashBucketSql("(doc_id * 31 + replicate)")} < 368 THEN 0
+            |              WHEN ${hashBucketSql("(doc_id * 31 + replicate)")} < 736 THEN 1
+            |              WHEN ${hashBucketSql("(doc_id * 31 + replicate)")} < 920 THEN 2
+            |              WHEN ${hashBucketSql("(doc_id * 31 + replicate)")} < 981 THEN 3
+            |              ELSE 4 END AS w
+            |  FROM d)
+            |SELECT CAST(replicate AS BIGINT) AS replicate,
+            |       CAST(SUM(w) AS BIGINT) AS n_drawn,
+            |       COUNT(CASE WHEN w > 0 THEN 1 END) AS n_docs_used,
+            |       CAST(SUM(w * n_chars) AS BIGINT) AS chars_drawn
+            |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold,
-    sReservoir, sUndersample)
+    sReservoir, sUndersample, sBootstrap)
 }

@@ -200,6 +200,21 @@ class RoundTwelveOpsSpec extends SparkSpec {
     }
   }
 
+  test("s_bootstrap replicates draw ~N with Poisson(1) mass and differ from each other") {
+    val r = rows("s_bootstrap")
+    assert(r.length == 3)
+    val n = Tables(spark, dir, "documents").count()
+    r.foreach { row =>
+      val (drawn, used) = (row.getLong(1), row.getLong(2))
+      // E[w]=1 per doc under the per-mille pmf; allow generous slack at N=50
+      assert(drawn > n / 2 && drawn < n * 2, s"replicate mass off: $row (n=$n)")
+      assert(used <= n && used > n / 3, s"nonzero-weight coverage off: $row")
+    }
+    assert(r.map(_.getLong(1)).distinct.length > 1 ||
+      r.map(_.getLong(3)).distinct.length > 1,
+      "replicates identical — hash not varying by replicate")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
