@@ -600,6 +600,10 @@ object AnalyticsExtQ {
           .select(col("s_suppkey"), col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_nationkey"), col("s_suppkey"))
         .agg(sum(cents(col("l_extendedprice"))).as("s_rev"))
+        // one fact pass: the (nation, supplier) grain is supplier-bounded,
+        // so checkpointing it lets the total agg and the share join reuse
+        // the materialization instead of re-scanning lineitem (ScanAudit)
+        .localCheckpoint()
       val tot = li.groupBy(col("s_nationkey"))
         .agg(sum(col("s_rev")).as("nation_rev_cents"),
           count(lit(1)).as("n_suppliers"))

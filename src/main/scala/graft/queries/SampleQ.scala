@@ -168,7 +168,12 @@ object SampleQ {
     * partitions by lang; at 100 TB you'd first read min_n off the
     * (already tiny) count frame and pass it as a literal so the window
     * collapses to a WindowGroupLimit partial top-k — same plan here
-    * minus the broadcast, kept single-plan for oracle parity. */
+    * minus the broadcast, kept single-plan for oracle parity.
+    *
+    * ScanAudit note (intentional ×2): the min-count subtree re-scans
+    * documents, but it reads ONE column (lang) into a partial agg — a
+    * columnar scan of a single dictionary-encoded column, strictly
+    * cheaper than materializing the corpus to share the scan. */
   val sUndersample: Q = Q(
     "s_undersample",
     (spark, dir) => {

@@ -562,14 +562,18 @@ object TemporalQ {
           min(col("d")).over(Window.partitionBy(col("user_id"))))
         .withColumn("days_since",
           datediff(col("d"), col("cohort_d")).cast("long"))
+      // Single scan subtree (ScanAudit): the cohort SIZE needs no second
+      // pass — every user is active at age 0 by construction (day 0 IS
+      // their first day), so distinct-users-at-age-0 equals the cohort
+      // size, and a first_value window over the bounded grid propagates
+      // it to every age row.
       val grid = ev.groupBy(col("cohort_d"), col("days_since"))
-        .agg(sum(col("rev")).as("rev_cents"))
-      val sizes = ev.groupBy(col("cohort_d"))
-        .agg(countDistinct(col("user_id")).as("cohort_users"))
-      grid.join(sizes, Seq("cohort_d"))
-        .withColumn("cum_rev_cents",
-          sum(col("rev_cents")).over(
-            Window.partitionBy(col("cohort_d")).orderBy(col("days_since"))))
+        .agg(sum(col("rev")).as("rev_cents"),
+          countDistinct(col("user_id")).as("age_users"))
+      val wC = Window.partitionBy(col("cohort_d")).orderBy(col("days_since"))
+      grid
+        .withColumn("cohort_users", first(col("age_users")).over(wC))
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wC))
         .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
           col("days_since"), col("rev_cents"), col("cum_rev_cents"),
           col("cohort_users"),
@@ -586,17 +590,16 @@ object TemporalQ {
            |         (ev.d - fm.cohort_d) AS days_since
            |  FROM ev JOIN fm ON ev.user_id = fm.user_id),
            |grid AS (
-           |  SELECT cohort_d, days_since, SUM(rev) AS rev_cents
+           |  SELECT cohort_d, days_since, SUM(rev) AS rev_cents,
+           |         COUNT(DISTINCT user_id) AS age_users
            |  FROM j GROUP BY 1, 2),
-           |sz AS (
-           |  SELECT cohort_d, COUNT(DISTINCT user_id) AS cohort_users
-           |  FROM j GROUP BY 1),
            |c AS (
-           |  SELECT grid.cohort_d, days_since, rev_cents,
-           |         SUM(rev_cents) OVER (PARTITION BY grid.cohort_d
+           |  SELECT cohort_d, days_since, rev_cents,
+           |         SUM(rev_cents) OVER (PARTITION BY cohort_d
            |           ORDER BY days_since) AS cum_rev_cents,
-           |         sz.cohort_users
-           |  FROM grid JOIN sz ON grid.cohort_d = sz.cohort_d)
+           |         FIRST_VALUE(age_users) OVER (PARTITION BY cohort_d
+           |           ORDER BY days_since) AS cohort_users
+           |  FROM grid)
            |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
            |       CAST(days_since AS BIGINT) AS days_since,
            |       CAST(rev_cents AS BIGINT) AS rev_cents,
