@@ -56,7 +56,14 @@ object Plans {
     "g_link_predict" -> "link prediction: pair space from a self-equi-join on the part blocking key (fan-out bounded by suppliers-per-part), degree joins on the bounded node frame",
     "a_winsorized" -> "winsorized totals: daily hash agg is the only full-data pass; rank windows on the calendar-bounded frame, per-flag bounds broadcast back",
     "x_rank_movers" -> "rank movers: each period collapses to the part grain then TakeOrderedAndProject(50); rank windows and the full-outer join run on 50-row frames",
-    "q_skew" -> "skew diagnostic: one fact scan to the checkpointed key grain; top-10 via TakeOrdered, global scalars re-aggregate the key grain onto a one-row broadcast")
+    "q_skew" -> "skew diagnostic: one fact scan to the checkpointed key grain; top-10 via TakeOrdered, global scalars re-aggregate the key grain onto a one-row broadcast",
+    "g_scc" -> "SCC assembly: post-closure stages read ONLY checkpointed cohort frames (no FileScan) — the driver fixpoint loop owns the only fact pass via the checkpointed pair grain",
+    "x_fulfillment_lag" -> "exact latency percentiles: the orderkey equi-join is the single data-sized stage; cumulative window + threshold aggs run on the domain-bounded (priority, lag) grain",
+    "x_cohort_ltv" -> "cohort LTV: ONE events subtree (cohort size = distinct users at age 0, first_value over the bounded grid) — no sizes re-scan, cumulative window never sees raw events",
+    "x_hhi" -> "HHI: fact collapses to the checkpointed supplier-bounded revenue grain; total agg + share join reuse it, dims ride broadcasts",
+    "e_feature_hash" -> "hashing trick: row-local split/hash chain into one partial+final (doc, feature) aggregate — no join, no window, no vocabulary state",
+    "s_bootstrap" -> "online bootstrap: replicate fan-out is a 3-row broadcast cross, weights are row-local hash math, replicates partial-aggregate in the same pass",
+    "mm_audio_window" -> "audio framing: explode of the frame-index sequence + row-local energy fold — scan-parallel, zero shuffle before the presentation sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
