@@ -547,6 +547,31 @@ object DedupQ {
            |FROM pairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
            |ORDER BY containment_bp DESC, da, db LIMIT 100""".stripMargin))
 
+  /** Boilerplate-prefix families: documents sharing their first 64
+    * characters exactly — the template/header detector (mirror pages,
+    * scraped navigation chrome, license preambles) that exact whole-doc
+    * dedup misses because the BODIES differ. One hash aggregate over the
+    * 16-byte md5 of the prefix: the shuffle carries (hash, count,
+    * min-doc) partials, never text — the same 100 TB shape as
+    * [[dExact]], and the natural pre-pass before an expensive suffix
+    * comparison inside each family. Only families with ≥ 2 members
+    * surface (the boilerplate report, not a doc-grain annotation). */
+  val dPrefixDup: Q = Q(
+    "d_prefix_dup",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("prefix_md5"))
+        .groupBy(col("prefix_md5"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("prefix_md5"))
+    },
+    Some("""SELECT md5(substring(text, 1, 64)) AS prefix_md5,
+           |       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+           |FROM documents
+           |GROUP BY 1 HAVING COUNT(*) >= 2
+           |ORDER BY prefix_md5""".stripMargin))
+
   val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
-    dChunkCdc, dSpanDedup, dSemDedup, dSemDedupFine, dContainment)
+    dChunkCdc, dSpanDedup, dSemDedup, dSemDedupFine, dContainment, dPrefixDup)
 }

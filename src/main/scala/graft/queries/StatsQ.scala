@@ -639,7 +639,60 @@ object StatsQ {
            |            // greatest(exp_ppm, 1) AS BIGINT) AS chi2_term
            |FROM g ORDER BY priority, status""".stripMargin))
 
+  /** Two-sample Kolmogorov–Smirnov statistic (returned vs regular lines'
+    * quantity distributions) in EXACT integers: over the bounded
+    * 50-value quantity domain, D·n_r·n_n = max |cum_r·n_n − cum_n·n_r|
+    * — cross-multiplying the two empirical CDFs instead of dividing
+    * them is what removes the float entirely. Reported as the exact
+    * numerator plus truncating ppm (divide-last: d_num div
+    * (n_r·n_n div 10⁶), which is the overflow-safe order — d_num·10⁶
+    * would leave int64 past ~sf50).
+    *
+    * Plan: one conditional-count hash agg to the 50-row value grain is
+    * the only data-sized stage; CDFs, totals and the max run on that
+    * bounded frame (the partition-less windows see 50 rows, never the
+    * fact table). The distribution-drift gate between two slices of a
+    * corpus — [[aChi2]]'s continuous-ordinal sibling. */
+  val aKsTest: Q = Q(
+    "a_ks_test",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(col("l_quantity").cast("long").as("qty"))
+        .agg(count(when(col("l_returnflag") === "R", 1)).as("n_r"),
+          count(when(col("l_returnflag") === "N", 1)).as("n_n"))
+      g.withColumn("cum_r", sum(col("n_r")).over(Window.orderBy(col("qty"))))
+        .withColumn("cum_n", sum(col("n_n")).over(Window.orderBy(col("qty"))))
+        .withColumn("tot_r", sum(col("n_r")).over(Window.partitionBy()))
+        .withColumn("tot_n", sum(col("n_n")).over(Window.partitionBy()))
+        .agg(max(col("tot_r")).as("n_r"), max(col("tot_n")).as("n_n"),
+          max(abs(col("cum_r") * col("tot_n") - col("cum_n") * col("tot_r")))
+            .as("d_num"))
+        .select(col("n_r"), col("n_n"), col("d_num"),
+          expr("d_num div greatest(n_r * n_n div 1000000, 1L)").as("d_ppm"))
+    },
+    Some("""WITH g AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+           |         COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
+           |         COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n
+           |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+           |c AS (
+           |  SELECT SUM(n_r) OVER (ORDER BY qty) AS cum_r,
+           |         SUM(n_n) OVER (ORDER BY qty) AS cum_n,
+           |         SUM(n_r) OVER () AS tot_r,
+           |         SUM(n_n) OVER () AS tot_n
+           |  FROM g),
+           |m AS (
+           |  SELECT CAST(MAX(tot_r) AS BIGINT) AS n_r,
+           |         CAST(MAX(tot_n) AS BIGINT) AS n_n,
+           |         CAST(MAX(abs(cum_r * tot_n - cum_n * tot_r)) AS BIGINT) AS d_num
+           |  FROM c)
+           |SELECT n_r, n_n, d_num,
+           |       CAST(d_num // greatest(n_r * n_n // 1000000, 1) AS BIGINT) AS d_ppm
+           |FROM m""".stripMargin))
+
   val all: Seq[Q] = Seq(aStats, aMinmaxBy, aCondAgg, aCollect, wPercentRank, tsGapfill,
     aCorr, wLagIgnoreNulls, aRegr, aMode, wFrameInterval, aCovar, aBitAgg,
-    aWeightedMedian, aMadOutliers, aWinsorized, aChi2)
+    aWeightedMedian, aMadOutliers, aWinsorized, aChi2, aKsTest)
 }

@@ -215,6 +215,27 @@ class RoundTwelveOpsSpec extends SparkSpec {
       "replicates identical — hash not varying by replicate")
   }
 
+  test("d_prefix_dup families all have >= 2 members and a valid representative") {
+    val r = rows("d_prefix_dup")
+    assert(r.nonEmpty, "no boilerplate families at sf0.001")
+    r.foreach { row =>
+      assert(row.getLong(1) >= 2, s"singleton family leaked: $row")
+      assert(row.getString(0).length == 32, s"not an md5 hex: $row")
+    }
+    val hashes = r.map(_.getString(0))
+    assert(hashes.distinct.length == hashes.length, "duplicate family key")
+  }
+
+  test("a_ks_test statistic is within [0, n_r*n_n] and ppm within [0, 1e6]") {
+    val r = rows("a_ks_test")
+    assert(r.length == 1)
+    val (nR, nN, dNum, dPpm) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(nR > 0 && nN > 0)
+    assert(dNum >= 0 && dNum <= nR * nN, s"D numerator out of range: ${r(0)}")
+    assert(dPpm >= 0 && dPpm <= 1000000, s"D ppm out of range: ${r(0)}")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
