@@ -572,6 +572,70 @@ object DedupQ {
            |GROUP BY 1 HAVING COUNT(*) >= 2
            |ORDER BY prefix_md5""".stripMargin))
 
+  /** Incremental (delta-vs-base) near-dup candidates — the nightly-ingest
+    * dedup shape: new documents (doc_id ∈ [300, 500)) are banded ONCE and
+    * joined against the EXISTING corpus's bands (doc_id < 300), never
+    * against each other — so per ingest the work is |delta|·cost(band) +
+    * the bucket join, not a full-corpus re-dedup. Candidate strength is
+    * the number of agreeing bands; ≥ 3 of 6 is the report threshold
+    * (2-row bands alone admit ~29 % of cross pairs on this corpus —
+    * measured — while ≥ 3 bands keeps 26 pairs at gate scale; the
+    * threshold tunes recall/precision, not the plan).
+    *
+    * Plan: one shingle+minhash pass over the bounded cohort into a
+    * checkpointed (doc, band, sig) frame; both join sides filter that
+    * one materialization; the pair aggregate counts distinct agreeing
+    * bands. At 100 TB the base's band table is the persistent index a
+    * production system keeps between ingests — this query IS that read
+    * path. Oracle: the O(base×delta) band-agreement count formulation. */
+  val dIncremental: Q = Q(
+    "d_incremental",
+    (spark, dir) => {
+      val d = Tables(spark, dir, "documents").filter(col("doc_id") < 500)
+      val sh = d.select(col("doc_id"),
+        explode(graft.functions.shingle_hashes(col("text"), ShingleLen)).as("h0"))
+      val mins = sh.groupBy(col("doc_id"))
+        .agg(
+          min(minHashOf(col("h0"), 0)).as("mh0"),
+          (1 until NumHashes).map(j => min(minHashOf(col("h0"), j)).as(s"mh$j")): _*)
+      val bandSigs = (0 until Bands).map { b =>
+        val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => col(s"mh$j").cast("string"))
+        struct(lit(b.toLong).as("band"), concat_ws(",", cols: _*).as("sig"))
+      }
+      val buckets = mins.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .localCheckpoint()
+      buckets.filter(col("doc_id") >= 300).as("x")
+        .join(buckets.filter(col("doc_id") < 300).as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+        .groupBy(col("x.doc_id").as("delta_doc"), col("y.doc_id").as("base_doc"))
+        .agg(countDistinct(col("x.band")).as("n_bands"))
+        .filter(col("n_bands") >= 3)
+        .orderBy("delta_doc", "base_doc")
+    },
+    Some {
+      val minExprs = (0 until NumHashes)
+        .map(j => s"MIN(${minHashOfSql("h0", j)}) AS mh$j").mkString(",\n  ")
+      val bandSum = (0 until Bands).map { b =>
+        val eq = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => s"a.mh$j = b.mh$j").mkString(" AND ")
+        s"(CASE WHEN $eq THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |sh AS (SELECT DISTINCT doc_id, ${shinglesSqlFrom(ShingleLen)} AS sh FROM d),
+         |h AS (SELECT doc_id, ${polyHashSql("sh", ShingleLen)} AS h0 FROM sh),
+         |mins AS (SELECT doc_id,
+         |  $minExprs
+         |  FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS delta_doc, b.doc_id AS base_doc,
+         |       CAST($bandSum AS BIGINT) AS n_bands
+         |FROM mins a JOIN mins b ON a.doc_id >= 300 AND b.doc_id < 300
+         |WHERE $bandSum >= 3
+         |ORDER BY delta_doc, base_doc""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(dExact, dTokenDedup, dNgramJaccard, dMinhashLsh, dSimhash, dLshBuckets,
-    dChunkCdc, dSpanDedup, dSemDedup, dSemDedupFine, dContainment, dPrefixDup)
+    dChunkCdc, dSpanDedup, dSemDedup, dSemDedupFine, dContainment, dPrefixDup,
+    dIncremental)
 }

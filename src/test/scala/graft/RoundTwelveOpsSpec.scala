@@ -236,6 +236,17 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(dPpm >= 0 && dPpm <= 1000000, s"D ppm out of range: ${r(0)}")
   }
 
+  test("d_incremental pairs cross the delta/base boundary with band strength in [3,6]") {
+    val r = rows("d_incremental")
+    r.foreach { row =>
+      assert(row.getLong(0) >= 300 && row.getLong(0) < 500, s"delta side out of range: $row")
+      assert(row.getLong(1) < 300, s"base side out of range: $row")
+      assert(row.getLong(2) >= 3 && row.getLong(2) <= 6, s"band strength out of range: $row")
+    }
+    val pairs = r.map(row => (row.getLong(0), row.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate candidate pair")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
