@@ -176,5 +176,53 @@ object FunctionsExtQ {
            |FROM orders WHERE o_orderkey % 100 = 0
            |ORDER BY k""".stripMargin))
 
-  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry, fMask, fStruct)
+  /** Corrupt-tolerant JSON ingestion audit: parse a line feed where a
+    * deterministic ~1 % of records carry trailing garbage (the classic
+    * truncated/concatenated-log corruption), count good/bad and
+    * aggregate only the valid rows — the PERMISSIVE-mode contract a
+    * 100 TB log ingest relies on: one malformed record must cost one
+    * null row, never a task retry storm. Spark side is `from_json`
+    * (Jackson, PERMISSIVE default) where corruption surfaces as a
+    * null-fielded struct; the oracle gates on DuckDB's `json_valid`.
+    * Row-local parse + one partial-aggregable audit — scan-parallel. */
+  val fJsonTolerant: Q = Q(
+    "f_json_tolerant",
+    (spark, dir) => {
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), concat(
+          lit("{\"id\": "), col("o_orderkey"),
+          lit(", \"cents\": "), graft.ops.ColumnOps.cents(col("o_totalprice")),
+          lit("}")).as("line0"))
+        // corruption = truncation (the log-rotation tear): drop the last
+        // 3 chars of ~1% of records — rejected by BOTH Jackson and
+        // json_valid, unlike trailing garbage, which Jackson tolerates
+        .select(when(col("k") % 97 === 0,
+          expr("substring(line0, 1, length(line0) - 3)")).otherwise(col("line0"))
+          .as("line"))
+        .select(from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, cents BIGINT")).as("j"))
+        .agg(
+          count(when(col("j.id").isNull, 1)).as("n_corrupt"),
+          count(when(col("j.id").isNotNull, 1)).as("n_valid"),
+          sum(col("j.cents")).as("valid_cents"))
+    },
+    Some("""WITH raw0 AS (
+           |  SELECT o_orderkey AS k,
+           |         '{"id": ' || o_orderkey || ', "cents": '
+           |         || CAST(round(o_totalprice*100) AS BIGINT) || '}' AS line0
+           |  FROM orders),
+           |raw AS (
+           |  SELECT CASE WHEN k % 97 = 0
+           |              THEN substring(line0, 1, length(line0) - 3)
+           |              ELSE line0 END AS line
+           |  FROM raw0)
+           |SELECT COUNT(CASE WHEN NOT json_valid(line) THEN 1 END) AS n_corrupt,
+           |       COUNT(CASE WHEN json_valid(line) THEN 1 END) AS n_valid,
+           |       CAST(SUM(CASE WHEN json_valid(line)
+           |             THEN CAST(json_extract(line, '$.cents') AS BIGINT) END)
+           |            AS BIGINT) AS valid_cents
+           |FROM raw""".stripMargin))
+
+  val all: Seq[Q] = Seq(fString2, fDate2, fBitwise, fCond, fTry, fMask, fStruct,
+    fJsonTolerant)
 }

@@ -247,6 +247,18 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length, "duplicate candidate pair")
   }
 
+  test("f_json_tolerant loses exactly the truncated records, nothing else") {
+    val r = rows("f_json_tolerant")
+    assert(r.length == 1)
+    val (nCorrupt, nValid) = (r(0).getLong(0), r(0).getLong(1))
+    val orders = Tables(spark, dir, "orders")
+    assert(nCorrupt + nValid == orders.count(), "audit does not cover every record")
+    import org.apache.spark.sql.functions.col
+    assert(nCorrupt == orders.filter(col("o_orderkey") % 97 === 0).count(),
+      "corrupt count is not exactly the truncated subset")
+    assert(r(0).getLong(2) > 0, "no valid cents aggregated")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
