@@ -510,6 +510,52 @@ object TextQ {
            |SELECT symbol, COUNT(*) AS freq FROM sym
            |GROUP BY 1 ORDER BY freq DESC, symbol LIMIT 40""".stripMargin))
 
+  /** Ingestion-order novelty curve: per document, the fraction of its
+    * distinct 6-char shingles first seen IN that document (first-seen =
+    * owned by the minimum doc_id carrying the shingle) — the
+    * diminishing-returns signal corpus curation watches: novelty_bp
+    * decaying toward 0 means new data is re-treading old n-grams and
+    * the crawl should move on. Cousin of d_span_dedup's first-owner
+    * attribution, at the shingle-set grain instead of fixed blocks.
+    *
+    * Plan: one fused shingle-hash pass ([[graft.functions.shingle_hashes]])
+    * to the distinct (doc, h) grain, checkpointed; first owners are one
+    * min-agg over it (shuffle carries 8-byte hashes); per-doc totals
+    * and owned counts are two more aggs over the SAME materialization,
+    * joined at the bounded doc grain. Novelty in truncating bp. */
+  val tNovelty: Q = Q(
+    "t_novelty",
+    (spark, dir) => {
+      val dh = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.shingle_hashes(col("text"), graft.ops.TextHash.ShingleLen)).as("h"))
+        .distinct()
+        .localCheckpoint()
+      val totals = dh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val owned = dh.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+        .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("n_first"))
+      totals.join(owned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"))
+        .withColumn("novelty_bp", expr("n_first * 10000 div n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.ops.TextHash._
+      s"""WITH dh AS (
+         |  SELECT DISTINCT doc_id, ${polyHashSql("sh", ShingleLen)} AS h FROM (
+         |    SELECT doc_id, ${shinglesSqlFrom(ShingleLen)} AS sh FROM documents)),
+         |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM dh GROUP BY 1),
+         |owned AS (
+         |  SELECT owner AS doc_id, COUNT(*) AS n_first FROM (
+         |    SELECT h, MIN(doc_id) AS owner FROM dh GROUP BY 1) GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |       COALESCE(o.n_first, 0) AS n_first,
+         |       COALESCE(o.n_first, 0) * 10000 // t.n_shingles AS novelty_bp
+         |FROM totals t LEFT JOIN owned o ON t.doc_id = o.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(tTokens, tLangId, tQuality, tFingerprint, tTfidf, tShingleGen, tLmScore,
-    tPmi, tBm25, tBpeStep, tSkipgram, tBpeApply)
+    tPmi, tBm25, tBpeStep, tSkipgram, tBpeApply, tNovelty)
 }

@@ -259,6 +259,26 @@ class RoundTwelveOpsSpec extends SparkSpec {
     assert(r(0).getLong(2) > 0, "no valid cents aggregated")
   }
 
+  test("t_novelty: the first doc owns everything, ownership partitions the shingle space") {
+    val r = rows("t_novelty").sortBy(_.getLong(0))
+    assert(r.nonEmpty)
+    val first = r.head
+    assert(first.getLong(1) == first.getLong(2) && first.getLong(3) == 10000L,
+      s"min doc must own all its shingles: $first")
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1), s"owned more than carried: $row")
+      assert(row.getLong(3) >= 0 && row.getLong(3) <= 10000, s"bp out of range: $row")
+    }
+    // Σ n_first = global distinct shingle count (ownership is a partition)
+    import org.apache.spark.sql.functions._
+    val distinctShingles = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.shingle_hashes(col("text"),
+        graft.ops.TextHash.ShingleLen)).as("h"))
+      .distinct().count()
+    assert(r.map(_.getLong(2)).sum == distinctShingles,
+      "first-ownership does not partition the shingle space")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
