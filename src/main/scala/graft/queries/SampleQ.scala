@@ -248,6 +248,56 @@ object SampleQ {
             |       CAST(SUM(w * n_chars) AS BIGINT) AS chars_drawn
             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Leakage-safe train/test split: the 80/10-style hash split of
+    * [[splitTrainTest]] leaks when near-duplicates land on opposite
+    * sides (the eval set "contains" training data it never saw
+    * verbatim). Here the unit of assignment is the near-dup CLUSTER
+    * (connected components of d_embed_neardup's pair graph; singletons
+    * are their own cluster), so an entire duplicate family moves as one
+    * — the split decision is the Knuth-hash bucket of the cluster
+    * representative, reproducible like every sampler here.
+    *
+    * Plan: the cluster map is the CC superstep output (bounded by the
+    * near-dup cohort); assignment is a left join + row-local hash; the
+    * audit is one bounded agg per split. At 100 TB the cluster map is
+    * the dedup pipeline's existing artifact — this query is the read
+    * path that makes the split honest. */
+  val sLeakageSplit: Q = Q(
+    "s_leakage_split",
+    (spark, dir) => {
+      val comp = Registry.byName("d_cluster_cc").run(spark, dir)
+      val cohort = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 200).select(col("vec_id"))
+      cohort.join(comp.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+        .withColumn("grp", coalesce(col("comp"), col("vec_id")))
+        .withColumn("split",
+          when(hashBucket(col("grp")) < 800, "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("grp")).as("n_groups"),
+          count(col("comp")).as("n_linked"))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE
+            |${SimilarityQ.nearDupEdgeCte},
+            |e AS (SELECT vec_a, vec_b FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+            |reach(id, r) AS (
+            |  SELECT DISTINCT vec_a, vec_a FROM e
+            |  UNION
+            |  SELECT e.vec_a, reach.r FROM e JOIN reach ON e.vec_b = reach.id),
+            |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+            |a AS (
+            |  SELECT em.vec_id, cc.comp,
+            |         COALESCE(cc.comp, em.vec_id) AS grp
+            |  FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.id
+            |  WHERE em.vec_id < 200)
+            |SELECT CASE WHEN ${hashBucketSql("grp")} < 800
+            |            THEN 'train' ELSE 'test' END AS split,
+            |       COUNT(*) AS n_vecs,
+            |       COUNT(DISTINCT grp) AS n_groups,
+            |       COUNT(comp) AS n_linked
+            |FROM a GROUP BY 1 ORDER BY split""".stripMargin))
+
   val all: Seq[Q] = Seq(sampleHash, sampleStratified, splitTrainTest, sKfold,
-    sReservoir, sUndersample, sBootstrap)
+    sReservoir, sUndersample, sBootstrap, sLeakageSplit)
 }

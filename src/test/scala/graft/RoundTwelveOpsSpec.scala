@@ -279,6 +279,33 @@ class RoundTwelveOpsSpec extends SparkSpec {
       "first-ownership does not partition the shingle space")
   }
 
+  test("s_leakage_split: no near-dup pair ever crosses the split boundary") {
+    import org.apache.spark.sql.functions._
+    val comp = SparkEntry.queries("d_cluster_cc")(spark, dir)
+      .select(col("id").as("vec_id"), col("comp"))
+    val assign = Tables(spark, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("vec_id")))
+      .withColumn("split",
+        when((col("grp") % 1000003L) * 2654435761L % 1000L < 800, "train")
+          .otherwise("test"))
+      .select(col("vec_id"), col("split"))
+    val pairs = SparkEntry.queries("d_embed_neardup")(spark, dir)
+      .select(col("vec_a"), col("vec_b"))
+    val crossers = pairs
+      .join(assign.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("split", "sa"), Seq("vec_a"))
+      .join(assign.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("split", "sb"), Seq("vec_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossers == 0, s"$crossers near-dup pairs leak across the split")
+    // and the audit totals cover the whole cohort
+    val r = rows("s_leakage_split")
+    val cohort = Tables(spark, dir, "embeddings").filter(col("vec_id") < 200).count()
+    assert(r.map(_.getLong(1)).sum == cohort, "split does not cover the cohort")
+  }
+
   test("s_reservoir draws exactly k=100 distinct docs in priority order") {
     val r = rows("s_reservoir")
     assert(r.length == 100)
