@@ -512,15 +512,19 @@ object GraphQ {
         .filter(col("n") >= lit(2L) * coalesce(col("rn"), lit(0L)) + lit(2L))
         .select(col("src"), col("dst"))
         .localCheckpoint()
+      // Pointer-doubling closure: composing reach WITH ITSELF doubles the
+      // covered path length per round, so convergence takes ⌈log₂ diam⌉
+      // rounds — a worst-case 41-node directed path fits in 6 rounds
+      // where single-edge extension would blow a small cap at 40.
       var reach = e
       var size = reach.count()
       var converged = false
       var round = 0
       while (!converged && round < 16) {
         round += 1
-        val stepped = reach.as("r").join(e.as("e2"), col("r.dst") === col("e2.src"))
-          .select(col("r.src").as("src"), col("e2.dst").as("dst"))
-        val next = reach.unionByName(stepped).distinct().localCheckpoint()
+        val doubled = reach.as("r1").join(reach.as("r2"), col("r1.dst") === col("r2.src"))
+          .select(col("r1.src").as("src"), col("r2.dst").as("dst"))
+        val next = reach.unionByName(doubled).distinct().localCheckpoint()
         val n = next.count()
         converged = n == size
         reach = next
