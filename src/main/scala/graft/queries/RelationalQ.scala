@@ -285,16 +285,30 @@ object RelationalQ {
            | COUNT(DISTINCT l_suppkey) AS nd_supps, COUNT(*) AS cnt
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  /** HLL sketch — approximate, so no hash oracle; the driver records a
-    * rows-only check and a ScalaTest bounds it against the exact count. */
+  /** HLL sketch under the hard oracle gate via a deterministic BAND
+    * check: the estimate itself is implementation-specific (no SQL twin
+    * can reproduce it), so the query emits the EXACT distinct count
+    * (cross-engine verified against DuckDB's COUNT(DISTINCT)) plus a 0/1
+    * `within_band` flag asserting |estimate − exact| ≤ 5% · exact — the
+    * published HLL bound (rsd = 0.02, so 5% = 2.5σ; observed ≤ 1.6% at
+    * sf0.001–sf100). The oracle emits the literal 1, so an estimate
+    * drifting outside the band hash-fails the round. The estimate is a
+    * deterministic function of the data, so the check is reproducible. */
   val aApproxDistinct: Q = Q(
     "a_approx_distinct",
     (spark, dir) =>
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("est"),
+          countDistinct(col("l_partkey")).as("nd_parts"))
+        .select(col("l_returnflag"), col("nd_parts"),
+          when(abs(col("est") - col("nd_parts")) <= col("nd_parts") * 0.05, 1L)
+            .otherwise(0L).as("within_band"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,
+           | CAST(1 AS BIGINT) AS within_band
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   val aRollup: Q = Q(
     "a_rollup",

@@ -2,14 +2,18 @@ package graft.queries
 
 import graft._
 import graft.ops.ColumnOps._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Sketch-accelerated operators. The Bloom join is the load-bearing one:
   * build a Bloom filter on the dim keys, pre-filter the fact table before
   * the shuffle — no false negatives, so the post-join result is EXACTLY
   * the plain join (which is what the oracle runs), but at 100 TB the
-  * shuffle moves only rows that can match. approx quantile/distinct are
-  * rows-only checks (approximate by nature).
+  * shuffle moves only rows that can match. The approximate sketches
+  * (approx quantile/distinct, HLL merge) sit under the oracle gate via
+  * deterministic band checks: the query emits the exact answer (which
+  * DuckDB recomputes) plus a 0/1 flag asserting the estimate honors its
+  * published error bound, so a drifting sketch hash-fails the round.
   */
 object SketchQ {
 
@@ -48,18 +52,46 @@ object SketchQ {
            |  ON o_custkey = c_custkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
-  /** approx_percentile sketch (rows-only: approximate, no hash oracle;
-    * the exact twin a_percentile carries the oracle). */
+  /** approx_percentile sketch under the hard oracle gate via its RANK
+    * guarantee, checked deterministically: with accuracy = 1000 the
+    * returned value is an element whose rank is within ε·n (ε = 1/1000)
+    * of the target rank. The query joins the per-group estimates back to
+    * the data (broadcast — one row per group) and emits 0/1 flags
+    * `p50_ok`/`p99_ok`: count(v ≤ est) must reach ⌊(p−ε)·n⌋ and
+    * count(v < est) must not exceed ⌈(p+ε)·n⌉. The oracle emits the
+    * literal 1s plus the exact group count, so a sketch violating its
+    * published rank bound hash-fails the round. (The exact twin
+    * a_percentile still carries the value-level oracle.) */
   val aApproxQuantile: Q = Q(
     "a_approx_quantile",
-    (spark, dir) =>
-      Tables(spark, dir, "lineitem")
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("v"))
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("v"), lit(0.5), lit(1000)).as("p50"),
+          approx_percentile(col("v"), lit(0.99), lit(1000)).as("p99"))
+      def rankOk(le: Column, lt: Column, p: Double): Column = {
+        val eps = 1.0 / 1000
+        (le >= floor(lit(p - eps) * col("n")) &&
+          lt <= ceil(lit(p + eps) * col("n"))).cast("long")
+      }
+      li.join(broadcast(est), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_percentile(cents(col("l_extendedprice")), lit(0.5), lit(1000)).as("p50_approx"),
-          approx_percentile(cents(col("l_extendedprice")), lit(0.99), lit(1000)).as("p99_approx"))
-        .orderBy("l_returnflag"),
-    oracle = None)
+          count(lit(1)).as("n"),
+          sum(when(col("v") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("v") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("v") <= col("p99"), 1L).otherwise(0L)).as("le99"),
+          sum(when(col("v") < col("p99"), 1L).otherwise(0L)).as("lt99"))
+        .select(col("l_returnflag"), col("n"),
+          rankOk(col("le50"), col("lt50"), 0.5).as("p50_ok"),
+          rankOk(col("le99"), col("lt99"), 0.99).as("p99_ok"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some("""SELECT l_returnflag, COUNT(*) AS n,
+           | CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p99_ok
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Corpus-wide top-k tokens (text-analysis star): explode -> count ->
     * top-k. Ties broken by token for determinism. */
@@ -85,24 +117,44 @@ object SketchQ {
     * / shard / day, merge upward) instead of a re-scan per grain. The
     * union row (nation = -1) is computed FROM the per-nation sketches,
     * not from the base data — that merge step IS the operator under test.
-    * Rows-only check (sketch internals differ per implementation; no SQL
-    * oracle) + HllMergeSpec bounds both grains against exact counts. */
+    * Under the hard oracle gate via a deterministic band check: sketch
+    * internals differ per implementation, so the query emits the EXACT
+    * distinct count per grain (cross-engine verified by DuckDB) plus a
+    * 0/1 `within_band` flag asserting |estimate − exact| ≤ 5% · exact —
+    * HllMergeSpec's published bound (default lgConfigK=12 HLL is ~1.6%
+    * at these cardinalities). The oracle emits the literal 1, so a
+    * per-nation OR merged estimate outside the band hash-fails. */
   val aHllMerge: Q = Q(
     "a_hll_merge",
     (spark, dir) => {
-      val perNation = Tables(spark, dir, "customer")
+      def band(est: Column, exact: Column): Column =
+        when(abs(est - exact) <= greatest(exact * 0.05, lit(1.0)), 1L)
+          .otherwise(0L)
+      val cust = Tables(spark, dir, "customer")
+      val perNation = cust
         .groupBy(col("c_nationkey"))
-        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact_custs"))
+      val globalExact = cust.agg(countDistinct(col("c_custkey")).as("exact_custs"))
       val global = perNation
         .agg(hll_union_agg(col("sk")).as("sk"))
-        .select(lit(-1L).as("nation"), hll_sketch_estimate(col("sk")).as("est_custs"))
+        .crossJoin(broadcast(globalExact)) // one row × one row
+        .select(lit(-1L).as("nation"), col("exact_custs"),
+          band(hll_sketch_estimate(col("sk")), col("exact_custs")).as("within_band"))
       perNation
-        .select(col("c_nationkey").cast("long").as("nation"),
-          hll_sketch_estimate(col("sk")).as("est_custs"))
+        .select(col("c_nationkey").cast("long").as("nation"), col("exact_custs"),
+          band(hll_sketch_estimate(col("sk")), col("exact_custs")).as("within_band"))
         .unionAll(global)
         .orderBy("nation")
     },
-    oracle = None)
+    oracle = Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  COUNT(DISTINCT c_custkey) AS exact_custs, CAST(1 AS BIGINT) AS within_band
+        |FROM customer GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), COUNT(DISTINCT c_custkey), CAST(1 AS BIGINT)
+        |FROM customer
+        |ORDER BY nation""".stripMargin))
 
   /** EXACT heavy hitters via a Misra–Gries candidate prune (the two-pass
     * frequent-items pattern): pass 1 folds the token stream into one 2k-long

@@ -577,7 +577,13 @@ object TemporalQ {
         .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
           col("days_since"), col("rev_cents"), col("cum_rev_cents"),
           col("cohort_users"),
-          expr("cum_rev_cents div cohort_users").as("ltv_cents"))
+          // FLOOR division, exact in integers: Spark `div` truncates toward
+          // zero while the DuckDB oracle's `//` floors, which diverges for
+          // negative cumulative revenue (refund-heavy cohorts). pmod >= 0
+          // makes the numerator exactly divisible, so `div` is exact here
+          // and equals floor for any sign of cum_rev_cents.
+          expr("(cum_rev_cents - pmod(cum_rev_cents, cohort_users)) div cohort_users")
+            .as("ltv_cents"))
         .orderBy(col("cohort_day"), col("days_since"))
     },
     Some("""WITH ev AS (

@@ -53,11 +53,19 @@ class RoundTwelveOpsSpec extends SparkSpec {
 
   // sf0.01: at sf0.001 the pair evidence is too thin for the (2n+2)
   // dominance guard and the digraph is correctly empty — the invariants
-  // need the populated graph the oracle gate actually checks.
+  // need the populated graph the oracle gate actually checks. The path
+  // is derived from the suite's base dir (sibling scale factor), and the
+  // tests assume() it exists so a machine without the sf0.01 fixture
+  // skips them visibly instead of failing or silently passing.
+  private val sf01Dir = dir.replace("sf0.001", "sf0.01")
+  private def assumeSf01(): Unit =
+    assume(new java.io.File(sf01Dir, "lineitem.parquet").exists(),
+      s"sf0.01 fixture missing at $sf01Dir")
   private lazy val sccRows: Array[Row] =
-    SparkEntry.queries("g_scc")(spark, "/root/testdata/sf0.01").collect()
+    SparkEntry.queries("g_scc")(spark, sf01Dir).collect()
 
   test("g_scc is a partition into mutually-reachable classes with consistent sizes") {
+    assumeSf01()
     val r = sccRows
     assert(r.length >= 40, s"output must cover the whole observed cohort, got ${r.length}")
     assert(r.exists(_.getLong(2) > 1), "no multi-member SCC at sf0.01")
@@ -74,6 +82,7 @@ class RoundTwelveOpsSpec extends SparkSpec {
   }
 
   test("g_scc singleton-vs-cycle structure: a multi-member SCC implies a directed cycle") {
+    assumeSf01()
     // mutual reachability inside a multi-member SCC means the dominance
     // digraph has a cycle through every member; with the (2n+2) dominance
     // guard both arcs of a pair can't coexist, so any cycle is length >= 3

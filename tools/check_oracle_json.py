@@ -61,17 +61,38 @@ def canon_type(t):
 
 
 def timed(sql):
-    """Run one statement with a wall limit; returns err (None on success)."""
-    timer = threading.Timer(timeout_s, con.interrupt)
+    """Run one statement with a wall limit; returns err (None on success).
+
+    Timeout detection is by PROVENANCE, not elapsed-time heuristics: the
+    timer callback sets `fired` before interrupting, and only an
+    InterruptException (or interrupt-shaped error) raised AFTER the flag
+    is classified `oracle_timeout` — a genuine DuckDB error near the wall
+    limit stays a FAIL. The `done` flag stops a timer that pops between a
+    successful execute and cancel() from poisoning the NEXT statement.
+    """
+    state = {"fired": False, "done": False}
+
+    def _interrupt():
+        if not state["done"]:
+            state["fired"] = True
+            con.interrupt()
+
+    timer = threading.Timer(timeout_s, _interrupt)
     timer.start()
     t0 = time.time()
     try:
         con.execute(sql)
+        state["done"] = True
         return None
+    except duckdb.InterruptException:
+        state["done"] = True
+        if state["fired"]:
+            return f"oracle_timeout after {int(time.time() - t0)}s"
+        return "duckdb error: interrupted without timeout"
     except Exception as e:
-        dt = time.time() - t0
-        if dt >= timeout_s - 1:
-            return f"oracle_timeout after {int(dt)}s"
+        state["done"] = True
+        if state["fired"] and "interrupt" in str(e).lower():
+            return f"oracle_timeout after {int(time.time() - t0)}s"
         return f"duckdb error: {str(e)[:300]}"
     finally:
         timer.cancel()
@@ -147,8 +168,12 @@ with open(json_out, "w") as f:
 
 n_ok = sum(1 for r in results.values()
            if r["rows_match"] and r["schema_match"] and r["hash_match"])
+# Exclusions match EXPLICITLY (prefix/equality): a DuckDB error message or
+# a value-mismatch sample row that happens to contain the word "timeout"
+# must count as FAIL, not exclusion.
 n_excl = sum(1 for r in results.values() if r["err"] and (
-    "timeout" in r["err"] or r["err"] == "no_oracle"))
+    r["err"].startswith(("oracle_timeout", "compare_timeout"))
+    or r["err"] == "no_oracle"))
 n_fail = len(results) - n_ok - n_excl
 print(f"== {n_ok} ok, {n_excl} excluded (timeout/no-oracle), {n_fail} FAIL of {len(results)}")
 for name, r in sorted(results.items()):

@@ -25,10 +25,25 @@ import pyarrow as pa, pyarrow.parquet as pq
 work, q = sys.argv[1:3]
 f = glob.glob(f"{work}/{q}/*.parquet")[0]
 t = pq.read_table(f)
-col = t.column_names[-1]
+# Per-type perturbation over the FIRST corruptible column — a query whose
+# last column is a string/date must still exercise the gate, not crash.
+idx = None
+for i, field in enumerate(t.schema):
+    ty = field.type
+    if (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+            or pa.types.is_string(ty) or pa.types.is_large_string(ty)):
+        idx = i
+        break
+if idx is None:
+    sys.exit(f"[selftest] FATAL: no numeric/string column to corrupt in {q}")
+col = t.column_names[idx]
+ty = t.schema.field(idx).type
 vals = t[col].to_pylist()
-vals[0] = (vals[0] or 0) + 1
-pq.write_table(t.set_column(t.num_columns - 1, col, pa.array(vals, type=t[col].type)), f)
+if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+    vals[0] = (vals[0] or "") + "\x01corrupt"
+else:
+    vals[0] = (vals[0] or 0) + 1
+pq.write_table(t.set_column(idx, col, pa.array(vals, type=ty)), f)
 print(f"[selftest] corrupted one value in {col}")
 EOF
 echo "[selftest] corrupted copy must FAIL"
