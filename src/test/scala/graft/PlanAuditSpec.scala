@@ -840,4 +840,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join in featurization:\n$p")
     assert(!p.contains("Window"), s"unexpected window in featurization:\n$p")
   }
+
+  test("d_incremental re-invocation scans the persistent base index, not a re-band") {
+    // first invocation may build the _SUCCESS-guarded index; the second
+    // must band ONLY the delta (one shingle_hashes in the plan) and read
+    // the base side from the persisted parquet — the production ingest
+    // flow (index built once, deltas stream in).
+    SparkEntry.queries("d_incremental")(spark, dir).count()
+    val p = executedPlanString("d_incremental")
+    val nBand = "shingle_hashes".r.findAllIn(p).length
+    assert(nBand == 1, s"expected exactly one delta-side banding pass, got $nBand:\n$p")
+    assert(p.contains("graft_dincr_base_v1"),
+      s"base side does not scan the persisted index:\n$p")
+  }
 }
