@@ -29,6 +29,7 @@ object Registry {
       queries.SimilarityQ.all ++
       queries.TextQ.all ++
       queries.StreamingBatchQ.all ++
+      queries.StreamingReplayQ.all ++
       queries.MultimodalQ.all ++
       queries.ScanQ.all ++
       queries.AdvancedQ.all ++

@@ -24,12 +24,21 @@ object Verify {
     // recorded as failed instead of starving the rest of the run. The
     // driver's sf0.01 gate sets no limit — behavior there is unchanged.
     val timeoutS: Option[Long] = sys.env.get("SPARK_GRAFT_TIMEOUT_S").map(_.toLong)
+    // SPARK_GRAFT_COALESCE=0 keeps the dump's natural partitioning — for
+    // the 100× sweep, where coalesce(1) serializes a 60M-row write onto
+    // one thread (f_struct: 47.7 s -> seconds). The compare tool globs
+    // <query>/*.parquet either way. The driver's sf0.01 gate leaves the
+    // env unset and keeps the single-file layout it expects.
+    val coalesce1 = sys.env.get("SPARK_GRAFT_COALESCE").forall(_ != "0")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      def work(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      def work(): Unit = {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       try {
         timeoutS match {
           case None => work()

@@ -485,12 +485,13 @@ object GraphQ {
     * therefore comes from the PAIR frame (every cohort supplier
     * observed on consecutive mixed-supplier lines), not the arc frame:
     * suppliers without arcs surface as singleton SCCs instead of
-    * vanishing. At the MakeSf decades specifically the output is empty
-    * for a FIXTURE reason, not a statistical one: the key remap
-    * (key·f + copy) makes the suppkey ≤ 40 slice all copies of one
-    * original supplier, so every consecutive-line pair is a self-pair
-    * and even the pair frame is empty — on real data the cohort is a
-    * stable dimension list and the partition stays total. */
+    * vanishing. At the MakeSf decades the suppkey ≤ 40 slice is the
+    * ORIGINAL suppliers 0..40 (round 13: the remap is key + copy·stride,
+    * so low-key cohorts stay real copy-0 originals — the earlier
+    * key·f + copy form collapsed the slice to f copies of supplier 0
+    * and the 100× run was vacuous), so the pair frame, the dominance
+    * margin, and the SCC partition are exercised on real structure at
+    * every decade. */
   val gScc: Q = Q(
     "g_scc",
     (spark, dir) => {

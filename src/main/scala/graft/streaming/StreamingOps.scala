@@ -124,15 +124,23 @@ object StreamingOps {
     * total order (ts, event_id) — unique, so the merge is deterministic
     * and idempotent. At scale the snapshot rewrite is the no-ACID-format
     * cost; the shape ports to MERGE INTO unchanged on Delta/Iceberg. */
-  def upsertLatestSink(events: DataFrame, snapshotDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+  def upsertLatestSink(events: DataFrame, snapshotDir: String, checkpoint: String,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyUpsert(batch, snapshotDir, batchId); ()
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Newest committed snapshot version under [[upsertLatestSink]]'s dir —
+    * the read path a downstream consumer uses (replay-safe: versions are
+    * only listed after their rewrite completed). */
+  def latestSnapshot(dir: String): Option[String] =
+    listVersions(dir).sorted.lastOption.map(v => s"$dir/v=$v")
 
   /** One CDC-apply step — exposed so the replay spec can re-run a batch
     * and prove the rewrite is byte-stable. */

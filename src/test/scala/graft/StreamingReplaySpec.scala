@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the oracle-gated streaming replay queries
+  * (graft.queries.StreamingReplayQ) that the DuckDB hash compare can't
+  * express: the replay genuinely spans multiple micro-batches, the
+  * staged landing genuinely contains duplicates, and the dedup output
+  * removed exactly those.
+  */
+class StreamingReplaySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def landingPath: String =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_landing_v1${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  test("st_dedup_replay: multi-batch replay, duplicates staged and removed") {
+    val out = SparkEntry.queries("st_dedup_replay")(spark, dir)
+    val ids = out.select("event_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate event_id survived dedup")
+
+    // the landing (built by the query above) must contain the injected
+    // duplicates and at least 3 data files — with maxFilesPerTrigger=1
+    // that means >= 3 micro-batches, so dedup state crossed batches
+    val files = new java.io.File(landingPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length >= 3, s"landing has only ${files.length} data files")
+    val staged = spark.read.parquet(landingPath)
+    val nStaged = staged.count()
+    val nEvents = Tables(spark, dir, "events").count()
+    assert(nStaged > nEvents, "no duplicates staged in the landing")
+    assert(ids.length == nEvents, "dedup output != original event count")
+  }
+
+  test("st_upsert_replay: one row per user, each carrying that user's latest event") {
+    val out = SparkEntry.queries("st_upsert_replay")(spark, dir).collect()
+    val users = out.map(_.getLong(0))
+    assert(users.distinct.length == users.length, "user appears twice in snapshot")
+    val expected = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      assert(r.getLong(2) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)} snapshot is not the latest event")
+    }
+  }
+}
