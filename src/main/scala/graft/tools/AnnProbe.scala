@@ -97,5 +97,69 @@ object AnnProbe {
       println(f"$name%-16s $k%3d $recall%9.3f ${cand}%12.0f ${cand / full * 100}%8.1f%%")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+
+    // PQ codebook-sizing bracket (round 13): SAME ADC machinery as
+    // sim_pq_topk, with the codebook sampled (a) from the fixed cohort
+    // (vec_id < 2000 — what the registered query does, so codeword
+    // count stays constant as the corpus grows) vs (b) from the FULL
+    // corpus at the same 1-in-13 rate (codewords ∝ n, i.e. codebook
+    // bits grow with log corpus — the classic PQ sizing rule). The
+    // recall gap between the rows IS the sizing rule, measured.
+    for ((lbl, mod, bound) <- Seq(
+        ("pq cb-fixed", 13, Some(2000L)),
+        ("pq cb-corpus", 13, None),
+        ("pq cb-corpus4", 4, None))) {
+      val (recall, ncw) = pqRecall(spark, dir, exact, mod, bound)
+      println(f"$lbl%-16s   5 $recall%9.3f ${full}%12.0f ${100.0}%8.1f%% ($ncw codewords/subspace)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** recall@5 of the PQ/ADC pipeline (sim_pq_topk's exact mechanics)
+    * with a parameterized codebook sample; returns (recall, codewords
+    * per subspace). */
+  private def pqRecall(spark: SparkSession, dir: String,
+                       exact: Map[Long, Seq[Long]],
+                       cbMod: Int, cbBound: Option[Long]): (Double, Long) = {
+    val cbFilter = cbBound.foldLeft(col("vec_id") % cbMod === 0)(
+      (f, b) => f && col("vec_id") < b)
+    val dotL = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.vec_dot_long(a, b)
+    val base = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val subs = base
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"), col("qv"))
+      .select(col("vec_id"), col("s"),
+        slice(col("qv"), col("s") * lit(8) + lit(1), lit(8)).as("sub"))
+    val cb = subs.filter(cbFilter)
+      .select(expr(s"vec_id div $cbMod").as("j"), col("s").as("cs"), col("sub").as("cw"))
+      .localCheckpoint()
+    val ncw = cb.filter(col("cs") === 0).count()
+    val codes = subs
+      .join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("d2", dotL(col("cw"), col("cw")) - lit(2L) * dotL(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("j"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.j").as("code"))
+    val lut = subs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sub").as("qsub"))
+      .join(broadcast(cb), col("qs") === col("cs"))
+      .select(col("q_id"), col("qs"), col("j"), dotL(col("qsub"), col("cw")).as("dp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val approx = collectTopk(codes
+      .join(broadcast(lut), col("s") === col("qs") && col("code") === col("j"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dp")).as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5))
+    val recalls = exact.toSeq.map { case (q, ex) =>
+      val want = ex.take(5).toSet
+      val got = approx.getOrElse(q, Nil).take(5).toSet
+      (want & got).size.toDouble / 5
+    }
+    (recalls.sum / recalls.size, ncw)
   }
 }
