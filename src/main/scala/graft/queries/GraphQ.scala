@@ -496,7 +496,14 @@ object GraphQ {
     "g_scc",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (ties
+      // exist), so ordering by linenumber alone makes the LAG sequence
+      // partition-layout dependent — caught by the 100× probe in round
+      // 13 (engines agreed at sf0.1, diverged at the decade). Adding the
+      // supplier to the sort key makes the s-SEQUENCE total: rows tied
+      // on (linenumber, suppkey) are interchangeable for pair formation.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("s"))
       val pairs = Tables(spark, dir, "lineitem")
         .filter(col("l_suppkey") <= 40)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -550,7 +557,7 @@ object GraphQ {
     Some("""WITH RECURSIVE seq AS (
            |  SELECT l_suppkey AS s,
            |         LAG(l_suppkey) OVER (PARTITION BY l_orderkey
-           |           ORDER BY l_linenumber) AS prev
+           |           ORDER BY l_linenumber, l_suppkey) AS prev
            |  FROM lineitem WHERE l_suppkey <= 40),
            |pairs AS (
            |  SELECT prev AS src, s AS dst, COUNT(*) AS n FROM seq
