@@ -129,5 +129,95 @@ object StreamingReplayQ {
            |      FROM events) t
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay)
+  /** Time-sliced landing for the session replay: 4 files covering equal
+    * EVENT-TIME quarters, mtimes set strictly increasing so the file
+    * source admits them chronologically — per-key time-ordered arrival,
+    * under which [[StreamingOps.foldSessions]] is exactly batch gap
+    * sessionization (its spec's pinned property). Published by atomic
+    * directory rename, like [[landingDir]]. */
+  private def sessionLandingDir(spark: SparkSession, dir: String): String = {
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stream_sessions_v1$dirTag"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val build = java.nio.file.Paths.get(path + ".build")
+      java.nio.file.Files.createDirectories(build)
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val step = math.max(1L, (t1 - t0) / 4 + 1)
+      (0 until 4).foreach { k =>
+        val lo = t0 + k * step
+        val hi = t0 + (k + 1) * step
+        val scratch = Files.createTempDirectory(s"graft_sess_slice$k")
+        ev.filter(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(sys.error(s"slice $k produced no parquet file"))
+        val dest = build.resolve(f"slice-$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        // strictly increasing mtimes: the file source orders by them
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      if (!fs.rename(new org.apache.hadoop.fs.Path(build.toString), p))
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+    }
+    path
+  }
+
+  /** Streaming sessionization, end-to-end through the
+    * flatMapGroupsWithState machine: time-sliced landing → 4
+    * chronological micro-batches → per-user session fold with state
+    * carried ACROSS batches (a session spanning a slice boundary must
+    * be stitched by the state store, not the batch) → append sink of
+    * CLOSED sessions. Determinism contract: the watermark delay exceeds
+    * the event-time span, so the event-time TIMER never fires and a
+    * session closes only when a later same-user event arrives past the
+    * gap — hence the sink holds every session EXCEPT each user's last,
+    * regardless of batch boundaries (chronological arrival makes the
+    * fold exactly batch gap sessionization). The DuckDB oracle is the
+    * gaps-and-islands twin minus each user's final island. */
+  val stSessionReplay: Q = Q(
+    "st_session_replay",
+    (spark, dir) => {
+      val landing = sessionLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stsess_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stsess_ckpt").toString
+      val spark2 = spark; import spark2.implicits._
+      val q = StreamingOps.userSessions(
+          fileStream(spark, landing).as[graft.streaming.Event],
+          gapMs = 30L * 60 * 1000, watermark = SpanProofWatermark)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sink)
+        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")
+    },
+    Some("""WITH x AS (SELECT user_id, ts, event_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |y AS (SELECT user_id, ts,
+           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM x),
+           |s AS (SELECT user_id, sid,
+           |    CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+           |    CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
+           |    COUNT(*) AS n_events
+           |  FROM y GROUP BY 1, 2)
+           |SELECT user_id, start_ms, end_ms, n_events FROM s
+           |WHERE sid < (SELECT MAX(sid) FROM s s2 WHERE s2.user_id = s.user_id)
+           |ORDER BY user_id, start_ms""".stripMargin))
+
+  val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay)
 }

@@ -32,6 +32,38 @@ class StreamingReplaySpec extends SparkSpec {
     assert(ids.length == nEvents, "dedup output != original event count")
   }
 
+  test("st_session_replay: session closures cross slice boundaries (state stitched across batches)") {
+    // sf0.01: sessions at sf0.001 are too sparse for boundary-crossing
+    // evidence; guarded like RoundTwelveOpsSpec's g_scc tests
+    val sf01 = dir.replace("sf0.001", "sf0.01")
+    assume(new java.io.File(sf01, "events.parquet").exists(), s"fixture missing: $sf01")
+    val out = SparkEntry.queries("st_session_replay")(spark, sf01).collect()
+    assert(out.nonEmpty, "no closed sessions emitted")
+    // the landing cuts event time into 4 equal quarters. A session whose
+    // user's NEXT session starts after a cut while it ended before the
+    // cut was CLOSED by an event from a later micro-batch — only possible
+    // if the open-session state survived the batch boundary. (Sessions
+    // here are sub-second, so span-straddling is the wrong probe; the
+    // closure edge is where cross-batch state is actually exercised.
+    // Measured: 450 such closures at sf0.01.)
+    val ev = Tables(spark, sf01, "events")
+      .agg(min(col("ts")), max(col("ts"))).head()
+    val (t0, t1) = (ev.getTimestamp(0).getTime, ev.getTimestamp(1).getTime)
+    val step = math.max(1L, (t1 - t0) / 4 + 1)
+    val cuts = (1 to 3).map(k => t0 + k * step)
+    val crossClosures = out.groupBy(_.getLong(0)).valuesIterator.map { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).count {
+        case Array(a, b) => cuts.exists(c => a.getLong(2) < c && b.getLong(1) >= c)
+        case _ => false
+      }
+    }.sum
+    assert(crossClosures > 0,
+      "no session closure crossed a slice boundary — replay never exercised cross-batch state")
+    // every session respects its basic shape
+    out.foreach(r => assert(r.getLong(1) <= r.getLong(2) && r.getLong(3) >= 1, s"malformed session: $r"))
+  }
+
   test("st_upsert_replay: one row per user, each carrying that user's latest event") {
     val out = SparkEntry.queries("st_upsert_replay")(spark, dir).collect()
     val users = out.map(_.getLong(0))
