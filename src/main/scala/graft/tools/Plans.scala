@@ -63,7 +63,8 @@ object Plans {
     "x_hhi" -> "HHI: fact collapses to the checkpointed supplier-bounded revenue grain; total agg + share join reuse it, dims ride broadcasts",
     "e_feature_hash" -> "hashing trick: row-local split/hash chain into one partial+final (doc, feature) aggregate — no join, no window, no vocabulary state",
     "s_bootstrap" -> "online bootstrap: replicate fan-out is a 3-row broadcast cross, weights are row-local hash math, replicates partial-aggregate in the same pass",
-    "mm_audio_window" -> "audio framing: explode of the frame-index sequence + row-local energy fold — scan-parallel, zero shuffle before the presentation sort")
+    "mm_audio_window" -> "audio framing: explode of the frame-index sequence + row-local energy fold — scan-parallel, zero shuffle before the presentation sort",
+    "d_incremental" -> "incremental dedup read path: base band index is a plain FileScan of the persisted parquet (no re-banding — exactly one shingle/minhash pass, over the delta), candidate pairs from the (band, sig) equi-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
