@@ -90,6 +90,48 @@ object LayoutQ {
            | CAST(SUM(price_cents) AS BIGINT) AS sum_cents
            |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Writer ROW-GROUP sizing as a parallelism knob. The round-13 decade
+    * layout sweep measured the failure mode this operator guards
+    * against: a copy of events written as 4 files holding ONE
+    * ~1.4M-row row group each collapsed a row-local 10M-row projection
+    * from 32 tasks to 4 (56 s → 436 s) — `maxPartitionBytes` plans
+    * BYTE ranges, but a task can only read whole row groups, so
+    * effective scan parallelism is capped by the TOTAL ROW-GROUP
+    * count, not the byte math. The operator rewrites a 2-file layout
+    * with bounded row groups (`parquet.block.size`), so the same two
+    * files carry many independently-readable row groups and a scan
+    * parallelizes past the file count again. Oracle = content
+    * identity; the row-group structure itself (groups ≫ files for the
+    * bounded write, groups == files for a default sibling) is pinned
+    * in LayoutSpec via the parquet footers. The 16 KB bound is sized
+    * to the tiny gate fixtures so the split is visible at sf0.001; in
+    * production the same knob is set to 64–512 MB — small enough that
+    * bytes/maxPartitionBytes tasks each own whole groups, large enough
+    * that footers and page headers stay negligible. */
+  val sinkRowgroups: Q = Q(
+    "sink_rowgroups",
+    (spark, dir) => {
+      val path = tmp(spark, "sink_rowgroups", dir)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            cents(col("l_extendedprice")).as("price_cents"))
+          .repartition(2) // "big files" layout — the row-group bound, not
+          .write.mode("overwrite") // file count, keeps it scan-parallel
+          .option("parquet.block.size", 16 * 1024)
+          .parquet(path)
+      }
+      spark.read.parquet(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Hidden file-metadata columns: every file-based scan exposes
     * `_metadata` (file_path, file_name, file_size, row_index, ...) — the
     * lineage surface for audits ("which file did this row come from")
@@ -142,5 +184,5 @@ object LayoutQ {
            | CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS row_index_sum
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(sinkCompact, scanEvolve, scanMetadata)
+  val all: Seq[Q] = Seq(sinkCompact, scanEvolve, scanMetadata, sinkRowgroups)
 }
