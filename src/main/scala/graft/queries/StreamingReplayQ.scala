@@ -46,8 +46,12 @@ object StreamingReplayQ {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".build")
-      fs.delete(tmp, true)
+      // build in a UNIQUE scratch dir (same filesystem), publish by
+      // atomic rename — two racing builders each assemble their own
+      // identical copy and the first rename wins; a shared build path
+      // would let them interleave files before the publish
+      val tmp = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("graft_landing_build").toString)
       val ev = Tables(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -141,8 +145,8 @@ object StreamingReplayQ {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      val build = java.nio.file.Paths.get(path + ".build")
-      java.nio.file.Files.createDirectories(build)
+      // unique scratch + atomic rename, same reasoning as [[landingDir]]
+      val build = Files.createTempDirectory("graft_sessions_build")
       val ev = Tables(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
