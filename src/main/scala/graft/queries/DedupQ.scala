@@ -611,12 +611,27 @@ object DedupQ {
       }
       val docs = Tables(spark, dir, "documents")
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idxPath = s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v1$dirTag"
-      val p = new org.apache.hadoop.fs.Path(idxPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      val idxPath =
+        s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v2_${sys.props("user.name")}$dirTag"
+      // Build in a unique scratch, publish by POSIX rename: two racing
+      // builders writing mode(overwrite) into the SAME shared path would
+      // interleave their commit protocols (each deterministic copy is
+      // identical, but the mix isn't); ATOMIC_MOVE onto an existing
+      // non-empty dir fails, so the loser just deletes its scratch.
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath))) {
+        val build = java.nio.file.Files.createTempDirectory("graft_dincr_build")
         bandsOf(docs.filter(col("doc_id") < 300))
-          .write.mode("overwrite").parquet(idxPath)
+          .write.mode("overwrite").parquet(build.toString)
+        try java.nio.file.Files.move(build, java.nio.file.Paths.get(idxPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+            f.delete(); ()
+          }
+          del(build.toFile) // lost the race: the winner published
+        }
+      }
       val delta = bandsOf(docs.filter(col("doc_id") >= 300 && col("doc_id") < 500))
       delta.as("x")
         .join(spark.read.parquet(idxPath).as("y"),

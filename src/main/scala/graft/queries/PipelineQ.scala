@@ -214,6 +214,11 @@ object PipelineQ {
   private def snapshotFixtureDir(spark: org.apache.spark.sql.SparkSession): String = {
     val ptr = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_snapread_v1_${sys.props("user.name")}_$NumPackets.path")
+    // Dangling-pointer guard: a /tmp reaper can remove the snapshot dir
+    // but keep the recently-read pointer file — drop the pointer and
+    // rebuild instead of failing forever on a path that no longer exists.
+    if (Files.exists(ptr) && !Files.isDirectory(Paths.get(Files.readString(ptr))))
+      Files.deleteIfExists(ptr)
     if (!Files.exists(ptr)) {
       val outDir = Files.createTempDirectory("graft_snapread").toString
       val slim = cfg.copy(widen = false)

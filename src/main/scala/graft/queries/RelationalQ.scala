@@ -310,7 +310,11 @@ object RelationalQ {
           approx_count_distinct(col("l_partkey"), 0.02).as("est"),
           count(lit(1)).as("nd_parts"))
         .select(col("l_returnflag"), col("nd_parts"),
-          when(abs(col("est") - col("nd_parts")) <= col("nd_parts") * 0.05, 1L)
+          // absolute floor of 1 like a_hll_merge's band(): a group with
+          // < 20 distinct keys would otherwise have a sub-1 tolerance
+          // and hash-fail on a single-unit estimate deviation
+          when(abs(col("est") - col("nd_parts")) <=
+            greatest(col("nd_parts") * 0.05, lit(1.0)), 1L)
             .otherwise(0L).as("within_band"))
         .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts,

@@ -36,29 +36,60 @@ object StreamingReplayQ {
 
   private val tsSec = "yyyy-MM-dd HH:mm:ss"
 
-  /** Landing dir, staged ONCE per source dir (fixture discipline):
-    * events written as 2 part files plus the duplicates as a third file,
-    * published by ATOMIC directory rename so a killed JVM never leaves a
-    * half-staged landing behind the guard. */
-  private def landingDir(spark: SparkSession, dir: String): String = {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Publish a fully-built scratch dir to `target` with POSIX rename(2)
+    * semantics: `ATOMIC_MOVE` onto an existing non-empty directory FAILS
+    * (no copy-into-child fallback, unlike Hadoop LocalFileSystem rename),
+    * so racing builders are strictly first-wins and the loser deletes its
+    * scratch. Permissions are widened before the publish because
+    * `createTempDirectory` makes 0700 dirs and the target lives under the
+    * shared /tmp (the pcapPath lesson — another OS user must be able to
+    * READ a published fixture, and the path is user-keyed so they never
+    * need to write it). */
+  private def publishDir(build: java.nio.file.Path, target: String): Unit = {
+    import java.nio.file.attribute.PosixFilePermissions
+    try {
+      Files.setPosixFilePermissions(build, PosixFilePermissions.fromString("rwxr-xr-x"))
+      Option(build.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        try Files.setPosixFilePermissions(f.toPath, PosixFilePermissions.fromString(
+          if (f.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
+        catch { case _: Exception => () }
+      }
+    } catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+    try Files.move(build, java.nio.file.Paths.get(target),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      deleteRecursively(build.toFile) // lost the race: the winner published
+    }
+  }
+
+  private def fixturePath(kind: String, dir: String): String = {
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stream_landing_v1$dirTag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      // build in a UNIQUE scratch dir (same filesystem), publish by
-      // atomic rename — two racing builders each assemble their own
-      // identical copy and the first rename wins; a shared build path
-      // would let them interleave files before the publish
-      val tmp = new org.apache.hadoop.fs.Path(
-        Files.createTempDirectory("graft_landing_build").toString)
+    // keyed by user.name: fixtures under a shared /tmp, same discipline
+    // as PipelineQ.snapshotFixtureDir
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_v2_${sys.props("user.name")}$dirTag"
+  }
+
+  /** Landing dir, staged ONCE per (user, source dir) — fixture
+    * discipline: events written as 2 part files plus the duplicates as a
+    * third file, assembled in a unique scratch and published by atomic
+    * rename so a killed JVM never leaves a half-staged landing behind
+    * the guard and racing builders never interleave files. */
+  private def landingDir(spark: SparkSession, dir: String): String = {
+    val path = fixturePath("stream_landing", dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
+      val build = Files.createTempDirectory("graft_landing_build")
       val ev = Tables(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      ev.repartition(2).write.mode("overwrite").parquet(tmp.toString)
+      ev.repartition(2).write.mode("overwrite").parquet(build.toString)
       ev.filter(pmod(col("event_id"), lit(10)) === 0)
-        .coalesce(1).write.mode("append").parquet(tmp.toString)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, true) // benign race: winner published
+        .coalesce(1).write.mode("append").parquet(build.toString)
+      publishDir(build, path)
     }
     path
   }
@@ -73,6 +104,17 @@ object StreamingReplayQ {
   // Delay longer than any fixture's event-time span: nothing is ever
   // late-dropped or evicted, so the replay is batching-independent.
   private val SpanProofWatermark = "3650 days"
+
+  /** Materialize the query's presentation frame off its scratch sink,
+    * then delete the sink + checkpoint: repeated bench/verify rounds must
+    * not grow /tmp without bound (each stream run writes a fresh sink by
+    * design — the run IS the operator — but its bytes need only outlive
+    * the localCheckpoint that materializes them). */
+  private def materializeAndClean(out: DataFrame, dirs: String*): DataFrame = {
+    val checkpointed = out.localCheckpoint()
+    dirs.foreach(d => deleteRecursively(new java.io.File(d)))
+    checkpointed
+  }
 
   /** Streaming exact dedup, end-to-end: landing (with injected exact
     * duplicates) → dropDuplicatesWithinWatermark keyed state → append
@@ -93,10 +135,12 @@ object StreamingReplayQ {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.parquet(sink)
-        .select(col("event_id"), date_format(col("ts"), tsSec).as("ts_s"),
-          col("user_id"), col("event_type"), cents(col("value")).as("value_cents"))
-        .orderBy("event_id")
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .select(col("event_id"), date_format(col("ts"), tsSec).as("ts_s"),
+            col("user_id"), col("event_type"), cents(col("value")).as("value_cents"))
+          .orderBy("event_id"),
+        sink, ckpt)
     },
     Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            | user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents
@@ -105,8 +149,9 @@ object StreamingReplayQ {
   /** Streaming CDC-apply upsert, end-to-end: landing → foreachBatch
     * versioned latest-per-user snapshot ([[StreamingOps.upsertLatestSink]],
     * one deterministic rewrite per micro-batch with replay-safe version
-    * selection and pruning) → read ONLY through the newest committed
-    * version. The oracle is the batch latest-per-user over events
+    * selection and pruning) → read ONLY through the newest COMMITTED
+    * version ([[StreamingOps.latestSnapshot]] skips torn, _SUCCESS-less
+    * version dirs). The oracle is the batch latest-per-user over events
     * (ROW_NUMBER on the total (ts, event_id) order), so a stale version,
     * a double-applied batch, or a dropped key hash-fails. */
   val stUpsertReplay: Q = Q(
@@ -120,10 +165,12 @@ object StreamingReplayQ {
       q.awaitTermination()
       val latest = StreamingOps.latestSnapshot(snap)
         .getOrElse(sys.error("no committed snapshot version after replay"))
-      spark.read.parquet(latest)
-        .select(col("user_id"), date_format(col("ts"), tsSec).as("ts_s"),
-          col("event_id"), cents(col("value")).as("value_cents"))
-        .orderBy("user_id")
+      materializeAndClean(
+        spark.read.parquet(latest)
+          .select(col("user_id"), date_format(col("ts"), tsSec).as("ts_s"),
+            col("event_id"), cents(col("value")).as("value_cents"))
+          .orderBy("user_id"),
+        snap, ckpt)
     },
     Some("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
            | event_id, CAST(round(value*100) AS BIGINT) AS value_cents
@@ -137,15 +184,11 @@ object StreamingReplayQ {
     * EVENT-TIME quarters, mtimes set strictly increasing so the file
     * source admits them chronologically — per-key time-ordered arrival,
     * under which [[StreamingOps.foldSessions]] is exactly batch gap
-    * sessionization (its spec's pinned property). Published by atomic
-    * directory rename, like [[landingDir]]. */
+    * sessionization (its spec's pinned property). Unique-scratch build +
+    * atomic publish, like [[landingDir]]. */
   private def sessionLandingDir(spark: SparkSession, dir: String): String = {
-    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stream_sessions_v1$dirTag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      // unique scratch + atomic rename, same reasoning as [[landingDir]]
+    val path = fixturePath("stream_sessions", dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_build")
       val ev = Tables(spark, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -164,12 +207,12 @@ object StreamingReplayQ {
           .getOrElse(sys.error(s"slice $k produced no parquet file"))
         val dest = build.resolve(f"slice-$k%02d.parquet")
         java.nio.file.Files.move(part.toPath, dest)
+        deleteRecursively(scratch.toFile)
         // strictly increasing mtimes: the file source orders by them
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L + k * 60000L))
       }
-      if (!fs.rename(new org.apache.hadoop.fs.Path(build.toString), p))
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      publishDir(build, path)
     }
     path
   }
@@ -202,9 +245,11 @@ object StreamingReplayQ {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.parquet(sink)
-        .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
-        .orderBy("user_id", "start_ms")
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+          .orderBy("user_id", "start_ms"),
+        sink, ckpt)
     },
     Some("""WITH x AS (SELECT user_id, ts, event_id,
            |    CASE WHEN lag(ts) OVER w IS NULL

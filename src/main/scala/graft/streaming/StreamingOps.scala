@@ -136,11 +136,16 @@ object StreamingOps {
     trigger.fold(w)(w.trigger).start()
   }
 
-  /** Newest committed snapshot version under [[upsertLatestSink]]'s dir —
-    * the read path a downstream consumer uses (replay-safe: versions are
-    * only listed after their rewrite completed). */
+  /** Newest COMMITTED snapshot version under [[upsertLatestSink]]'s dir —
+    * the read path a downstream consumer uses. A `v=N` dir without
+    * `_SUCCESS` is a torn rewrite from a crashed attempt (the writer
+    * creates the dir at job start and commits the marker last), so it is
+    * skipped — replay will rewrite it deterministically; serving it
+    * would expose a half-written snapshot. */
   def latestSnapshot(dir: String): Option[String] =
-    listVersions(dir).sorted.lastOption.map(v => s"$dir/v=$v")
+    listVersions(dir).sorted.reverseIterator
+      .find(v => new java.io.File(s"$dir/v=$v/_SUCCESS").exists())
+      .map(v => s"$dir/v=$v")
 
   /** One CDC-apply step — exposed so the replay spec can re-run a batch
     * and prove the rewrite is byte-stable. */

@@ -71,6 +71,22 @@ object MakeSf {
       case other => other
     })
 
+    // Remap-scheme marker: a fixture built under the old key*f+copy
+    // scheme (or a partial build mixing schemes across tables) would be
+    // silently served by the per-table _SUCCESS guards — with BROKEN
+    // foreign keys in the mixed case. If the marker for the CURRENT
+    // scheme is absent while the root exists, wipe and rebuild.
+    val marker = new java.io.File(s"$out/_REMAP_STRIDE_V2")
+    val root = new java.io.File(out)
+    if (root.exists() && !marker.exists()) {
+      println(s"[makesf] $out exists without ${marker.getName} — rebuilding under the stride remap")
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(root)
+    }
+
     graft.Tables.names.foreach { name =>
       val dest = s"$out/$name.parquet"
       if (!new java.io.File(s"$dest/_SUCCESS").exists()) {
@@ -96,6 +112,7 @@ object MakeSf {
         println(s"[makesf] $name -> $dest")
       }
     }
+    marker.createNewFile() // written LAST: all tables share one scheme
     spark.stop()
   }
 }

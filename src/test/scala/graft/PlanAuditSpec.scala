@@ -850,7 +850,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlanString("d_incremental")
     val nBand = "shingle_hashes".r.findAllIn(p).length
     assert(nBand == 1, s"expected exactly one delta-side banding pass, got $nBand:\n$p")
-    assert(p.contains("graft_dincr_base_v1"),
+    assert(p.contains("graft_dincr_base_v2"),
       s"base side does not scan the persisted index:\n$p")
   }
 }

@@ -12,7 +12,7 @@ class StreamingReplaySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private def landingPath: String =
-    s"${sys.props("java.io.tmpdir")}/graft_stream_landing_v1${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_stream_landing_v2_${sys.props("user.name")}${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   test("st_dedup_replay: multi-batch replay, duplicates staged and removed") {
     val out = SparkEntry.queries("st_dedup_replay")(spark, dir)

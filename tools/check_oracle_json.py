@@ -67,30 +67,39 @@ def timed(sql):
     timer callback sets `fired` before interrupting, and only an
     InterruptException (or interrupt-shaped error) raised AFTER the flag
     is classified `oracle_timeout` — a genuine DuckDB error near the wall
-    limit stays a FAIL. The `done` flag stops a timer that pops between a
-    successful execute and cancel() from poisoning the NEXT statement.
+    limit stays a FAIL. The done-flag check and the interrupt run under
+    ONE lock, and the flag is set under the same lock right after execute
+    returns, so a timer that pops as the query finishes can never land a
+    stray interrupt on the idle connection (which would poison the NEXT
+    statement and misclassify a healthy query as FAIL).
     """
     state = {"fired": False, "done": False}
+    lock = threading.Lock()
 
     def _interrupt():
-        if not state["done"]:
-            state["fired"] = True
-            con.interrupt()
+        with lock:
+            if not state["done"]:
+                state["fired"] = True
+                con.interrupt()
+
+    def _finish():
+        with lock:
+            state["done"] = True
 
     timer = threading.Timer(timeout_s, _interrupt)
     timer.start()
     t0 = time.time()
     try:
         con.execute(sql)
-        state["done"] = True
+        _finish()
         return None
     except duckdb.InterruptException:
-        state["done"] = True
+        _finish()
         if state["fired"]:
             return f"oracle_timeout after {int(time.time() - t0)}s"
         return "duckdb error: interrupted without timeout"
     except Exception as e:
-        state["done"] = True
+        _finish()
         if state["fired"] and "interrupt" in str(e).lower():
             return f"oracle_timeout after {int(time.time() - t0)}s"
         return f"duckdb error: {str(e)[:300]}"

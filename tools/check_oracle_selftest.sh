@@ -23,7 +23,12 @@ python3 - "$work" "$q" << 'EOF'
 import glob, sys
 import pyarrow as pa, pyarrow.parquet as pq
 work, q = sys.argv[1:3]
-f = glob.glob(f"{work}/{q}/*.parquet")[0]
+# pick a part file that actually has rows — natural-partitioning dumps
+# (SPARK_GRAFT_COALESCE=0) can emit empty part files
+f = next((p for p in sorted(glob.glob(f"{work}/{q}/*.parquet"))
+          if pq.ParquetFile(p).metadata.num_rows > 0), None)
+if f is None:
+    sys.exit(f"[selftest] FATAL: no non-empty parquet file to corrupt in {q}")
 t = pq.read_table(f)
 # Per-type perturbation over the FIRST corruptible column — a query whose
 # last column is a string/date must still exercise the gate, not crash.
