@@ -201,7 +201,13 @@ object AdvancedQ {
       // A fresh session finds the files already on disk (bucket ids ride
       // in the file names) and just registers an external table over them;
       // the in-memory catalog alone can't carry the layout across JVMs.
-      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // Path AND catalog table name carry a content fingerprint of the
+      // source tables: regenerating the testdata dir in place changes the
+      // fingerprint, so the stale bucketed layout (and its catalog entry)
+      // is simply never addressed again — no manual version bump.
+      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Fixtures.fingerprint(s"$dir/lineitem.parquet") +
+        Fixtures.fingerprint(s"$dir/orders.parquet")
       val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
       def bucketize(name: String, df: => org.apache.spark.sql.DataFrame,
           key: String, ddl: String): String = {
@@ -279,7 +285,7 @@ object AdvancedQ {
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // tmp path keyed on a content fingerprint of the source table, so a
       // regenerated testdata dir invalidates the cached partitioned layout
-      val fp = SinkQ.fingerprint(s"$dir/orders.parquet")
+      val fp = Fixtures.fingerprint(s"$dir/orders.parquet")
       val path = s"${sys.props("java.io.tmpdir")}/graft_dpp${dirTag}_$fp"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "orders")

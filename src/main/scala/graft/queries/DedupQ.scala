@@ -610,9 +610,13 @@ object DedupQ {
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       }
       val docs = Tables(spark, dir, "documents")
+      // Path keyed on dir tag + a content fingerprint of the source table:
+      // regenerating the testdata in place (MakeSf wipe-and-rebuild)
+      // changes the fingerprint, so a stale index is never addressed again.
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fp = Fixtures.fingerprint(s"$dir/documents.parquet")
       val idxPath =
-        s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v2_${sys.props("user.name")}$dirTag"
+        s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v2_${sys.props("user.name")}${dirTag}_$fp"
       // Build in a unique scratch, publish by POSIX rename: two racing
       // builders writing mode(overwrite) into the SAME shared path would
       // interleave their commit protocols (each deterministic copy is
@@ -622,15 +626,7 @@ object DedupQ {
         val build = java.nio.file.Files.createTempDirectory("graft_dincr_build")
         bandsOf(docs.filter(col("doc_id") < 300))
           .write.mode("overwrite").parquet(build.toString)
-        try java.nio.file.Files.move(build, java.nio.file.Paths.get(idxPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          def del(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-            f.delete(); ()
-          }
-          del(build.toFile) // lost the race: the winner published
-        }
+        Fixtures.publishDir(build, idxPath)
       }
       val delta = bandsOf(docs.filter(col("doc_id") >= 300 && col("doc_id") < 500))
       delta.as("x")

@@ -1,0 +1,76 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Cross-session fixture discipline shared by the queries that amortize a
+  * derived layout under the shared `java.io.tmpdir` (bucketed/clustered
+  * layouts, the d_incremental band index, streaming landings, the
+  * pipeline snapshot pointer): build in a unique scratch, key the
+  * published path on a CONTENT fingerprint of the source data, publish by
+  * atomic rename.
+  *
+  * The fingerprint key is what makes the fixtures safe against in-place
+  * source regeneration (MakeSf's wipe-and-rebuild of a testdata dir):
+  * regenerated data changes the fingerprint, so the stale fixture is
+  * simply never addressed again — no manual version-suffix bump needed,
+  * no stale-data window until an oracle run happens to notice.
+  */
+object Fixtures {
+
+  /** Content fingerprint of a source path (recursive name+size+mtime
+    * hash) — cheap (metadata only, no data read) but changes whenever the
+    * source is rewritten, which is exactly the invalidation event. */
+  private[queries] def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk) else Seq(f)
+    val desc = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
+    md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private[queries] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  /** Publish a fully-built scratch dir to `target` with POSIX rename(2)
+    * semantics: `ATOMIC_MOVE` onto an existing non-empty directory FAILS
+    * (no copy-into-child fallback, unlike Hadoop LocalFileSystem rename),
+    * so racing builders are strictly first-wins and the loser deletes its
+    * scratch. Permissions are widened before the publish because
+    * `createTempDirectory` makes 0700 dirs and the target lives under the
+    * shared /tmp (another OS user must be able to READ a published
+    * fixture; the path is user-keyed so they never need to write it).
+    *
+    * Failure discipline: the scratch is deleted ONLY when the target
+    * verifiably exists (someone won the race). A move failure with no
+    * published target — e.g. `AtomicMoveNotSupportedException` on an
+    * overridden non-POSIX tmpdir — falls back to a plain move, and if
+    * that also fails the ORIGINAL error is rethrown: the one wrong answer
+    * is silently discarding the only copy and letting the caller fail
+    * later with a misleading missing-path read error. */
+  private[queries] def publishDir(build: Path, target: String): Unit = {
+    import java.nio.file.attribute.PosixFilePermissions
+    try {
+      Files.setPosixFilePermissions(build, PosixFilePermissions.fromString("rwxr-xr-x"))
+      Option(build.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        try Files.setPosixFilePermissions(f.toPath, PosixFilePermissions.fromString(
+          if (f.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
+        catch { case _: Exception => () }
+      }
+    } catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+    val dest = Paths.get(target)
+    try Files.move(build, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileSystemException =>
+      if (Files.exists(dest)) deleteRecursively(build.toFile) // lost the race
+      else {
+        try Files.move(build, dest) // atomic unsupported: plain move, fresh target
+        catch { case _: java.nio.file.FileSystemException =>
+          if (Files.exists(dest)) deleteRecursively(build.toFile) // raced mid-fallback
+          else throw e
+        }
+      }
+    }
+  }
+}

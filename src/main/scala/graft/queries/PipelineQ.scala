@@ -212,8 +212,12 @@ object PipelineQ {
     * losers read the winner's dir). Keyed by user.name because the
     * snapshot dirs are 0700 under a shared /tmp. */
   private def snapshotFixtureDir(spark: org.apache.spark.sql.SparkSession): String = {
+    // Pointer name carries a content fingerprint of the source capture
+    // (pcapPath() also ensures it exists): a rewritten capture — e.g. a
+    // generator change behind the same NumPackets key — invalidates the
+    // cached snapshot instead of silently serving results over old bytes.
     val ptr = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_snapread_v1_${sys.props("user.name")}_$NumPackets.path")
+      s"graft_snapread_v1_${sys.props("user.name")}_${NumPackets}_${Fixtures.fingerprint(pcapPath())}.path")
     // Dangling-pointer guard: a /tmp reaper can remove the snapshot dir
     // but keep the recently-read pointer file — drop the pointer and
     // rebuild instead of failing forever on a path that no longer exists.

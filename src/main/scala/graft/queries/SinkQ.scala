@@ -13,18 +13,10 @@ object SinkQ {
   private def tmp(name: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
-  /** Content fingerprint of a source path (recursive name+size+mtime
-    * hash). Amortized layout writes key their tmp path on this, so
-    * regenerating the testdata under the SAME path invalidates the cached
-    * layout instead of silently reusing stale data. */
-  private[queries] def fingerprint(path: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk) else Seq(f)
-    val desc = walk(new java.io.File(path))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val md = java.security.MessageDigest.getInstance("MD5").digest(desc.getBytes("UTF-8"))
-    md.take(8).map("%02x".format(_)).mkString
-  }
+  // Amortized layout writes key their tmp path on a content fingerprint
+  // of the source, so regenerating the testdata under the SAME path
+  // invalidates the cached layout instead of silently reusing stale data.
+  private def fingerprint(path: String): String = Fixtures.fingerprint(path)
 
   /** ORC write + read-back (columnar interchange beyond parquet; same
     * vectorized reader + predicate pushdown machinery). */

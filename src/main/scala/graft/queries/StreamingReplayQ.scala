@@ -36,42 +36,20 @@ object StreamingReplayQ {
 
   private val tsSec = "yyyy-MM-dd HH:mm:ss"
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    Fixtures.deleteRecursively(f)
 
-  /** Publish a fully-built scratch dir to `target` with POSIX rename(2)
-    * semantics: `ATOMIC_MOVE` onto an existing non-empty directory FAILS
-    * (no copy-into-child fallback, unlike Hadoop LocalFileSystem rename),
-    * so racing builders are strictly first-wins and the loser deletes its
-    * scratch. Permissions are widened before the publish because
-    * `createTempDirectory` makes 0700 dirs and the target lives under the
-    * shared /tmp (the pcapPath lesson — another OS user must be able to
-    * READ a published fixture, and the path is user-keyed so they never
-    * need to write it). */
-  private def publishDir(build: java.nio.file.Path, target: String): Unit = {
-    import java.nio.file.attribute.PosixFilePermissions
-    try {
-      Files.setPosixFilePermissions(build, PosixFilePermissions.fromString("rwxr-xr-x"))
-      Option(build.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        try Files.setPosixFilePermissions(f.toPath, PosixFilePermissions.fromString(
-          if (f.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
-        catch { case _: Exception => () }
-      }
-    } catch { case _: UnsupportedOperationException => () } // non-POSIX fs
-    try Files.move(build, java.nio.file.Paths.get(target),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      deleteRecursively(build.toFile) // lost the race: the winner published
-    }
-  }
+  private def publishDir(build: java.nio.file.Path, target: String): Unit =
+    Fixtures.publishDir(build, target)
 
   private def fixturePath(kind: String, dir: String): String = {
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // keyed by user.name: fixtures under a shared /tmp, same discipline
-    // as PipelineQ.snapshotFixtureDir
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_v2_${sys.props("user.name")}$dirTag"
+    // keyed by user.name (fixtures under a shared /tmp, same discipline as
+    // PipelineQ.snapshotFixtureDir) AND a content fingerprint of the
+    // source events table — an in-place testdata regen changes the
+    // fingerprint, so a stale landing is never addressed again.
+    val fp = Fixtures.fingerprint(s"$dir/events.parquet")
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_v2_${sys.props("user.name")}${dirTag}_$fp"
   }
 
   /** Landing dir, staged ONCE per (user, source dir) — fixture

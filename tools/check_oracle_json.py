@@ -69,9 +69,13 @@ def timed(sql):
     is classified `oracle_timeout` — a genuine DuckDB error near the wall
     limit stays a FAIL. The done-flag check and the interrupt run under
     ONE lock, and the flag is set under the same lock right after execute
-    returns, so a timer that pops as the query finishes can never land a
-    stray interrupt on the idle connection (which would poison the NEXT
-    statement and misclassify a healthy query as FAIL).
+    returns — this NARROWS (but cannot close) the window for a timer that
+    pops as the query finishes: the timer can still win the lock between
+    execute returning and _finish, landing an interrupt on the idle
+    connection that would cancel the NEXT statement. So when a fired
+    timer is observed after a SUCCESSFUL execute, the stray interrupt is
+    drained with a throwaway statement before it can poison the next
+    query and misclassify it as FAIL.
     """
     state = {"fired": False, "done": False}
     lock = threading.Lock()
@@ -92,6 +96,15 @@ def timed(sql):
     try:
         con.execute(sql)
         _finish()
+        if state["fired"]:
+            # Timer won the race against _finish after a successful
+            # execute: an interrupt is pending on the idle connection.
+            # Drain it so it cancels this sacrificial statement, not the
+            # next real oracle query.
+            try:
+                con.execute("SELECT 1")
+            except Exception:
+                pass
         return None
     except duckdb.InterruptException:
         _finish()
