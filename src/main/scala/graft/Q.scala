@@ -58,7 +58,8 @@ object Registry {
       queries.AnalyticsExtQ.all ++
       queries.GeoQ.all ++
       queries.MlPrepQ.all ++
-      queries.TemporalQ.all
+      queries.TemporalQ.all ++
+      queries.DecimalQ.all
 
   lazy val byName: Map[String, Q] = {
     // A duplicate key would silently shadow the earlier query in the Map

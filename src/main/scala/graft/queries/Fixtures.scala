@@ -20,7 +20,7 @@ object Fixtures {
   /** Content fingerprint of a source path (recursive name+size+mtime
     * hash) — cheap (metadata only, no data read) but changes whenever the
     * source is rewritten, which is exactly the invalidation event. */
-  private[queries] def fingerprint(path: String): String = {
+  private[graft] def fingerprint(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk) else Seq(f)
     val desc = walk(new java.io.File(path))

@@ -124,14 +124,22 @@ object StreamingOps {
     * total order (ts, event_id) — unique, so the merge is deterministic
     * and idempotent. At scale the snapshot rewrite is the no-ACID-format
     * cost; the shape ports to MERGE INTO unchanged on Delta/Iceberg. */
+  /** `onBatchApplied` fires after [[applyUpsert]] writes a version but
+    * BEFORE the micro-batch's epoch commits — the exactly-once crash
+    * window. The replay gate (st_upsert_crash) throws from it to kill the
+    * query mid-protocol and prove a restart replays the batch onto its
+    * own version instead of double-applying. Production callers leave the
+    * default no-op. */
   def upsertLatestSink(events: DataFrame, snapshotDir: String, checkpoint: String,
-                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                       onBatchApplied: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyUpsert(batch, snapshotDir, batchId); ()
+        applyUpsert(batch, snapshotDir, batchId)
+        onBatchApplied(batchId)
       }
     trigger.fold(w)(w.trigger).start()
   }

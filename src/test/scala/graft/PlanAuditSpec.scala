@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     * still join exchange-free with identical results. */
   test("bucketed layout is reused across sessions (files on disk, catalog empty)") {
     val before = SparkEntry.queries("j_bucketed")(spark, dir).collect().map(_.toSeq)
-    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // same key derivation as j_bucketed: dir tag + content fingerprints
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + queries.Fixtures.fingerprint(s"$dir/lineitem.parquet") +
+      queries.Fixtures.fingerprint(s"$dir/orders.parquet")
     val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
     for (t <- Seq(s"graft_b_lineitem$dirTag", s"graft_b_orders$dirTag")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
