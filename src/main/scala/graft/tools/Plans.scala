@@ -64,7 +64,9 @@ object Plans {
     "e_feature_hash" -> "hashing trick: row-local split/hash chain into one partial+final (doc, feature) aggregate — no join, no window, no vocabulary state",
     "s_bootstrap" -> "online bootstrap: replicate fan-out is a 3-row broadcast cross, weights are row-local hash math, replicates partial-aggregate in the same pass",
     "mm_audio_window" -> "audio framing: explode of the frame-index sequence + row-local energy fold — scan-parallel, zero shuffle before the presentation sort",
-    "d_incremental" -> "incremental dedup read path: base band index is a plain FileScan of the persisted parquet (no re-banding — exactly one shingle/minhash pass, over the delta), candidate pairs from the (band, sig) equi-join")
+    "d_incremental" -> "incremental dedup read path: base band index is a plain FileScan of the persisted parquet (no re-banding — exactly one shingle/minhash pass, over the delta), candidate pairs from the (band, sig) equi-join",
+    "dec_agg" -> "DECIMAL money pipeline: identical plan shape to the integer-cents twin (scan-side cast, partial+final HashAggregate) — Decimal(18,2) aggregation stays in the unscaled-long fast path, no plan change for decimals",
+    "dec_join" -> "decimal predicate + join: the DECIMAL range filter prunes the part scan, filtered dim broadcasts exactly like its double twin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
