@@ -192,6 +192,15 @@ object AdvancedQ {
     * exchange on either side — the bucketing strategy that amortizes one
     * shuffle across every future join at 100 TB. Result must equal the
     * plain parquet join (the oracle). */
+  /** j_bucketed's cross-session layout root, keyed on dir tag + content
+    * fingerprints of BOTH source tables (reaps superseded layouts).
+    * private[graft]: PlanAuditSpec derives the path from here instead of
+    * hand-copying the key format. */
+  private[graft] def bucketedBase(dir: String): String =
+    Fixtures.fingerprintedPath(
+      s"${sys.props("java.io.tmpdir")}/graft_bucketed${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+      Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"))
+
   val jBucketed: Q = Q(
     "j_bucketed",
     (spark, dir) => {
@@ -203,12 +212,11 @@ object AdvancedQ {
       // the in-memory catalog alone can't carry the layout across JVMs.
       // Path AND catalog table name carry a content fingerprint of the
       // source tables: regenerating the testdata dir in place changes the
-      // fingerprint, so the stale bucketed layout (and its catalog entry)
-      // is simply never addressed again — no manual version bump.
-      val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + Fixtures.fingerprint(s"$dir/lineitem.parquet") +
-        Fixtures.fingerprint(s"$dir/orders.parquet")
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
+      // fingerprint, so the stale bucketed layout is abandoned and reaped
+      // (its catalog entry, if any, points nowhere and is never used —
+      // re-registration keys on the new name).
+      val base = bucketedBase(dir)
+      val dirTag = base.substring(base.lastIndexOf("graft_bucketed") + "graft_bucketed".length)
       def bucketize(name: String, df: => org.apache.spark.sql.DataFrame,
           key: String, ddl: String): String = {
         val table = s"graft_b_${name}$dirTag"
@@ -284,9 +292,10 @@ object AdvancedQ {
     (spark, dir) => {
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // tmp path keyed on a content fingerprint of the source table, so a
-      // regenerated testdata dir invalidates the cached partitioned layout
-      val fp = Fixtures.fingerprint(s"$dir/orders.parquet")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_dpp${dirTag}_$fp"
+      // regenerated testdata dir invalidates (and reaps) the cached layout
+      val path = Fixtures.fingerprintedPath(
+        s"${sys.props("java.io.tmpdir")}/graft_dpp$dirTag",
+        Seq(s"$dir/orders.parquet"))
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")).cast("int"))

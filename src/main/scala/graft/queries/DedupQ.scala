@@ -612,11 +612,11 @@ object DedupQ {
       val docs = Tables(spark, dir, "documents")
       // Path keyed on dir tag + a content fingerprint of the source table:
       // regenerating the testdata in place (MakeSf wipe-and-rebuild)
-      // changes the fingerprint, so a stale index is never addressed again.
+      // changes the fingerprint — the stale index is abandoned and reaped.
       val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val fp = Fixtures.fingerprint(s"$dir/documents.parquet")
-      val idxPath =
-        s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v2_${sys.props("user.name")}${dirTag}_$fp"
+      val idxPath = Fixtures.fingerprintedPath(
+        s"${sys.props("java.io.tmpdir")}/graft_dincr_base_v2_${sys.props("user.name")}$dirTag",
+        Seq(s"$dir/documents.parquet"))
       // Build in a unique scratch, publish by POSIX rename: two racing
       // builders writing mode(overwrite) into the SAME shared path would
       // interleave their commit protocols (each deterministic copy is

@@ -34,6 +34,41 @@ object Fixtures {
     f.delete(); ()
   }
 
+  /** `<prefix>_<fp>` for a fixture derived from `sources`, REAPING any
+    * sibling `<prefix>_*` with a different fingerprint first: a
+    * superseded fixture (its source regenerated in place) is not just
+    * never addressed again — it is deleted, so repeated regen cycles
+    * cannot strand one full derived layout per cycle under the shared
+    * /tmp until ENOSPC. The reap is best-effort (a concurrent OLD-session
+    * reader of a stale fixture loses it — the same exposure the previous
+    * overwrite-in-place behavior had; rounds on this host are
+    * sequential). `prefix` must be an absolute path whose basename is
+    * unique to the fixture kind. */
+  private[graft] def fingerprintedPath(prefix: String, sources: Seq[String]): String = {
+    val fp = sources.map(fingerprint).mkString
+    val dir = Paths.get(prefix).getParent.toFile
+    val base = Paths.get(prefix).getFileName.toString
+    // Stale = same base, then EXACTLY a fingerprint-shaped hex run of this
+    // key's length that differs from the current fp (an optional non-hex
+    // suffix after it — PipelineQ's ".path" pointer — rides along). The
+    // exact shape matters twice: a caller-appended suffix on the CURRENT
+    // path must survive its own reap, and a fixture KIND that extends
+    // another kind's name ("stream_sessions" vs "stream_sessions_t", with
+    // Verify running both queries concurrently) must never be reaped by
+    // its prefix sibling — its continuation is not a hex run.
+    val hexLen = sources.size * 16
+    def hexRun(s: String): Int = s.takeWhile(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')).length
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith(base + "_") && {
+          val rest = f.getName.drop(base.length + 1)
+          hexRun(rest) == hexLen && !rest.startsWith(fp)
+        }
+      }
+      .foreach(f => try deleteRecursively(f) catch { case _: Exception => () })
+    s"${prefix}_$fp"
+  }
+
   /** Publish a fully-built scratch dir to `target` with POSIX rename(2)
     * semantics: `ATOMIC_MOVE` onto an existing non-empty directory FAILS
     * (no copy-into-child fallback, unlike Hadoop LocalFileSystem rename),
@@ -52,14 +87,15 @@ object Fixtures {
     * later with a misleading missing-path read error. */
   private[queries] def publishDir(build: Path, target: String): Unit = {
     import java.nio.file.attribute.PosixFilePermissions
-    try {
-      Files.setPosixFilePermissions(build, PosixFilePermissions.fromString("rwxr-xr-x"))
-      Option(build.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        try Files.setPosixFilePermissions(f.toPath, PosixFilePermissions.fromString(
-          if (f.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
-        catch { case _: Exception => () }
-      }
-    } catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+    def widen(f: java.io.File): Unit = {
+      try Files.setPosixFilePermissions(f.toPath, PosixFilePermissions.fromString(
+        if (f.isDirectory) "rwxr-xr-x" else "rw-r--r--"))
+      catch { case _: Exception => () }
+      if (f.isDirectory) // recurse: nested dirs (partitioned layouts) too
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(widen)
+    }
+    try widen(build.toFile)
+    catch { case _: UnsupportedOperationException => () } // non-POSIX fs
     val dest = Paths.get(target)
     try Files.move(build, dest, StandardCopyOption.ATOMIC_MOVE)
     catch { case e: java.nio.file.FileSystemException =>

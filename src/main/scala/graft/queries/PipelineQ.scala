@@ -215,9 +215,11 @@ object PipelineQ {
     // Pointer name carries a content fingerprint of the source capture
     // (pcapPath() also ensures it exists): a rewritten capture — e.g. a
     // generator change behind the same NumPackets key — invalidates the
-    // cached snapshot instead of silently serving results over old bytes.
-    val ptr = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_snapread_v1_${sys.props("user.name")}_${NumPackets}_${Fixtures.fingerprint(pcapPath())}.path")
+    // cached snapshot instead of silently serving results over old bytes;
+    // the superseded pointer file is reaped by fingerprintedPath.
+    val ptr = Paths.get(Fixtures.fingerprintedPath(
+      s"${sys.props("java.io.tmpdir")}/graft_snapread_v1_${sys.props("user.name")}_$NumPackets",
+      Seq(pcapPath())) + ".path")
     // Dangling-pointer guard: a /tmp reaper can remove the snapshot dir
     // but keep the recently-read pointer file — drop the pointer and
     // rebuild instead of failing forever on a path that no longer exists.

@@ -15,8 +15,10 @@ object SinkQ {
 
   // Amortized layout writes key their tmp path on a content fingerprint
   // of the source, so regenerating the testdata under the SAME path
-  // invalidates the cached layout instead of silently reusing stale data.
-  private def fingerprint(path: String): String = Fixtures.fingerprint(path)
+  // invalidates the cached layout (and reaps the superseded one) instead
+  // of silently reusing stale data.
+  private def keyed(prefix: String, source: String): String =
+    Fixtures.fingerprintedPath(prefix, Seq(source))
 
   /** ORC write + read-back (columnar interchange beyond parquet; same
     * vectorized reader + predicate pushdown machinery). */
@@ -47,7 +49,7 @@ object SinkQ {
   val sinkClustered: Q = Q(
     "sink_clustered",
     (spark, dir) => {
-      val path = tmp("sink_clustered", dir) + "_" + fingerprint(s"$dir/lineitem.parquet")
+      val path = keyed(tmp("sink_clustered", dir), s"$dir/lineitem.parquet")
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_shipdate"), cents(col("l_extendedprice")).as("price_cents"))
@@ -134,7 +136,7 @@ object SinkQ {
         val pBit = shiftleft(shiftright(pk, i).bitwiseAND(1L), 2 * i)
         dBit.bitwiseOR(pBit)
       }.reduce(_.bitwiseOR(_))
-      val path = tmp("sink_zorder", dir) + "_" + fingerprint(s"$dir/lineitem.parquet")
+      val path = keyed(tmp("sink_zorder", dir), s"$dir/lineitem.parquet")
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         Tables(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),

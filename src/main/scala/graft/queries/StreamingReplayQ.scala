@@ -42,15 +42,18 @@ object StreamingReplayQ {
   private def publishDir(build: java.nio.file.Path, target: String): Unit =
     Fixtures.publishDir(build, target)
 
-  private def fixturePath(kind: String, dir: String,
-                          sourceTable: String = "events"): String = {
+  // keyed by user.name (fixtures under a shared /tmp, same discipline as
+  // PipelineQ.snapshotFixtureDir) AND a content fingerprint of the source
+  // table — an in-place testdata regen changes the fingerprint, so a
+  // stale landing is abandoned AND reaped (Fixtures.fingerprintedPath).
+  // private[graft]: StreamingReplaySpec derives the landing path from
+  // here instead of hand-copying the format.
+  private[graft] def fixturePath(kind: String, dir: String,
+                                 sourceTable: String = "events"): String = {
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // keyed by user.name (fixtures under a shared /tmp, same discipline as
-    // PipelineQ.snapshotFixtureDir) AND a content fingerprint of the
-    // source table — an in-place testdata regen changes the fingerprint,
-    // so a stale landing is never addressed again.
-    val fp = Fixtures.fingerprint(s"$dir/$sourceTable.parquet")
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_v2_${sys.props("user.name")}${dirTag}_$fp"
+    Fixtures.fingerprintedPath(
+      s"${sys.props("java.io.tmpdir")}/graft_${kind}_v2_${sys.props("user.name")}$dirTag",
+      Seq(s"$dir/$sourceTable.parquet"))
   }
 
   /** Landing dir, staged ONCE per (user, source dir) — fixture

@@ -123,8 +123,9 @@ object StreamingOps {
     * is retained for replay; older ones are pruned. Latest-wins is the
     * total order (ts, event_id) — unique, so the merge is deterministic
     * and idempotent. At scale the snapshot rewrite is the no-ACID-format
-    * cost; the shape ports to MERGE INTO unchanged on Delta/Iceberg. */
-  /** `onBatchApplied` fires after [[applyUpsert]] writes a version but
+    * cost; the shape ports to MERGE INTO unchanged on Delta/Iceberg.
+    *
+    * `onBatchApplied` fires after [[applyUpsert]] writes a version but
     * BEFORE the micro-batch's epoch commits — the exactly-once crash
     * window. The replay gate (st_upsert_crash) throws from it to kill the
     * query mid-protocol and prove a restart replays the batch onto its

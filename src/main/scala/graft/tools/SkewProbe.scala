@@ -39,6 +39,20 @@ object SkewProbe {
       durations += ((t.stageId, t.taskInfo.duration))
     }
     def reset(): Unit = synchronized(durations.clear())
+    private def size: Int = synchronized(durations.length)
+    /** Listener-bus delivery is async: wait until no new TaskEnd has
+      * arrived for 500 ms (bounded at 10 s) before reading, so a variant
+      * neither misses trailing events nor inherits the previous one's. */
+    def quiesce(): Unit = {
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
     /** (task count, max ms, median ms) of the heaviest stage by total time. */
     def heaviestStage(): (Int, Long, Long) = synchronized {
       if (durations.isEmpty) (0, 0L, 0L)
@@ -85,7 +99,6 @@ object SkewProbe {
 
     def run(skewJoin: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
-      // warm the page cache once so variant A vs B is not an IO race
       stats.reset()
       val t0 = System.nanoTime()
       val n = fact.join(dim, "k")
@@ -93,6 +106,7 @@ object SkewProbe {
         .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
         .collect().map(_.getLong(2)).sum
       val wall = (System.nanoTime() - t0) / 1e9
+      stats.quiesce() // async listener bus: drain before reading/resetting
       val (tasks, maxMs, medMs) = stats.heaviestStage()
       println(f"PROBE skewJoin=$skewJoin%-5s wall=$wall%6.2f s rows=$n " +
         f"joinStageTasks=$tasks maxTaskMs=$maxMs medianTaskMs=$medMs " +

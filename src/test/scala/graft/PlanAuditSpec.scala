@@ -88,11 +88,9 @@ class PlanAuditSpec extends SparkSpec {
     * still join exchange-free with identical results. */
   test("bucketed layout is reused across sessions (files on disk, catalog empty)") {
     val before = SparkEntry.queries("j_bucketed")(spark, dir).collect().map(_.toSeq)
-    // same key derivation as j_bucketed: dir tag + content fingerprints
-    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + queries.Fixtures.fingerprint(s"$dir/lineitem.parquet") +
-      queries.Fixtures.fingerprint(s"$dir/orders.parquet")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed$dirTag"
+    // the query's own key derivation — no hand-copied format to drift
+    val base = queries.AdvancedQ.bucketedBase(dir)
+    val dirTag = base.substring(base.lastIndexOf("graft_bucketed") + "graft_bucketed".length)
     for (t <- Seq(s"graft_b_lineitem$dirTag", s"graft_b_orders$dirTag")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       assert(new java.io.File(s"$base/${t.stripPrefix("graft_b_").stripSuffix(dirTag)}/_SUCCESS").exists(),

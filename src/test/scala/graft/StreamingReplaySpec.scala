@@ -12,10 +12,7 @@ class StreamingReplaySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private def landingPath: String =
-    // same key derivation as StreamingReplayQ.fixturePath: dir tag + a
-    // content fingerprint of the source events table
-    s"${sys.props("java.io.tmpdir")}/graft_stream_landing_v2_${sys.props("user.name")}" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${queries.Fixtures.fingerprint(s"$dir/events.parquet")}"
+    queries.StreamingReplayQ.fixturePath("stream_landing", dir)
 
   test("st_dedup_replay: multi-batch replay, duplicates staged and removed") {
     val out = SparkEntry.queries("st_dedup_replay")(spark, dir)

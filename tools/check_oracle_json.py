@@ -93,18 +93,22 @@ def timed(sql):
     timer = threading.Timer(timeout_s, _interrupt)
     timer.start()
     t0 = time.time()
+    def _drain():
+        # A fired timer whose interrupt was NOT consumed by the statement
+        # that just finished leaves the interrupt pending on the idle
+        # connection, where it would cancel the NEXT oracle query and
+        # misclassify it as a spurious FAIL. Spend it on a sacrificial
+        # statement instead.
+        try:
+            con.execute("SELECT 1")
+        except Exception:
+            pass
+
     try:
         con.execute(sql)
         _finish()
         if state["fired"]:
-            # Timer won the race against _finish after a successful
-            # execute: an interrupt is pending on the idle connection.
-            # Drain it so it cancels this sacrificial statement, not the
-            # next real oracle query.
-            try:
-                con.execute("SELECT 1")
-            except Exception:
-                pass
+            _drain()  # timer won the race against _finish after success
         return None
     except duckdb.InterruptException:
         _finish()
@@ -115,6 +119,11 @@ def timed(sql):
         _finish()
         if state["fired"] and "interrupt" in str(e).lower():
             return f"oracle_timeout after {int(time.time() - t0)}s"
+        if state["fired"]:
+            # genuine error AND a separately-fired timer: the error, not
+            # the interrupt, aborted this statement — the interrupt is
+            # still pending for whoever executes next
+            _drain()
         return f"duckdb error: {str(e)[:300]}"
     finally:
         timer.cancel()
