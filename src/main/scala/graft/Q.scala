@@ -59,7 +59,8 @@ object Registry {
       queries.GeoQ.all ++
       queries.MlPrepQ.all ++
       queries.TemporalQ.all ++
-      queries.DecimalQ.all
+      queries.DecimalQ.all ++
+      queries.StateReadQ.all
 
   lazy val byName: Map[String, Q] = {
     // A duplicate key would silently shadow the earlier query in the Map

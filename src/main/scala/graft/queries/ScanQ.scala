@@ -86,5 +86,78 @@ object ScanQ {
            |      END * 1000 // length(p_name) AS vowel_permille
            |FROM part ORDER BY p_partkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(scanCsv, scanJson, fUdf)
+  /** Per-document raw-file fixture for the file-shard ingestion formats:
+    * the first 200 documents written as one `doc_<id>.txt` apiece (bounded
+    * at every SF — the fixture is the ingest-edge sample; the format
+    * itself lists and reads millions of files in parallel at 100 TB).
+    * Written by the EXECUTORS via foreachPartition — the distributed
+    * shape; in local mode the scratch dir is host-local, on a cluster
+    * this step would target shared storage. [[Fixtures]] discipline:
+    * content-fingerprinted path, unique-scratch build, atomic publish. */
+  private def docFilesFixture(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = Fixtures.fingerprintedPath(
+      s"${sys.props("java.io.tmpdir")}/graft_doc_files_${sys.props("user.name")}$dirTag",
+      Seq(s"$dir/documents.parquet"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val build = java.nio.file.Files.createTempDirectory("graft_doc_files_build")
+      val buildPath = build.toString
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(buildPath, f"doc_${r.getLong(0)}%05d.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      Fixtures.publishDir(build, path)
+    }
+    path
+  }
+
+  private def docIdFromPath(pathCol: org.apache.spark.sql.Column) =
+    regexp_extract(pathCol, "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id")
+
+  /** `binaryFile` source — the raw-shard ingestion path for multimodal
+    * data (images/audio arrive as opaque files; this format is how they
+    * enter the engine as BinaryType rows with path metadata). Roundtrip
+    * oracle: per-file byte length and md5 must equal the source table's
+    * text (pure ASCII, so chars == bytes). pathGlobFilter prunes at the
+    * LISTING, before any byte is read. */
+  val scanBinaryfile: Q = Q(
+    "scan_binaryfile",
+    (spark, dir) => {
+      val files = docFilesFixture(spark, dir)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(files)
+        .select(docIdFromPath(col("path")),
+          col("length").as("n_bytes"), md5(col("content")).as("body_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           | md5(text) AS body_md5
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  /** `text` source in wholetext mode — one row per raw file, the
+    * one-document-per-file corpus ingestion shape (WET-style dumps).
+    * `_metadata.file_name` carries the identity; content is pinned by
+    * length + md5 against the source table. */
+  val scanText: Q = Q(
+    "scan_text",
+    (spark, dir) => {
+      val files = docFilesFixture(spark, dir)
+      spark.read.option("wholetext", "true").text(files)
+        .select(docIdFromPath(col("_metadata.file_name")),
+          length(col("value")).cast("bigint").as("n_chars"),
+          md5(col("value")).as("body_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           | md5(text) AS body_md5
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(scanCsv, scanJson, fUdf, scanBinaryfile, scanText)
 }

@@ -61,7 +61,7 @@ object StreamingReplayQ {
     * third file, assembled in a unique scratch and published by atomic
     * rename so a killed JVM never leaves a half-staged landing behind
     * the guard and racing builders never interleave files. */
-  private def landingDir(spark: SparkSession, dir: String): String = {
+  private[graft] def landingDir(spark: SparkSession, dir: String): String = {
     val path = fixturePath("stream_landing", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_landing_build")
