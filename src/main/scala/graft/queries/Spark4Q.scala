@@ -194,6 +194,48 @@ object Spark4Q {
            |FROM orders WHERE o_orderkey % 5 <> 0
            |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
 
+  /** TIME type (Spark 4.1, `spark.sql.timeType.enabled`): time-of-day as
+    * a first-class type rather than a string or a seconds-since-midnight
+    * integer — comparisons, MIN/MAX aggregation, and interval arithmetic
+    * all typed. Business-hours filtering on the events stream: per event
+    * type, how many events land in 09:00-17:00 and the earliest/latest
+    * time-of-day seen, plus a 90-minute SLA shift. The flag is scoped to a
+    * cloned session (shared catalog/cache, isolated conf) so no other
+    * query inherits the experimental type; times leave the query as
+    * strings per the Q.scala parity rules. DuckDB's native TIME is the
+    * oracle — both sides derive the time-of-day through an HH:mm:ss
+    * format/parse, so sub-second truncation is identical by construction. */
+  val fTimeType: Q = Q(
+    "f_time_type",
+    (spark, dir) => {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH t AS (
+          |  SELECT event_type, CAST(date_format(ts, 'HH:mm:ss') AS TIME) AS tod
+          |  FROM events)
+          |SELECT event_type, COUNT(*) AS n_business,
+          |  CAST(MIN(tod) AS STRING) AS first_tod,
+          |  CAST(MAX(tod) AS STRING) AS last_tod,
+          |  CAST(MIN(tod + INTERVAL '90' MINUTE) AS STRING) AS first_sla
+          |FROM t
+          |WHERE tod >= TIME'09:00:00' AND tod < TIME'17:00:00'
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    },
+    Some("""WITH t AS (
+           |  SELECT event_type, CAST(strftime(ts, '%H:%M:%S') AS TIME) AS tod
+           |  FROM events)
+           |SELECT event_type, COUNT(*) AS n_business,
+           |  CAST(MIN(tod) AS VARCHAR) AS first_tod,
+           |  CAST(MAX(tod) AS VARCHAR) AS last_tod,
+           |  CAST(MIN(tod + INTERVAL 90 MINUTE) AS VARCHAR) AS first_sla
+           |FROM t
+           |WHERE tod >= TIME '09:00:00' AND tod < TIME '17:00:00'
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(fVariant, fCollate, scanXml, aTopkFreq,
-    aBitmapDistinct, fListagg, qNa)
+    aBitmapDistinct, fListagg, qNa, fTimeType)
 }

@@ -156,6 +156,79 @@ object SqlSurfaceQ {
            |  FROM part WHERE p_partkey <= 200)
            |ORDER BY p_partkey, measure""".stripMargin))
 
+  /** SQL scalar UDFs (Spark 4.1 `CREATE FUNCTION ... RETURN expr`): the
+    * engine's money convention (`cents`, exact integer discount) packaged
+    * as named catalog functions instead of copy-pasted expressions — one
+    * UDF composing another. Unlike a Scala/Python UDF (an opaque lambda
+    * that blocks pushdown and codegen), a SQL UDF is INLINED by the
+    * analyzer (`ResolveSQLFunctions`): the optimized plan is byte-identical
+    * to hand-written arithmetic, so filters on UDF results still push to
+    * the scan and the whole pipeline stays in codegen — the only UDF form
+    * that is free at 100 TB. `SqlUdfSpec` pins the no-lambda plan shape. */
+  val sqlUdfScalar: Q = Q(
+    "sql_udf_scalar",
+    (spark, dir) => withViews(spark, dir, "lineitem") {
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+          |RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""".stripMargin)
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_e4(price DOUBLE, disc DOUBLE)
+          |RETURNS BIGINT RETURN graft_cents(price) * (100 - graft_cents(disc))""".stripMargin)
+      spark.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          | SUM(graft_disc_e4(l_extendedprice, l_discount)) AS revenue_e4
+          |FROM lineitem
+          |WHERE graft_cents(l_discount) BETWEEN 5 AND 7
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           |   * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+           |FROM lineitem
+           |WHERE CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** SQL table UDF (Spark 4.1 `RETURNS TABLE`) invoked LATERAL per row:
+    * an installment-schedule generator that splits each order's total into
+    * 3 near-equal integer parts (largest-remainder method — amounts sum
+    * back to the total exactly). The table function's body correlates on
+    * the outer row's `total_cents`, and like the scalar form it is inlined
+    * at analysis time into a plain lateral join over an explode — a
+    * linear, map-side expansion with no shuffle, so the pattern costs
+    * O(n·parts) at any scale. The oracle rebuilds the same largest-
+    * remainder math with an explicit 3-row cross join. */
+  val sqlUdfTable: Q = Q(
+    "sql_udf_table",
+    (spark, dir) => withViews(spark, dir, "orders") {
+      spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_installments(total BIGINT, n INT)
+          |RETURNS TABLE(part_idx INT, amount BIGINT)
+          |RETURN SELECT id AS part_idx,
+          |  total DIV n + CASE WHEN id <= total % n THEN 1 ELSE 0 END AS amount
+          |FROM (SELECT explode(sequence(1, n)) AS id)""".stripMargin)
+      spark.sql(
+        """SELECT o.o_orderpriority, f.part_idx, COUNT(*) AS n_orders,
+          |  SUM(f.amount) AS part_cents
+          |FROM (SELECT o_orderpriority,
+          |        CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+          |      FROM orders) o,
+          |  LATERAL graft_installments(o.total_cents, 3) f
+          |GROUP BY o.o_orderpriority, f.part_idx
+          |ORDER BY o.o_orderpriority, f.part_idx""".stripMargin)
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+           |  FROM orders),
+           |x AS (
+           |  SELECT o_orderpriority, p.part_idx,
+           |    total_cents // 3 + CASE WHEN p.part_idx <= total_cents % 3 THEN 1 ELSE 0 END AS amount
+           |  FROM o CROSS JOIN (SELECT unnest([1, 2, 3]) AS part_idx) p)
+           |SELECT o_orderpriority, part_idx, COUNT(*) AS n_orders,
+           |  CAST(SUM(amount) AS BIGINT) AS part_cents
+           |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(sqlPipe, sqlParams, sqlExecImmediate, sqlGroupByAll,
-    setUnionByName, fStack)
+    setUnionByName, fStack, sqlUdfScalar, sqlUdfTable)
 }
