@@ -229,6 +229,55 @@ object SqlSurfaceQ {
            |  CAST(SUM(amount) AS BIGINT) AS part_cents
            |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** IDENTIFIER clause: injection-safe dynamic OBJECT NAMES — the
+    * complement of `sql_params` (dynamic values) and `sql_exec_immediate`
+    * (dynamic statements). A metrics-router template where the table, the
+    * grouping column, and the measure column are all runtime parameters,
+    * but bound through IDENTIFIER() so a hostile string can only ever
+    * resolve as a name, never splice SQL. The resolved plan is identical
+    * to the static query (constant-folded at analysis), so pushdown and
+    * partial aggregation are unaffected. */
+  val sqlIdentifier: Q = Q(
+    "sql_identifier",
+    (spark, dir) => withViews(spark, dir, "lineitem") {
+      spark.sql(
+        """SELECT IDENTIFIER(:grp) AS grp, COUNT(*) AS n,
+          | SUM(CAST(round(IDENTIFIER(:msr) * 100) AS BIGINT)) AS sum_cents
+          |FROM IDENTIFIER(:tbl)
+          |GROUP BY IDENTIFIER(:grp)
+          |ORDER BY grp""".stripMargin,
+        Map("tbl" -> "lineitem", "grp" -> "l_returnflag", "msr" -> "l_extendedprice"))
+    },
+    Some("""SELECT l_returnflag AS grp, COUNT(*) AS n,
+           | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin))
+
+  /** Lateral column aliases: a derived column chain (`price_cents` →
+    * `disc_e4` → `disc_cents`) where each select item references the
+    * PREVIOUS item's alias instead of re-nesting subqueries — the
+    * authoring form every warehouse migration hits on day one. The
+    * analyzer rewrites the chain into one Project, so the plan is the
+    * same single map stage the nested form produces. DuckDB implements
+    * the identical extension, so the oracle runs the same chained text. */
+  val sqlLateralAlias: Q = Q(
+    "sql_lateral_alias",
+    (spark, dir) => withViews(spark, dir, "lineitem")(spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |  price_cents * (100 - CAST(round(l_discount*100) AS BIGINT)) AS disc_e4,
+        |  disc_e4 DIV 100 AS disc_cents
+        |FROM lineitem
+        |WHERE l_orderkey <= 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+           |  price_cents * (100 - CAST(round(l_discount*100) AS BIGINT)) AS disc_e4,
+           |  disc_e4 // 100 AS disc_cents
+           |FROM lineitem
+           |WHERE l_orderkey <= 400
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   val all: Seq[Q] = Seq(sqlPipe, sqlParams, sqlExecImmediate, sqlGroupByAll,
-    setUnionByName, fStack, sqlUdfScalar, sqlUdfTable)
+    setUnionByName, fStack, sqlUdfScalar, sqlUdfTable, sqlIdentifier,
+    sqlLateralAlias)
 }
