@@ -277,7 +277,67 @@ object SqlSurfaceQ {
            |WHERE l_orderkey <= 400
            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  /** Catalog DDL lifecycle: CTAS → INSERT INTO append → ALTER TABLE ADD
+    * COLUMNS → INSERT with the new column — the day-one warehouse loop.
+    * The load-bearing semantics: rows written BEFORE the ALTER live in
+    * 3-column parquet files and must read back with the added column as
+    * NULL (catalog-schema merge over heterogeneous files), while
+    * post-ALTER inserts carry the value. Managed table in the (gitignored)
+    * warehouse dir; the run is idempotent across sessions — the in-memory
+    * catalog forgets managed tables between JVMs while their files
+    * persist, so the location is cleared explicitly before CTAS (DROP
+    * TABLE IF EXISTS alone can't see a forgotten table). */
+  val sqlCtasDdl: Q = Q(
+    "sql_ctas_ddl",
+    (spark, dir) => withViews(spark, dir, "orders") {
+      val t = s"graft_ctas_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // A managed table forgotten by a previous JVM's in-memory catalog
+      // leaves files that would fail CTAS with LOCATION_ALREADY_EXISTS.
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      spark.sql(
+        s"""CREATE TABLE $t USING parquet AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+           |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice*100) AS BIGINT)
+           |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (src STRING)")
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(round(o_totalprice*100) AS BIGINT), 'restated'
+           |FROM orders WHERE o_orderkey <= 200""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  SUM(total_cents) AS sum_cents,
+           |  SUM(CASE WHEN src IS NULL THEN 1 ELSE 0 END) AS n_pre_alter,
+           |  SUM(CASE WHEN src = 'restated' THEN 1 ELSE 0 END) AS n_restated
+           |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+           |         CAST(NULL AS VARCHAR) AS src
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT), NULL
+           |  FROM orders WHERE o_orderkey % 2 = 1
+           |  UNION ALL
+           |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT), 'restated'
+           |  FROM orders WHERE o_orderkey <= 200)
+           |SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(CASE WHEN src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_alter,
+           |  CAST(SUM(CASE WHEN src = 'restated' THEN 1 ELSE 0 END) AS BIGINT) AS n_restated
+           |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(sqlPipe, sqlParams, sqlExecImmediate, sqlGroupByAll,
     setUnionByName, fStack, sqlUdfScalar, sqlUdfTable, sqlIdentifier,
-    sqlLateralAlias)
+    sqlLateralAlias, sqlCtasDdl)
 }
