@@ -205,11 +205,21 @@ object Spark4Q {
     * strings per the Q.scala parity rules. DuckDB's native TIME is the
     * oracle — both sides derive the time-of-day through an HH:mm:ss
     * format/parse, so sub-second truncation is identical by construction. */
+  /** One TIME-enabled clone per parent session, memoized: a fresh
+    * newSession() per invocation would defeat Tables' session-keyed
+    * parquet-footer cache and re-register extensions on every Bench
+    * pass, charging this key startup costs that aren't its plan's. */
+  private val timeSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
   val fTimeType: Q = Q(
     "f_time_type",
     (spark, dir) => {
-      val s = spark.newSession()
-      s.conf.set("spark.sql.timeType.enabled", "true")
+      val s = timeSessions.computeIfAbsent(spark, parent => {
+        val c = parent.newSession()
+        c.conf.set("spark.sql.timeType.enabled", "true")
+        c
+      })
       Tables(s, dir, "events").createOrReplaceTempView("events")
       s.sql(
         """WITH t AS (

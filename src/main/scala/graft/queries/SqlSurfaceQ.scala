@@ -199,15 +199,19 @@ object SqlSurfaceQ {
     * linear, map-side expansion with no shuffle, so the pattern costs
     * O(n·parts) at any scale. The oracle rebuilds the same largest-
     * remainder math with an explicit 3-row cross join. */
+  /** Shared with SqlUdfSpec so the spec's exactness invariants always
+    * test the SAME function body the oracle-gated query ships. */
+  private[graft] val installmentsDdl: String =
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_installments(total BIGINT, n INT)
+      |RETURNS TABLE(part_idx INT, amount BIGINT)
+      |RETURN SELECT id AS part_idx,
+      |  total DIV n + CASE WHEN id <= total % n THEN 1 ELSE 0 END AS amount
+      |FROM (SELECT explode(sequence(1, n)) AS id)""".stripMargin
+
   val sqlUdfTable: Q = Q(
     "sql_udf_table",
     (spark, dir) => withViews(spark, dir, "orders") {
-      spark.sql(
-        """CREATE OR REPLACE TEMPORARY FUNCTION graft_installments(total BIGINT, n INT)
-          |RETURNS TABLE(part_idx INT, amount BIGINT)
-          |RETURN SELECT id AS part_idx,
-          |  total DIV n + CASE WHEN id <= total % n THEN 1 ELSE 0 END AS amount
-          |FROM (SELECT explode(sequence(1, n)) AS id)""".stripMargin)
+      spark.sql(installmentsDdl)
       spark.sql(
         """SELECT o.o_orderpriority, f.part_idx, COUNT(*) AS n_orders,
           |  SUM(f.amount) AS part_cents
@@ -290,14 +294,28 @@ object SqlSurfaceQ {
   val sqlCtasDdl: Q = Q(
     "sql_ctas_ddl",
     (spark, dir) => withViews(spark, dir, "orders") {
-      val t = s"graft_ctas_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // Table name carries the PID: two graft JVMs from the same cwd
+      // (Verify + Bench, or two dev drives) would otherwise race on
+      // DROP/delete/CTAS of one shared warehouse location. Same-JVM
+      // reruns are handled by DROP IF EXISTS + the location clear below.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_ctas_${tag}_p${ProcessHandle.current.pid}"
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // A managed table forgotten by a previous JVM's in-memory catalog
       // leaves files that would fail CTAS with LOCATION_ALREADY_EXISTS.
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val whBase = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val wh = new org.apache.hadoop.fs.Path(whBase, t)
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
+      // Reap dead siblings so repeated rounds don't grow the warehouse
+      // unboundedly; the 1 h age guard keeps a CONCURRENT live JVM's
+      // table safe (a drive never spans an hour).
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      try fs.listStatus(whBase).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"graft_ctas_${tag}_p") && n != t &&
+            st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      } catch { case _: Exception => () }
       spark.sql(
         s"""CREATE TABLE $t USING parquet AS
            |SELECT o_orderkey, o_orderstatus,

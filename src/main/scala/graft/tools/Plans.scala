@@ -66,7 +66,9 @@ object Plans {
     "mm_audio_window" -> "audio framing: explode of the frame-index sequence + row-local energy fold — scan-parallel, zero shuffle before the presentation sort",
     "d_incremental" -> "incremental dedup read path: base band index is a plain FileScan of the persisted parquet (no re-banding — exactly one shingle/minhash pass, over the delta), candidate pairs from the (band, sig) equi-join",
     "dec_agg" -> "DECIMAL money pipeline: identical plan shape to the integer-cents twin (scan-side cast, partial+final HashAggregate) — Decimal(18,2) aggregation stays in the unscaled-long fast path, no plan change for decimals",
-    "dec_join" -> "decimal predicate + join: the DECIMAL range filter prunes the part scan, filtered dim broadcasts exactly like its double twin")
+    "dec_join" -> "decimal predicate + join: the DECIMAL range filter prunes the part scan, filtered dim broadcasts exactly like its double twin",
+    "sql_udf_scalar" -> "SQL UDF inlining: no ScalaUDF/BatchEval node anywhere — the UDF chain resolves to plain arithmetic, filter on the UDF result sits below the aggregate in the scan stage",
+    "sql_udf_table" -> "LATERAL table UDF: inlines to a Generate(explode) over the correlated sequence — a map-side expansion, no join node for the lateral, aggregate is the only shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -19,27 +19,29 @@ class SqlUdfSpec extends SparkSpec {
       s"unresolved SQL function survived analysis:\n$optimized")
   }
 
-  test("sql_udf_scalar filter on the UDF result pushes to the parquet scan") {
+  test("sql_udf_scalar filter on the UDF result sits below the aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     val df = SparkEntry.queries("sql_udf_scalar")(spark, dir)
-    val physical = df.queryExecution.executedPlan.toString()
+    val plan = df.queryExecution.optimizedPlan
     // The BETWEEN on graft_cents(l_discount) inlines to arithmetic on
-    // l_discount; the scan must carry it at least as a data filter
-    // (round() isn't a parquet-pushable predicate, but it must sit in the
-    // scan stage's Filter, not above a join/agg).
-    assert(physical.contains("l_discount"), s"discount filter vanished:\n$physical")
+    // l_discount; after optimization it must survive as a Filter whose
+    // condition references l_discount, INSIDE the aggregate's subtree
+    // (i.e. evaluated before the shuffle, not on aggregated output).
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"no Aggregate in optimized plan:\n$plan")
+    val pushedFilters = aggs.head.collect {
+      case f: Filter if f.condition.references.exists(_.name == "l_discount") => f
+    }
+    assert(pushedFilters.nonEmpty,
+      s"no l_discount Filter below the Aggregate:\n$plan")
   }
 
   test("sql_udf_table installments sum back to each order's exact total") {
-    import org.apache.spark.sql.functions._
-    val s = spark
-    Tables(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(
-      """CREATE OR REPLACE TEMPORARY FUNCTION graft_installments(total BIGINT, n INT)
-        |RETURNS TABLE(part_idx INT, amount BIGINT)
-        |RETURN SELECT id AS part_idx,
-        |  total DIV n + CASE WHEN id <= total % n THEN 1 ELSE 0 END AS amount
-        |FROM (SELECT explode(sequence(1, n)) AS id)""".stripMargin)
-    val bad = s.sql(
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    // The SAME function body the oracle-gated query registers — a drift
+    // between spec and query would silently un-test the shipped UDF.
+    spark.sql(graft.queries.SqlSurfaceQ.installmentsDdl)
+    val bad = spark.sql(
       """SELECT o.o_orderkey
         |FROM (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
         |      FROM orders) o,
