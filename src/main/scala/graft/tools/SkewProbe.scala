@@ -53,12 +53,15 @@ object SkewProbe {
         if (n == last) stable += 1 else { stable = 0; last = n }
       }
     }
-    /** (task count, max ms, median ms) of the heaviest stage by total time. */
+    /** (task count, max ms, median ms) of the BOTTLENECK stage — the one
+      * holding the longest single task. Wall-clock is gated on that task;
+      * by-total-time selection flips between the (uniform) scan and the
+      * (skewed) join once the page cache warms, muddying the comparison. */
     def heaviestStage(): (Int, Long, Long) = synchronized {
       if (durations.isEmpty) (0, 0L, 0L)
       else {
         val byStage = durations.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
-        val (_, ds) = byStage.maxBy(_._2.sum)
+        val (_, ds) = byStage.maxBy(_._2.last)
         (ds.length, ds.last, ds(ds.length / 2))
       }
     }
