@@ -184,10 +184,17 @@ object StreamingReplayQ {
     * its spec's pinned property). Returns the (t0, t1) epoch-ms bounds so
     * callers can append further slices past the data's span. */
   private def writeTimeSlices(spark: SparkSession, dir: String,
-                              build: java.nio.file.Path): (Long, Long) = {
-    val ev = Tables(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
+                              build: java.nio.file.Path): (Long, Long) =
+    writeTimeSlicesOf(
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+      build)
+
+  /** Same quarter-slicing over a caller-provided events frame (the
+    * stream-stream join keys slice each parity half separately). */
+  private def writeTimeSlicesOf(ev: DataFrame,
+                                build: java.nio.file.Path): (Long, Long) = {
     val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
       .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
     val step = math.max(1L, (t1 - t0) / 4 + 1)
@@ -528,6 +535,132 @@ object StreamingReplayQ {
            |FROM y GROUP BY user_id, sid
            |ORDER BY user_id, start_ms""".stripMargin))
 
+  /** Landing pair for the stream-stream join replays: events split by
+    * event_id parity into a left (even) and right (odd) stream, each
+    * staged as 4 chronological event-time quarters PLUS two sentinel
+    * slices far past the data's span (one synthetic user -1 row each,
+    * same two-step rationale as [[timerSessionLandingDir]]: the first
+    * sentinel batch advances BOTH sides' watermarks beyond every real
+    * row's join horizon, the second is a data batch during which the
+    * outer join flushes its proven-unmatched state). The inner key
+    * shares the fixture — under its span-proof watermark the sentinels
+    * are just two more (filtered) rows. */
+  private def joinLandingDir(spark: SparkSession, dir: String, side: Int): String = {
+    val kind = s"stream_join_${if (side == 0) "l" else "r"}"
+    val path = fixturePath(kind, dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
+      val build = Files.createTempDirectory(s"graft_${kind}_build")
+      val ev = Tables(spark, dir, "events")
+        .filter(pmod(col("event_id"), lit(2)) === side)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val (_, t1) = writeTimeSlicesOf(ev, build)
+      val spark2 = spark; import spark2.implicits._
+      val day = 24L * 3600 * 1000
+      val s1 = t1 + 370 * day
+      Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
+        writeSlice(build, 4 + i, Seq(graft.streaming.Event(
+          -(side * 2 + i + 1).toLong, new java.sql.Timestamp(ms), -1L,
+          "sentinel", 0.0)).toDF())
+      }
+      publishDir(build, path)
+    }
+    path
+  }
+
+  /** Watermarked stream-stream INNER join, end-to-end: two real file
+    * streams (even / odd event_id halves of events, each replayed as 6
+    * chronological micro-batches) through [[StreamingOps.timeBoundJoin]]
+    * — per-user pairs within a 30-minute forward window — into an append
+    * sink. The span-proof watermark makes the replay batching-independent
+    * (nothing is evicted, and an inner join emits on arrival of the
+    * second side, so the final sink equals the batch join regardless of
+    * where batch boundaries fall — chronological arrival would guarantee
+    * that even under a finite watermark, see st_outer_join_replay). The
+    * oracle is the DuckDB twin join; lost join state (a dropped buffered
+    * row) loses pairs and hash-fails. */
+  val stJoinReplay: Q = Q(
+    "st_join_replay",
+    (spark, dir) => {
+      val left = joinLandingDir(spark, dir, 0)
+      val right = joinLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory("graft_stjoin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stjoin_ckpt").toString
+      val q = StreamingOps.timeBoundJoin(
+          fileStream(spark, left), fileStream(spark, right),
+          maxGap = "30 minutes", watermark = SpanProofWatermark)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("user_id") >= 0) // drop sentinel self-pairs
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("l_id")).as("l_id_sum"), sum(col("r_id")).as("r_id_sum"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+           |j AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+           |      FROM l JOIN r ON l.user_id = r.user_id
+           |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+           |SELECT user_id, COUNT(*) AS n_pairs,
+           |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum,
+           |  CAST(SUM(r_id) AS BIGINT) AS r_id_sum
+           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Watermarked stream-stream LEFT OUTER join, end-to-end — the
+    * proof-then-emit semantics under the gate: an unmatched left event is
+    * emitted (null right) only once the watermark PROVES no match can
+    * arrive, so the run uses a real 30-minute watermark and the two
+    * sentinel batches to push it past every real row's horizon (first
+    * sentinel advances, second is the batch during which the flush
+    * happens). Inner matches are complete despite eviction: arrival is
+    * chronological per side, so any evicted left row's match window lies
+    * entirely below the watermark — i.e. below every future right row
+    * (the scaladoc-level proof a 100 TB deployment relies on). The oracle
+    * is the batch LEFT JOIN twin: a lost unmatched row, a premature
+    * emission (duplicate), or an evicted-too-early match hash-fails. */
+  val stOuterJoinReplay: Q = Q(
+    "st_outer_join_replay",
+    (spark, dir) => {
+      val left = joinLandingDir(spark, dir, 0)
+      val right = joinLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory("graft_stojoin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stojoin_ckpt").toString
+      val q = StreamingOps.leftOuterTimeBoundJoin(
+          fileStream(spark, left), fileStream(spark, right),
+          maxGap = "30 minutes", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("user_id") >= 0) // drop the sentinel user's rows
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("r_id")).as("n_matched"),
+            sum(col("l_id")).as("l_id_sum"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+           |j AS (SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+           |      FROM l LEFT JOIN r ON l.user_id = r.user_id
+           |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+           |SELECT user_id, COUNT(*) AS n_rows, COUNT(r_id) AS n_matched,
+           |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum
+           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   private def hasInjectedCrash(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .exists(x => Option(x.getMessage).exists(_.contains("graft-injected-crash")))
@@ -579,5 +712,6 @@ object StreamingReplayQ {
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
-    stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash)
+    stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
+    stJoinReplay, stOuterJoinReplay)
 }

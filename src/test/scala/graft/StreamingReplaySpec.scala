@@ -79,4 +79,49 @@ class StreamingReplaySpec extends SparkSpec {
         s"user ${r.getLong(0)} snapshot is not the latest event")
     }
   }
+
+  test("st_join_replay: both landings replay multi-batch, pairs respect the window") {
+    val inner = SparkEntry.queries("st_join_replay")(spark, dir).collect()
+    assert(inner.nonEmpty, "no join pairs at sf0.001")
+    // each side's landing: 4 quarter slices + 2 sentinels = 6 data files
+    // → ≥6 micro-batches per side under maxFilesPerTrigger=1, so join
+    // state genuinely buffered across batches
+    Seq("stream_join_l", "stream_join_r").foreach { kind =>
+      val p = queries.StreamingReplayQ.fixturePath(kind, dir)
+      val files = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(files.length == 6, s"$kind staged ${files.length} files, expected 6")
+    }
+    // parity contract: left ids even, right ids odd (sums prove it:
+    // sum of n even numbers is even; odd sums would need odd counts)
+    inner.foreach { r =>
+      val (n, lSum, rSum) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lSum % 2 == 0, s"left id sum odd — a right row leaked left: $r")
+      assert((rSum - n) % 2 == 0, s"right ids not all odd: $r")
+    }
+  }
+
+  test("st_outer_join_replay: every left event emitted exactly once as a row group total") {
+    val outer = SparkEntry.queries("st_outer_join_replay")(spark, dir).collect()
+    // per user: n_rows - n_matched = unmatched lefts; the total row count
+    // per user must be >= that user's left-event count (multi-match
+    // multiplies), and SUM over users of (distinct left ids implied by
+    // n_rows when no multi-match) is pinned globally instead: every even
+    // event appears — unmatched or matched — so the user set must equal
+    // the set of users holding at least one even event.
+    val expectedUsers = Tables(spark, dir, "events")
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(outer.map(_.getLong(0)).toSet == expectedUsers,
+      "outer join lost or invented a left-side user")
+    // inner pairs are a subset: per shared user, matched count equals the
+    // inner key's pair count
+    val inner = SparkEntry.queries("st_join_replay")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    outer.foreach { r =>
+      val matched = r.getLong(2)
+      assert(matched == inner.getOrElse(r.getLong(0), 0L),
+        s"outer matched-count disagrees with the inner join for user ${r.getLong(0)}")
+    }
+  }
 }
