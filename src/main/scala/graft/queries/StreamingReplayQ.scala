@@ -195,7 +195,11 @@ object StreamingReplayQ {
     * stream-stream join keys slice each parity half separately). */
   private def writeTimeSlicesOf(ev: DataFrame,
                                 build: java.nio.file.Path): (Long, Long) = {
-    val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    require(!bounds.isNullAt(0),
+      s"cannot time-slice an EMPTY events frame into $build — " +
+        "source table (or its parity half) has no rows")
+    val Array(t0, t1) = bounds
       .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
     val step = math.max(1L, (t1 - t0) / 4 + 1)
     (0 until 4).foreach { k =>
@@ -322,19 +326,30 @@ object StreamingReplayQ {
     * now-expired event-time timers fire — so every real session closes
     * via handleExpiredTimer (or an inline gap split), with no reliance on
     * the engine scheduling an extra empty batch after the last file. */
+  /** Append the two-step watermark sentinels as slices 4 and 5: one
+    * synthetic user -1 row at t1 + 370 d (advances the watermark beyond
+    * every real row's horizon) and one an hour later (the data batch
+    * DURING which the now-provable state — expired timers, unmatched
+    * outer rows — flushes). Shared by the timer-session and the
+    * stream-join landings so the mechanism can't desynchronize. */
+  private def appendSentinelSlices(spark: SparkSession,
+                                   build: java.nio.file.Path,
+                                   t1: Long, idBase: Long): Unit = {
+    val spark2 = spark; import spark2.implicits._
+    val day = 24L * 3600 * 1000
+    val s1 = t1 + 370 * day
+    Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
+      writeSlice(build, 4 + i, Seq(graft.streaming.Event(
+        idBase - i, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
+    }
+  }
+
   private def timerSessionLandingDir(spark: SparkSession, dir: String): String = {
     val path = fixturePath("stream_sessions_t", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_t_build")
       val (_, t1) = writeTimeSlices(spark, dir, build)
-      val spark2 = spark; import spark2.implicits._
-      val day = 24L * 3600 * 1000
-      val s1 = t1 + 370 * day
-      val s2 = s1 + 3600 * 1000
-      Seq(s1, s2).zipWithIndex.foreach { case (ms, i) =>
-        writeSlice(build, 4 + i, Seq(graft.streaming.Event(
-          -(i + 1).toLong, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
-      }
+      appendSentinelSlices(spark, build, t1, idBase = -1L)
       publishDir(build, path)
     }
     path
@@ -555,14 +570,7 @@ object StreamingReplayQ {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val (_, t1) = writeTimeSlicesOf(ev, build)
-      val spark2 = spark; import spark2.implicits._
-      val day = 24L * 3600 * 1000
-      val s1 = t1 + 370 * day
-      Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
-        writeSlice(build, 4 + i, Seq(graft.streaming.Event(
-          -(side * 2 + i + 1).toLong, new java.sql.Timestamp(ms), -1L,
-          "sentinel", 0.0)).toDF())
-      }
+      appendSentinelSlices(spark, build, t1, idBase = -(side * 2 + 1).toLong)
       publishDir(build, path)
     }
     path

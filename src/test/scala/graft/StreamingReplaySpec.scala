@@ -80,9 +80,32 @@ class StreamingReplaySpec extends SparkSpec {
     }
   }
 
-  test("st_join_replay: both landings replay multi-batch, pairs respect the window") {
-    val inner = SparkEntry.queries("st_join_replay")(spark, dir).collect()
-    assert(inner.nonEmpty, "no join pairs at sf0.001")
+  // One streaming run shared by both join tests — each invocation is a
+  // full two-source multi-batch stream with its own sink/checkpoint.
+  private lazy val innerJoinRows =
+    SparkEntry.queries("st_join_replay")(spark, dir).collect()
+
+  /** Batch twin of the stream-stream inner join, computed with plain
+    * DataFrames: the strict per-user contract (count and BOTH id sums)
+    * that catches any wrong-parity leak, window-bound violation, or
+    * lost buffered row — sum-parity arithmetic only detects odd leak
+    * counts. */
+  private def batchInnerTwin(): Map[Long, (Long, Long, Long)] = {
+    val ev = Tables(spark, dir, "events")
+    val l = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("user_id").as("u"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("user_id").as("ru"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r, col("u") === col("ru") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n"), sum(col("l_id")).as("ls"), sum(col("r_id")).as("rs"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+  }
+
+  test("st_join_replay: multi-batch landings, stream result equals the batch twin") {
+    assert(innerJoinRows.nonEmpty, "no join pairs at sf0.001")
     // each side's landing: 4 quarter slices + 2 sentinels = 6 data files
     // → ≥6 micro-batches per side under maxFilesPerTrigger=1, so join
     // state genuinely buffered across batches
@@ -92,23 +115,19 @@ class StreamingReplaySpec extends SparkSpec {
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       assert(files.length == 6, s"$kind staged ${files.length} files, expected 6")
     }
-    // parity contract: left ids even, right ids odd (sums prove it:
-    // sum of n even numbers is even; odd sums would need odd counts)
-    inner.foreach { r =>
-      val (n, lSum, rSum) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(lSum % 2 == 0, s"left id sum odd — a right row leaked left: $r")
-      assert((rSum - n) % 2 == 0, s"right ids not all odd: $r")
+    val twin = batchInnerTwin()
+    assert(innerJoinRows.map(_.getLong(0)).toSet == twin.keySet,
+      "stream join's user set differs from the batch twin")
+    innerJoinRows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == twin(r.getLong(0)),
+        s"stream pairs differ from the batch twin for user ${r.getLong(0)}: $r vs ${twin(r.getLong(0))}")
     }
   }
 
-  test("st_outer_join_replay: every left event emitted exactly once as a row group total") {
+  test("st_outer_join_replay: all left users present, matched counts agree with inner") {
     val outer = SparkEntry.queries("st_outer_join_replay")(spark, dir).collect()
-    // per user: n_rows - n_matched = unmatched lefts; the total row count
-    // per user must be >= that user's left-event count (multi-match
-    // multiplies), and SUM over users of (distinct left ids implied by
-    // n_rows when no multi-match) is pinned globally instead: every even
-    // event appears — unmatched or matched — so the user set must equal
-    // the set of users holding at least one even event.
+    // every even event appears — matched or unmatched — so the user set
+    // must equal the set of users holding at least one even event
     val expectedUsers = Tables(spark, dir, "events")
       .filter(pmod(col("event_id"), lit(2)) === 0)
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
@@ -116,8 +135,7 @@ class StreamingReplaySpec extends SparkSpec {
       "outer join lost or invented a left-side user")
     // inner pairs are a subset: per shared user, matched count equals the
     // inner key's pair count
-    val inner = SparkEntry.queries("st_join_replay")(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inner = innerJoinRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     outer.foreach { r =>
       val matched = r.getLong(2)
       assert(matched == inner.getOrElse(r.getLong(0), 0L),
