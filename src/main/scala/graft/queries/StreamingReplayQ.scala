@@ -587,9 +587,30 @@ object StreamingReplayQ {
     * that even under a finite watermark, see st_outer_join_replay). The
     * oracle is the DuckDB twin join; lost join state (a dropped buffered
     * row) loses pairs and hash-fails. */
+  /** Session for the stream-stream join replays: a two-sided stateful
+    * join materializes BOTH sides' buffers in per-partition state stores,
+    * and every micro-batch pays a fixed open/commit cost per store per
+    * side — at 32 shuffle partitions that fixed cost dominates the tiny
+    * per-batch data (the same per-query "tune the session to the
+    * workload" move as sql_recursive_chain). 4 partitions cut the
+    * per-batch store count 8× while the state itself stays sharded; a
+    * cluster run at real volume would keep the partition count at its
+    * data's scale instead. Memoized per parent session (same rationale
+    * as Spark4Q.timeSessions). */
+  private val joinSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def joinSession(spark: SparkSession): SparkSession =
+    joinSessions.computeIfAbsent(spark, parent => {
+      val c = parent.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "4")
+      c
+    })
+
   val stJoinReplay: Q = Q(
     "st_join_replay",
-    (spark, dir) => {
+    (spark0, dir) => {
+      val spark = joinSession(spark0)
       val left = joinLandingDir(spark, dir, 0)
       val right = joinLandingDir(spark, dir, 1)
       val sink = Files.createTempDirectory("graft_stjoin_sink").toString
@@ -636,7 +657,8 @@ object StreamingReplayQ {
     * emission (duplicate), or an evicted-too-early match hash-fails. */
   val stOuterJoinReplay: Q = Q(
     "st_outer_join_replay",
-    (spark, dir) => {
+    (spark0, dir) => {
+      val spark = joinSession(spark0)
       val left = joinLandingDir(spark, dir, 0)
       val right = joinLandingDir(spark, dir, 1)
       val sink = Files.createTempDirectory("graft_stojoin_sink").toString
