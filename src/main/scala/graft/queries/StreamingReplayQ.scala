@@ -691,6 +691,48 @@ object StreamingReplayQ {
            |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum
            |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Watermarked tumbling-window aggregation in APPEND mode, end-to-end —
+    * the canonical Structured Streaming shape, upgraded from
+    * g_window_tumbling's batch twin to a TRUE replay: 4 chronological
+    * event-time quarters under a real 30-minute watermark (append mode
+    * emits a window only once the watermark PROVES it closed), plus the
+    * two sentinel batches that advance-then-flush the final windows.
+    * Chronological arrival means nothing is ever late-dropped (batch
+    * k+1's rows sit at or above batch k's max event time), so the sink
+    * must equal the batch twin exactly — a window emitted early
+    * (duplicate), withheld (missing), or fed late-dropped rows
+    * (undercount) hash-fails. `value` is pre-scaled to integer cents so
+    * the per-window sum is addition-order-exact. */
+  val stWindowReplay: Q = Q(
+    "st_window_replay",
+    (spark, dir) => {
+      val landing = timerSessionLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stwin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stwin_ckpt").toString
+      val in = fileStream(spark, landing)
+        .withColumn("value", cents(col("value")))
+      val q = StreamingOps.tumblingCounts(in,
+          window_ = "10 minutes", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("event_type") =!= "sentinel")
+          .select(date_format(col("w_start"), tsSec).as("w_start"),
+            col("event_type"), col("n_events"),
+            col("value_sum").as("value_cents"))
+          .orderBy("w_start", "event_type"),
+        sink, ckpt)
+    },
+    Some("""SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+           | event_type, COUNT(*) AS n_events,
+           | CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+
   private def hasInjectedCrash(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .exists(x => Option(x.getMessage).exists(_.contains("graft-injected-crash")))
@@ -743,5 +785,5 @@ object StreamingReplayQ {
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
-    stJoinReplay, stOuterJoinReplay)
+    stJoinReplay, stOuterJoinReplay, stWindowReplay)
 }

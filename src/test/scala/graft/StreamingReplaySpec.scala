@@ -142,4 +142,20 @@ class StreamingReplaySpec extends SparkSpec {
         s"outer matched-count disagrees with the inner join for user ${r.getLong(0)}")
     }
   }
+
+  test("st_window_replay: append mode emits each closed window exactly once") {
+    val out = SparkEntry.queries("st_window_replay")(spark, dir).collect()
+    assert(out.nonEmpty, "no finalized windows at sf0.001")
+    val keys = out.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length,
+      "a window emitted more than once — append-mode closure violated")
+    // completeness: the stream's finalized windows must cover every
+    // (window, type) the batch grouping produces — sentinel batches
+    // flushed the final ones
+    val expected = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .count().count()
+    assert(out.length.toLong == expected,
+      s"${out.length} streamed windows vs $expected batch windows")
+  }
 }
