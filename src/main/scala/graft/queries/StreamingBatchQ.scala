@@ -15,6 +15,23 @@ object StreamingBatchQ {
 
   private val tsSec = "yyyy-MM-dd HH:mm:ss"
 
+  /** Shared DuckDB gaps-and-islands prologue for every 30-minute-gap
+    * session oracle (g_window_session, st_session_replay,
+    * st_timer_sessions, st_session_window_replay). The `>= INTERVAL '30
+    * minutes'` break is load-bearing — it must match Spark's
+    * session_window / session-fold merge boundary exactly — so the four
+    * oracles compose on ONE copy instead of drifting apart. Yields CTEs
+    * x (per-event break flags) and y (user_id, ts, sid). */
+  private[graft] val sessionIslandsCte: String =
+    """WITH x AS (SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT user_id, ts,
+      |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)""".stripMargin
+
   val gTumble: Q = Q(
     "g_window_tumbling",
     (spark, dir) =>
@@ -64,14 +81,7 @@ object StreamingBatchQ {
           date_format(col("session_window.start"), tsSec).as("w_start"),
           col("n_events"))
         .orderBy("user_id", "w_start"),
-    Some("""WITH x AS (SELECT user_id, ts, event_id,
-           |   CASE WHEN lag(ts) OVER w IS NULL
-           |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-           |y AS (SELECT user_id, ts,
-           |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           |  FROM x)
+    Some(sessionIslandsCte + """
            |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
            |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin))
 

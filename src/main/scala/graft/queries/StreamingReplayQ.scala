@@ -259,14 +259,7 @@ object StreamingReplayQ {
           .orderBy("user_id", "start_ms"),
         sink, ckpt)
     },
-    Some("""WITH x AS (SELECT user_id, ts, event_id,
-           |    CASE WHEN lag(ts) OVER w IS NULL
-           |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-           |y AS (SELECT user_id, ts,
-           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           |  FROM x),
+    Some(StreamingBatchQ.sessionIslandsCte + """,
            |s AS (SELECT user_id, sid,
            |    CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
            |    CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
@@ -344,12 +337,37 @@ object StreamingReplayQ {
     }
   }
 
-  private def timerSessionLandingDir(spark: SparkSession, dir: String): String = {
-    val path = fixturePath("stream_sessions_t", dir)
+  /** The synthetic events-table sessions turn out to never straddle the
+    * quarter cuts (verified at sf0.001 AND sf0.01: zero sessions with
+    * events on both sides of a cut) — so a landing of the raw table
+    * exercises cross-batch state CARRY but never cross-batch session
+    * MERGE. Inject one straddler: user -2 with two events 5 minutes on
+    * either side of the second cut (10-minute gap ≪ the 30-minute
+    * session gap ⇒ ONE session whose two events arrive in different
+    * micro-batches, forcing the merge/stitch path in every consumer of
+    * this landing). Straddler rows carry event_type "sentinel" and a
+    * negative user id, so every consumer's existing output filter drops
+    * them and the oracles over the ORIGINAL events are unchanged. */
+  private[graft] def timerSessionLandingDir(spark: SparkSession, dir: String): String = {
+    val path = fixturePath("stream_sessions_t3", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_t_build")
-      val (_, t1) = writeTimeSlices(spark, dir, build)
-      appendSentinelSlices(spark, build, t1, idBase = -1L)
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val step = math.max(1L, (t1 - t0) / 4 + 1)
+      val cut2 = t0 + 2 * step
+      val m5 = 5L * 60 * 1000
+      require(cut2 - m5 > t0 && cut2 + m5 < t1,
+        s"events span too short to place a straddler around cut $cut2")
+      val spark2 = spark; import spark2.implicits._
+      val straddler = Seq(
+        graft.streaming.Event(-10L, new java.sql.Timestamp(cut2 - m5), -2L, "sentinel", 0.0),
+        graft.streaming.Event(-11L, new java.sql.Timestamp(cut2 + m5), -2L, "sentinel", 0.0)).toDF()
+      val (_, t1b) = writeTimeSlicesOf(ev.unionByName(straddler), build)
+      appendSentinelSlices(spark, build, t1b, idBase = -1L)
       publishDir(build, path)
     }
     path
@@ -535,14 +553,7 @@ object StreamingReplayQ {
           .orderBy("user_id", "start_ms"),
         sink, ckpt)
     },
-    Some("""WITH x AS (SELECT user_id, ts, event_id,
-           |    CASE WHEN lag(ts) OVER w IS NULL
-           |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-           |y AS (SELECT user_id, ts,
-           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           |  FROM x)
+    Some(StreamingBatchQ.sessionIslandsCte + """
            |SELECT user_id,
            |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
            |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
@@ -723,7 +734,7 @@ object StreamingReplayQ {
       q.awaitTermination()
       materializeAndClean(
         spark.read.parquet(sink)
-          .filter(col("event_type") =!= "sentinel")
+          .filter(!(col("event_type") <=> "sentinel")) // null-safe: a NULL type is data, not a sentinel
           .select(date_format(col("w_start"), tsSec).as("w_start"),
             col("event_type"), col("n_events"),
             col("value_sum").as("value_cents"))
@@ -769,14 +780,7 @@ object StreamingReplayQ {
           .orderBy("user_id", "w_start"),
         sink, ckpt)
     },
-    Some("""WITH x AS (SELECT user_id, ts, event_id,
-           |   CASE WHEN lag(ts) OVER w IS NULL
-           |        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-           |y AS (SELECT user_id, ts,
-           |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           |  FROM x)
+    Some(StreamingBatchQ.sessionIslandsCte + """
            |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
            |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin))
 

@@ -143,6 +143,35 @@ class StreamingReplaySpec extends SparkSpec {
     }
   }
 
+  test("st_session_window_replay: a landing session spans a slice boundary, count equals batch") {
+    val out = SparkEntry.queries("st_session_window_replay")(spark, dir).collect()
+    // the raw events' sessions never straddle the quarter cuts (verified
+    // at sf0.001 and sf0.01) — the landing injects a straddler user to
+    // force the merge path; assert over the LANDING that the crossing
+    // really exists (and would catch a regression in its construction)
+    val landing = queries.StreamingReplayQ.timerSessionLandingDir(spark, dir)
+    val sess = spark.read.parquet(landing)
+      .filter(col("user_id") =!= -1L) // drop the far-future watermark sentinels
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("lo"), max(unix_millis(col("ts"))).as("hi"))
+      .select(col("lo"), col("hi")).collect()
+    // the landing's quarter cuts (same arithmetic as writeTimeSlicesOf)
+    val Array(t0, t1) = Tables(spark, dir, "events")
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val step = math.max(1L, (t1 - t0) / 4 + 1)
+    val cuts = (1 to 3).map(k => t0 + k * step)
+    assert(sess.exists(r => cuts.exists(c => r.getLong(0) < c && r.getLong(1) >= c)),
+      "no landing session crosses a slice boundary — the merge path was never exercised")
+    // the straddler is filtered from the output, so the streamed count
+    // equals the batch sessions over the ORIGINAL events
+    val expected = Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().count()
+    assert(out.length.toLong == expected,
+      s"${out.length} streamed sessions vs $expected batch sessions")
+  }
+
   test("st_window_replay: append mode emits each closed window exactly once") {
     val out = SparkEntry.queries("st_window_replay")(spark, dir).collect()
     assert(out.nonEmpty, "no finalized windows at sf0.001")
