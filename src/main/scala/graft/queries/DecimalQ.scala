@@ -36,7 +36,18 @@ object DecimalQ {
   /** TPC-H Q1's money pipeline in DECIMAL end-to-end: scan-cast to
     * DECIMAL(18,2), exact decimal complements cast to DECIMAL(8,2)
     * (values ≤ 2.00, no rounding), products and sums left to each
-    * engine's promotion and pinned to one declared type at the edge. */
+    * engine's promotion and pinned to one declared type at the edge.
+    *
+    * Gate-facing representation (round-14 verdict task #1): every
+    * decimal result column leaves the query as a STRING of the pinned
+    * scale. The decimal ARITHMETIC — promotion, exactness — is still
+    * what the key tests; only the output surface changes. Raw DECIMAL
+    * output columns proved representation-fragile under the driver's
+    * stringified-row hash (dec_join r14: values verified exact on both
+    * sides, hash red anyway), which is exactly why the Q.scala parity
+    * rule says money leaves queries as exact integers or strings. Both
+    * engines render a pinned-scale decimal identically (plain notation,
+    * full scale: '1234.5000'). */
   val decAgg: Q = Q(
     "dec_agg",
     (spark, dir) => {
@@ -48,12 +59,12 @@ object DecimalQ {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("price")).cast("decimal(38,2)").as("sum_base"),
+          sum(col("price")).cast("decimal(38,2)").cast("string").as("sum_base"),
           sum(col("price") * (lit(1) - col("disc")).cast("decimal(8,2)"))
-            .cast("decimal(38,4)").as("sum_disc"),
+            .cast("decimal(38,4)").cast("string").as("sum_disc"),
           sum(col("price") * (lit(1) - col("disc")).cast("decimal(8,2)")
               * (lit(1) + col("tax")).cast("decimal(8,2)"))
-            .cast("decimal(38,6)").as("sum_charge"))
+            .cast("decimal(38,6)").cast("string").as("sum_charge"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""WITH li AS (SELECT l_returnflag, l_linestatus,
@@ -61,10 +72,10 @@ object DecimalQ {
            |  CAST(l_discount AS DECIMAL(18,2)) AS disc,
            |  CAST(l_tax AS DECIMAL(18,2)) AS tax FROM lineitem)
            |SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           |  CAST(SUM(price) AS DECIMAL(38,2)) AS sum_base,
-           |  CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS sum_disc,
-           |  CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2)) * CAST(1 + tax AS DECIMAL(8,2)))
-           |       AS DECIMAL(38,6)) AS sum_charge
+           |  CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+           |  CAST(CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc,
+           |  CAST(CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2)) * CAST(1 + tax AS DECIMAL(8,2)))
+           |       AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge
            |FROM li GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Overflow behavior under ANSI, the gateable face: try_cast to a
@@ -85,14 +96,14 @@ object DecimalQ {
         .agg(
           count(lit(1)).as("n_rows"),
           count(col("small")).as("n_fit"),
-          sum(col("small")).cast("decimal(38,2)").as("sum_fit"),
-          max(col("small")).cast("decimal(5,2)").as("max_fit"))
+          sum(col("small")).cast("decimal(38,2)").cast("string").as("sum_fit"),
+          max(col("small")).cast("decimal(5,2)").cast("string").as("max_fit"))
     },
     Some("""WITH li AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
            |s AS (SELECT TRY_CAST(price AS DECIMAL(5,2)) AS small FROM li)
            |SELECT COUNT(*) AS n_rows, COUNT(small) AS n_fit,
-           |  CAST(SUM(small) AS DECIMAL(38,2)) AS sum_fit,
-           |  CAST(MAX(small) AS DECIMAL(5,2)) AS max_fit
+           |  CAST(CAST(SUM(small) AS DECIMAL(38,2)) AS VARCHAR) AS sum_fit,
+           |  CAST(CAST(MAX(small) AS DECIMAL(5,2)) AS VARCHAR) AS max_fit
            |FROM s""".stripMargin))
 
   /** Decimal predicates and arithmetic across a join: the dim side is
@@ -118,9 +129,9 @@ object DecimalQ {
         .agg(
           count(lit(1)).as("n_items"),
           sum(col("price") * (lit(1) - col("disc")).cast("decimal(8,2)"))
-            .cast("decimal(38,4)").as("revenue"),
-          min(col("rp")).cast("decimal(12,2)").as("min_rp"),
-          max(col("rp")).cast("decimal(12,2)").as("max_rp"))
+            .cast("decimal(38,4)").cast("string").as("revenue"),
+          min(col("rp")).cast("decimal(12,2)").cast("string").as("min_rp"),
+          max(col("rp")).cast("decimal(12,2)").cast("string").as("max_rp"))
         .orderBy("p_brand")
     },
     Some("""WITH p AS (SELECT p_partkey, p_brand,
@@ -131,9 +142,9 @@ object DecimalQ {
            |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
            |    CAST(l_discount AS DECIMAL(18,2)) AS disc FROM lineitem)
            |SELECT p_brand, COUNT(*) AS n_items,
-           |  CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue,
-           |  CAST(MIN(rp) AS DECIMAL(12,2)) AS min_rp,
-           |  CAST(MAX(rp) AS DECIMAL(12,2)) AS max_rp
+           |  CAST(CAST(SUM(price * CAST(1 - disc AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+           |  CAST(CAST(MIN(rp) AS DECIMAL(12,2)) AS VARCHAR) AS min_rp,
+           |  CAST(CAST(MAX(rp) AS DECIMAL(12,2)) AS VARCHAR) AS max_rp
            |FROM li JOIN p ON l_partkey = p_partkey
            |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
 
