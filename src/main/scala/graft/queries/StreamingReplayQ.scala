@@ -571,7 +571,7 @@ object StreamingReplayQ {
     * outer join flushes its proven-unmatched state). The inner key
     * shares the fixture — under its span-proof watermark the sentinels
     * are just two more (filtered) rows. */
-  private def joinLandingDir(spark: SparkSession, dir: String, side: Int): String = {
+  private[graft] def joinLandingDir(spark: SparkSession, dir: String, side: Int): String = {
     val kind = s"stream_join_${if (side == 0) "l" else "r"}"
     val path = fixturePath(kind, dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
@@ -703,6 +703,63 @@ object StreamingReplayQ {
            |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum
            |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Watermarked stream-stream FULL OUTER join, end-to-end — the last
+    * missing mode of the streaming join matrix (the CDC-reconciliation
+    * shape: a row present on either side but not both must surface
+    * exactly once). Both sides' unmatched rows flush at eviction time,
+    * so the run needs both sentinel batches: the first advances BOTH
+    * watermarks past every real row's join horizon, the second is the
+    * data batch during which the proven-unmatched state on each side
+    * emits. Completeness of the matched pairs under the finite
+    * watermark follows from chronological per-side arrival exactly as
+    * in st_outer_join_replay (an evicted row's match window lies
+    * entirely below the other side's future rows). The oracle is the
+    * batch FULL JOIN twin: a lost unmatched row on either side, a
+    * double emission, or an evicted-too-early match hash-fails. */
+  val stFullOuterJoinReplay: Q = Q(
+    "st_full_outer_join_replay",
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
+      val left = joinLandingDir(spark, dir, 0)
+      val right = joinLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory("graft_stfojoin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stfojoin_ckpt").toString
+      val q = StreamingOps.fullOuterTimeBoundJoin(
+          fileStream(spark, left), fileStream(spark, right),
+          maxGap = "30 minutes", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("user_id") >= 0) // drop the sentinel user's rows
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("l_id").isNotNull && col("r_id").isNotNull, lit(1)))
+              .as("n_matched"),
+            count(when(col("r_id").isNull, lit(1))).as("n_left_only"),
+            count(when(col("l_id").isNull, lit(1))).as("n_right_only"),
+            sum(col("l_id")).as("l_id_sum"), sum(col("r_id")).as("r_id_sum"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+           |j AS (SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           |        l.event_id AS l_id, r.event_id AS r_id
+           |      FROM l FULL JOIN r ON l.user_id = r.user_id
+           |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+           |SELECT user_id, COUNT(*) AS n_rows,
+           |  COUNT(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL THEN 1 END) AS n_matched,
+           |  COUNT(CASE WHEN r_id IS NULL THEN 1 END) AS n_left_only,
+           |  COUNT(CASE WHEN l_id IS NULL THEN 1 END) AS n_right_only,
+           |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum,
+           |  CAST(SUM(r_id) AS BIGINT) AS r_id_sum
+           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Watermarked tumbling-window aggregation in APPEND mode, end-to-end —
     * the canonical Structured Streaming shape, upgraded from
     * g_window_tumbling's batch twin to a TRUE replay: 4 chronological
@@ -784,6 +841,79 @@ object StreamingReplayQ {
            |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
            |FROM y GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin))
 
+  /** CHAINED stateful operators in one streaming query (Spark ≥ 3.5's
+    * multi-stateful-operator support, round-14 verdict task #4): a
+    * watermarked stream-stream time-interval join feeding a tumbling
+    * time-window aggregation in the SAME writeStream — two state stores,
+    * one checkpoint, watermark propagated THROUGH the join to finalize
+    * the downstream windows. The sentinel filter between the operators
+    * is stateless, so the pipeline is join-state → filter → window-state.
+    * Append mode: a window emits only once the join's output watermark
+    * proves it closed; the two sentinel batches advance-then-flush the
+    * final windows exactly as in st_window_replay. The oracle is the
+    * batch twin of the whole composition — broken watermark propagation
+    * (windows withheld or emitted early), lost join state, or a
+    * double-counted pair hash-fails.
+    *
+    * Sentinel handling is POST-sink here, like every other replay key —
+    * but in this one it is load-bearing, not stylistic: an in-stream
+    * `user_id >= 0` filter between the join and the window gets pushed
+    * by Catalyst through the inner join into BOTH parquet scans, BELOW
+    * the EventTimeWatermark nodes — the sentinel rows then never reach
+    * the watermark-stats collector, the watermark never advances past
+    * the real span, and the final real window is silently withheld
+    * (found empirically at sf0.01; sf0.001 masked it because its last
+    * window closed > 30 min below the span max). Sentinel self-pairs
+    * land in far-future windows (> real span + 369 d), so dropping
+    * windows past the real span on sink read-back removes exactly
+    * them. */
+  val stJoinWindowReplay: Q = Q(
+    "st_join_window_replay",
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
+      val left = joinLandingDir(spark, dir, 0)
+      val right = joinLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory("graft_stjwin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stjwin_ckpt").toString
+      // Real-span bound for the post-sink sentinel-window cut (1-row
+      // driver fetch, same constant traffic as the landing builders).
+      val t1 = Tables(spark, dir, "events")
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val joined = StreamingOps.timeBoundJoin(
+          fileStream(spark, left), fileStream(spark, right),
+          maxGap = "30 minutes", watermark = "30 minutes")
+      val q = joined
+        .groupBy(window(col("l_ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_id")).as("l_id_sum"), sum(col("r_id")).as("r_id_sum"))
+        .select(col("window.start").as("w_start"),
+          col("n_pairs"), col("l_id_sum"), col("r_id_sum"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("w_start") <= // drop sentinel-era windows (span + 369 d)
+            lit(new java.sql.Timestamp(t1.getTime + 24L * 3600 * 1000)))
+          .select(date_format(col("w_start"), tsSec).as("w_start"),
+            col("n_pairs"), col("l_id_sum"), col("r_id_sum"))
+          .orderBy("w_start"),
+        sink, ckpt)
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+           |j AS (SELECT l.ts AS l_ts, l.event_id AS l_id, r.event_id AS r_id
+           |      FROM l JOIN r ON l.user_id = r.user_id
+           |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+           |SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(l_ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum,
+           |  CAST(SUM(r_id) AS BIGINT) AS r_id_sum
+           |FROM j GROUP BY 1 ORDER BY w_start""".stripMargin))
+
   private def hasInjectedCrash(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .exists(x => Option(x.getMessage).exists(_.contains("graft-injected-crash")))
@@ -836,5 +966,6 @@ object StreamingReplayQ {
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
-    stJoinReplay, stOuterJoinReplay, stWindowReplay, stSessionWindowReplay)
+    stJoinReplay, stOuterJoinReplay, stFullOuterJoinReplay, stJoinWindowReplay,
+    stWindowReplay, stSessionWindowReplay)
 }

@@ -113,6 +113,34 @@ object StreamingOps {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** FULL OUTER watermarked stream-stream join — the last mode of the
+    * streaming join matrix (CDC reconciliation's shape: rows present on
+    * either side but not both must surface exactly once). Semantics are
+    * the union of both one-sided outer proofs: a matched pair emits on
+    * arrival of the second side; an unmatched LEFT row emits (null right)
+    * once the right watermark proves no r_ts in [l_ts, l_ts+maxGap] can
+    * arrive; an unmatched RIGHT row emits (null left) once the left
+    * watermark proves no l_ts in [r_ts-maxGap, r_ts] can arrive. Output
+    * `user_id` is coalesced across sides so right-only rows keep their
+    * key. State stays evictable exactly as in the inner variant — the
+    * time bound plus both-side watermarks bound BOTH buffers, which is
+    * what makes a 100 TB/day reconciliation stream runnable at all. */
+  def fullOuterTimeBoundJoin(left: DataFrame, right: DataFrame,
+                             maxGap: String = "30 minutes",
+                             watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+      "full_outer")
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Exactly-once keyed-upsert snapshot sink (CDC-apply): maintain a
     * "latest state per user" parquet snapshot from the event stream via
     * foreachBatch. Without a transactional table format, exactly-once
