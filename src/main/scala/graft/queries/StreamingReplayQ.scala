@@ -215,7 +215,7 @@ object StreamingReplayQ {
     * EVENT-TIME quarters, mtimes set strictly increasing so the file
     * source admits them chronologically. Unique-scratch build + atomic
     * publish, like [[landingDir]]. */
-  private def sessionLandingDir(spark: SparkSession, dir: String): String = {
+  private[graft] def sessionLandingDir(spark: SparkSession, dir: String): String = {
     val path = fixturePath("stream_sessions", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_build")
@@ -278,17 +278,24 @@ object StreamingReplayQ {
   // and restored for whatever runs next in the shared session.
   // ---------------------------------------------------------------------
 
-  private def withRocksDb[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  /** Scoped session-conf overrides: set, run, restore — whatever runs
+    * next in the shared session sees its own conf again. */
+  private def withConfs[A](spark: SparkSession, confs: (String, String)*)(f: => A): A = {
+    val prevs = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[A](spark: SparkSession)(f: => A): A =
+    withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider)(f)
 
   /** Documents landing: 4 single-file slices covering equal DOC-ID
     * quarters, mtimes ascending — so the stream replays the corpus in
@@ -419,6 +426,58 @@ object StreamingReplayQ {
            |SELECT user_id, COUNT(DISTINCT q) AS n_updates, COUNT(*) AS n_events,
            |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_total
            |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** transformWithState LISTSTATE + MAPSTATE under the gate (round-14
+    * verdict task #5): per-user MapState[event_type → count] point-updated
+    * per row, plus ListState of per-batch row counts, replayed over the 4
+    * chronological event-time quarters. The oracle pins all three state
+    * surfaces at once: n_batches (list length) must equal the number of
+    * quarters the user appears in, n_events (list sum) the user's total
+    * rows, and types_str (key-sorted map signature) the exact per-type
+    * counts — lost list entries, a reset map, or a batch-collapsing
+    * processor each corrupt a different column. Final row per user is
+    * selected by the monotone max(struct(n_events, …)); countDistinct-free
+    * because every emission strictly grows n_events (a user emits only in
+    * batches containing their rows). */
+  val stTypeMapState: Q = Q(
+    "st_type_map_state",
+    (spark, dir) => withRocksDb(spark) {
+      val landing = sessionLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_sttypemap_sink").toString
+      val ckpt = Files.createTempDirectory("graft_sttypemap_ckpt").toString
+      val spark2 = spark; import spark2.implicits._
+      val q = StreamingOps.userTypeSummaries(
+          fileStream(spark, landing).as[graft.streaming.Event])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserTypeSummary], _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("n_batches"), col("types_str"))).as("s"))
+          .select(col("user_id"), col("s.n_batches").as("n_batches"),
+            col("s.n_events").as("n_events"), col("s.types_str").as("types_str"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+           |e AS (SELECT user_id, COALESCE(event_type, '∅') AS et,
+           |        (epoch_ms(ts) - b.t0) // GREATEST(1, (b.t1 - b.t0) // 4 + 1) AS q
+           |      FROM events, b),
+           |tc AS (SELECT user_id, et, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+           |sig AS (SELECT user_id,
+           |          string_agg(et || '=' || cnt, ',' ORDER BY et) AS types_str
+           |        FROM tc GROUP BY user_id),
+           |agg AS (SELECT user_id, COUNT(DISTINCT q) AS n_batches, COUNT(*) AS n_events
+           |        FROM e GROUP BY user_id)
+           |SELECT a.user_id, a.n_batches, a.n_events, s.types_str
+           |FROM agg a JOIN sig s ON a.user_id = s.user_id
+           |ORDER BY a.user_id""".stripMargin))
 
   /** Streaming span-level dedup through transformWithState, end-to-end:
     * documents stream in doc_id order across 4 micro-batches, each cut
@@ -964,8 +1023,77 @@ object StreamingReplayQ {
            |      FROM events) t
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** State-SCHEMA evolution across a restart (round-14 verdict task #6),
+    * the checkpoint-compat regression class: run the stream with a v1
+    * StatefulProcessor (state = event count), kill it mid-protocol after
+    * batch 1's sink write but before its epoch commits (the same injected
+    * crash window as st_upsert_crash), then resume from the SAME
+    * checkpoint with the v2 processor whose state schema ADDS a nullable
+    * micro-cents accumulator. The store must rehydrate v1-written rows
+    * under the v2 schema (added field null) — requires the Avro state
+    * encoding; UnsafeRow state would refuse the schema change. Batch
+    * boundaries are deterministic (event-time quarters, crash pinned at
+    * id 1, batch 1 replayed by v2), so the oracle can pin BOTH the
+    * carried-over count (n_events spans all quarters — lost v1 state
+    * under-counts) AND the upgrade-time accumulator (late_micro = the
+    * micro-cent sum over quarters 1-3 exactly; null for users seen only
+    * in quarter 0). The duplicate batch-1 sink rows (v1's crashed write +
+    * v2's replay) are resolved by the monotone max(struct) — v2's row
+    * wins the tie because non-null beats null at equal n_events. */
+  val stStateEvolve: Q = Q(
+    "st_state_evolve",
+    (spark, dir) => withConfs(spark,
+        "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+        "spark.sql.streaming.stateStore.encodingFormat" -> "avro") {
+      val landing = sessionLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stevo_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stevo_ckpt").toString
+      val spark2 = spark; import spark2.implicits._
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(v2: Boolean, crashAfter: Option[Long]) = {
+        val ds = fileStream(spark, landing).as[graft.streaming.Event]
+        val out = if (v2) StreamingOps.evoTotalsV2(ds) else StreamingOps.evoTotalsV1(ds)
+        out.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.EvoOut], id: Long) =>
+            b.write.mode("append").parquet(sink)
+            if (crashAfter.contains(id) && !tripped.getAndSet(true))
+              throw new RuntimeException(s"graft-injected-crash after applying batch $id")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      val q1 = run(v2 = false, crashAfter = Some(1L))
+      val died =
+        try { q1.awaitTermination(); false }
+        catch { case e: Throwable if hasInjectedCrash(e) => true }
+      require(died && tripped.get(),
+        "injected crash did not kill the v1 run — the evolve path was not exercised")
+      val q2 = run(v2 = true, crashAfter = None)
+      q2.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("late_micro"))).as("s"))
+          .select(col("user_id"), col("s.n_events").as("n_events"),
+            col("s.late_micro").as("late_micro"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+           |e AS (SELECT user_id, value,
+           |        (epoch_ms(ts) - b.t0) // GREATEST(1, (b.t1 - b.t0) // 4 + 1) AS q
+           |      FROM events, b)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |  CASE WHEN COUNT(*) FILTER (WHERE q >= 1) > 0
+           |       THEN CAST(SUM(CASE WHEN q >= 1
+           |                 THEN CAST(round(value * 1000000) AS BIGINT) END) AS BIGINT)
+           |       ELSE NULL END AS late_micro
+           |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
+    stTypeMapState, stStateEvolve,
     stJoinReplay, stOuterJoinReplay, stFullOuterJoinReplay, stJoinWindowReplay,
     stWindowReplay, stSessionWindowReplay)
 }

@@ -330,6 +330,27 @@ object StreamingOps {
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Schema-evolution pair for the checkpoint-compat gate: the SAME
+    * value state ("evo"), two schema generations. A deployment runs
+    * [[evoTotalsV1]] (state = event count only), is stopped mid-stream,
+    * and resumes from the SAME checkpoint with [[evoTotalsV2]] (state +=
+    * a nullable micro-cents accumulator) — the state store must rehydrate
+    * v1 rows under the v2 schema with the added field null. Requires the
+    * Avro state encoding (`spark.sql.streaming.stateStore.encodingFormat
+    * = avro`) — UnsafeRow state is bit-positional and cannot evolve. */
+  def evoTotalsV1(events: Dataset[Event]): Dataset[EvoOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EvoV1Processor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The evolved twin of [[evoTotalsV1]] — see there. */
+  def evoTotalsV2(events: Dataset[Event]): Dataset[EvoOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EvoV2Processor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Incremental span-level dedup via transformWithState — the streaming
     * twin of the batch `d_span_dedup` query: documents arrive as a
     * stream, each is cut into the SAME 8-token spans with the SAME md5
@@ -357,6 +378,25 @@ object StreamingOps {
       }
       .groupByKey(_.dg)
       .transformWithState(new SpanDedupProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-user typed-state composition via transformWithState LISTSTATE +
+    * MAPSTATE (the v2 arms the ValueState keys don't touch): MapState
+    * keyed by event_type holds the per-type running counts (the keyed
+    * sub-aggregate pattern — one RocksDB entry per (user, type), updated
+    * in place, never rewritten wholesale like a map packed into a
+    * ValueState would be), and ListState appends one per-batch row count
+    * (bounded by the batch count, the per-key activity log pattern).
+    * Emits one summary row per (user, batch-with-events) in Update mode;
+    * n_events is the sum over the list, so LOST list entries under-count
+    * and a broken map entry corrupts the sorted type signature. At 100 TB
+    * both states shard by key across executors' stores; map entries are
+    * point-updated so a hot user with a wide type vocabulary costs
+    * O(types touched per batch), not O(vocabulary). */
+  def userTypeSummaries(events: Dataset[Event]): Dataset[UserTypeSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeMapProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming heavy hitters — [[graft.ops.MisraGries]] summaries as
@@ -503,6 +543,98 @@ private final class TimerSessionProcessor(gapMs: Long)
         Iterator.single(UserSession(userId, s.startMs, s.lastMs, s.n))
       } else Iterator.empty
     }
+  }
+}
+
+/** Per-user summary emitted by [[StreamingOps.userTypeSummaries]]:
+  * `n_batches` = ListState length (batches in which the user appeared),
+  * `n_events` = sum over the list, `types_str` = MapState entries as a
+  * key-sorted "type=count" signature (total order — gate-hashable). */
+final case class UserTypeSummary(user_id: Long, n_batches: Long,
+                                 n_events: Long, types_str: String)
+
+private final class TypeMapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTypeSummary] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var batchCounts: ListState[Long] = _
+  @transient private var typeCounts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    batchCounts = getHandle.getListState[Long](
+      "batchCounts", Encoders.scalaLong, TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long](
+      "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[UserTypeSummary] = {
+    var inBatch = 0L
+    rows.foreach { e =>
+      inBatch += 1
+      // A null type would collide with a real "∅" token only if the data
+      // used that glyph; the oracle coalesces identically.
+      val k = if (e.event_type == null) "∅" else e.event_type
+      val prev = if (typeCounts.containsKey(k)) typeCounts.getValue(k) else 0L
+      typeCounts.updateValue(k, prev + 1)
+    }
+    batchCounts.appendValue(inBatch)
+    val perBatch = batchCounts.get().toArray
+    val sig = typeCounts.iterator().toArray.sortBy(_._1)
+      .map { case (t, c) => s"$t=$c" }.mkString(",")
+    Iterator.single(UserTypeSummary(userId, perBatch.length.toLong, perBatch.sum, sig))
+  }
+}
+
+/** Output row shared by both schema generations of the evolution pair:
+  * `late_micro` is null for rows emitted by the v1 processor (the field
+  * its state schema lacks) and the post-upgrade micro-cents accumulation
+  * for v2 rows. */
+final case class EvoOut(user_id: Long, n_events: Long, late_micro: Option[Long])
+
+private final case class EvoStateV1(n: Long)
+private final case class EvoStateV2(n: Long, lateMicro: Option[Long])
+
+private final class EvoV1Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EvoOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[EvoStateV1] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EvoStateV1](
+      "evo", org.apache.spark.sql.Encoders.product[EvoStateV1], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[EvoOut] = {
+    var n = if (state.exists()) state.get().n else 0L
+    rows.foreach(_ => n += 1)
+    state.update(EvoStateV1(n))
+    Iterator.single(EvoOut(userId, n, None))
+  }
+}
+
+private final class EvoV2Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EvoOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[EvoStateV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[EvoStateV2](
+      "evo", org.apache.spark.sql.Encoders.product[EvoStateV2], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[EvoOut] = {
+    val prev = if (state.exists()) Some(state.get()) else None
+    var n = prev.map(_.n).getOrElse(0L)
+    // A v1-written row rehydrates with lateMicro null — the accumulator
+    // starts at upgrade time, which is the semantics under test.
+    var micro = prev.flatMap(_.lateMicro).getOrElse(0L)
+    rows.foreach { e => n += 1; micro += math.round(e.value * 1e6) }
+    state.update(EvoStateV2(n, Some(micro)))
+    Iterator.single(EvoOut(userId, n, Some(micro)))
   }
 }
 
