@@ -355,7 +355,58 @@ object SqlSurfaceQ {
            |  CAST(SUM(CASE WHEN src = 'restated' THEN 1 ELSE 0 END) AS BIGINT) AS n_restated
            |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** SQL scripting (Spark 4.1 `BEGIN … END`, SQL/PSM-style — on by
+    * default in 4.1.2, probed): DECLARE'd session variables, a scalar
+    * subquery assignment, a WHILE loop (six integer floor-halvings), an
+    * IF branch on the data, and a final SELECT that is the script's
+    * result — the multi-statement authoring surface a warehouse migration
+    * hits first. The statements compile to ordinary single-statement
+    * plans executed in sequence (driver-side control flow, zero new
+    * physical operators, no extra scans beyond the two written), so at
+    * 100 TB a script costs exactly its statements. DuckDB has no PSM
+    * scripting, so the oracle is the equivalent straight-line SQL: the
+    * loop is six `//2`s, the branch a CASE — value-identical by
+    * construction, which is the point (control flow must not change the
+    * answer, only how it is authored). */
+  val sqlScript: Q = Q(
+    "sql_script",
+    (spark, dir) => withViews(spark, dir, "orders")(spark.sql(
+      """BEGIN
+        |  DECLARE avg_cents BIGINT DEFAULT 0;
+        |  DECLARE lo BIGINT DEFAULT 0;
+        |  DECLARE i INT DEFAULT 0;
+        |  DECLARE parity STRING DEFAULT '';
+        |  SET avg_cents = (SELECT CAST(round(AVG(o_totalprice) * 100) AS BIGINT) FROM orders);
+        |  SET lo = avg_cents;
+        |  WHILE i < 6 DO
+        |    SET lo = lo DIV 2;
+        |    SET i = i + 1;
+        |  END WHILE;
+        |  IF avg_cents % 2 = 0 THEN
+        |    SET parity = 'even';
+        |  ELSE
+        |    SET parity = 'odd';
+        |  END IF;
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) >= avg_cents
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    lo AS lo_cents, parity
+        |  FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+        |END""".stripMargin)),
+    Some("""WITH a AS (SELECT CAST(round(AVG(o_totalprice)*100) AS BIGINT) AS avg_cents FROM orders),
+           |d AS (SELECT avg_cents,
+           |        avg_cents // 2 // 2 // 2 // 2 // 2 // 2 AS lo_cents,
+           |        CASE WHEN avg_cents % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+           |      FROM a)
+           |SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) >= d.avg_cents
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           |  d.lo_cents, d.parity
+           |FROM orders, d
+           |GROUP BY o_orderstatus, d.lo_cents, d.parity
+           |ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(sqlPipe, sqlParams, sqlExecImmediate, sqlGroupByAll,
     setUnionByName, fStack, sqlUdfScalar, sqlUdfTable, sqlIdentifier,
-    sqlLateralAlias, sqlCtasDdl)
+    sqlLateralAlias, sqlCtasDdl, sqlScript)
 }
