@@ -208,9 +208,14 @@ object Spark4Q {
   /** One TIME-enabled clone per parent session, memoized: a fresh
     * newSession() per invocation would defeat Tables' session-keyed
     * parquet-footer cache and re-register extensions on every Bench
-    * pass, charging this key startup costs that aren't its plan's. */
-  private val timeSessions =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+    * pass, charging this key startup costs that aren't its plan's.
+    * Weak keys (ADVICE r14): strong keys would retain every parent+clone
+    * for the JVM lifetime under many-session callers; the synchronized
+    * wrapper locks computeIfAbsent, and the clone holds the context, not
+    * the parent session object, so the key stays collectable. */
+  private val timeSessions: java.util.Map[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]())
 
   val fTimeType: Q = Q(
     "f_time_type",

@@ -13,6 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurfaceQ {
 
+  // Once-per-JVM guard for the CTAS warehouse reap (see sqlCtasDdl).
+  private val ctasReaped = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def withViews(spark: SparkSession, dir: String, names: String*)(f: => DataFrame): DataFrame = {
     names.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
     f
@@ -308,14 +311,19 @@ object SqlSurfaceQ {
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
       // Reap dead siblings so repeated rounds don't grow the warehouse
-      // unboundedly; the 1 h age guard keeps a CONCURRENT live JVM's
-      // table safe (a drive never spans an hour).
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      try fs.listStatus(whBase).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(s"graft_ctas_${tag}_p") && n != t &&
-            st.getModificationTime < cutoff) fs.delete(st.getPath, true)
-      } catch { case _: Exception => () }
+      // unboundedly — but at most ONCE per JVM and only past a 24 h
+      // horizon (ADVICE r14: a 1 h in-query reap could race a concurrent
+      // JVM whose lazily-collected table dir aged past the cutoff; no
+      // live drive spans a day, and once-per-JVM keeps the reap an
+      // init-time event rather than a per-invocation hazard).
+      if (!ctasReaped.getAndSet(true)) {
+        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+        try fs.listStatus(whBase).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(s"graft_ctas_${tag}_p") && n != t &&
+              st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+        } catch { case _: Exception => () }
+      }
       spark.sql(
         s"""CREATE TABLE $t USING parquet AS
            |SELECT o_orderkey, o_orderstatus,

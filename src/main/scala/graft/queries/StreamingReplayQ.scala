@@ -355,7 +355,22 @@ object StreamingReplayQ {
     * this landing). Straddler rows carry event_type "sentinel" and a
     * negative user id, so every consumer's existing output filter drops
     * them and the oracles over the ORIGINAL events are unchanged. */
+  /** One-time reap of landings from RETIRED fixture kinds: the t → t3
+    * rename orphaned old `graft_stream_sessions_t*_v2_*` dirs forever,
+    * because the fingerprint reaper only scans the CURRENT kind's prefix
+    * (ADVICE r14). Lazy — runs once per JVM, before the first
+    * timer-session landing is addressed. Matching is whole-kind: the
+    * live "…_t3_v2_" prefix does not start with either retired prefix. */
+  private lazy val reapRetiredKinds: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val retired = Seq("graft_stream_sessions_t_v2_", "graft_stream_sessions_t2_v2_")
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => retired.exists(f.getName.startsWith))
+      .foreach(f => try Fixtures.deleteRecursively(f) catch { case _: Exception => () })
+  }
+
   private[graft] def timerSessionLandingDir(spark: SparkSession, dir: String): String = {
+    reapRetiredKinds
     val path = fixturePath("stream_sessions_t3", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_t_build")
@@ -668,8 +683,15 @@ object StreamingReplayQ {
     * 6.5/5.9 → 3.9/4.0 s at sf0.1); a cluster run at real volume would
     * keep the partition count at its data's scale instead. Memoized per
     * parent session (same rationale as Spark4Q.timeSessions). */
-  private val tunedStreamSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // Weak keys (ADVICE r14): a strong ConcurrentHashMap would retain
+  // every parent+clone for the JVM lifetime — a leak under many-session
+  // callers (test suites, an embedding server). WeakHashMap's
+  // synchronized wrapper locks its default-method computeIfAbsent too;
+  // the clone holds the SparkContext/SharedState, not the parent
+  // SESSION object, so the weak key stays collectable.
+  private val tunedStreamSessions: java.util.Map[SparkSession, SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   private def tunedStreamSession(spark: SparkSession): SparkSession =
     tunedStreamSessions.computeIfAbsent(spark, parent => {

@@ -89,13 +89,16 @@ object BloomProbe {
       val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
-      val injected = joined.queryExecution.executedPlan.toString()
-        .contains("might_contain")
       stats.reset()
       val t0 = System.nanoTime()
       val n = joined.collect().map(_.getLong(1)).sum
       val wall = (System.nanoTime() - t0) / 1e9
       stats.quiesce()
+      // Read the plan AFTER execution (ADVICE r14): under AQE the
+      // finally-executed plan can differ from the pre-execution one, so
+      // the injected flag must come from the final plan.
+      val injected = joined.queryExecution.executedPlan.toString()
+        .contains("might_contain")
       println(f"PROBE bloom=$bloom%-5s injected=$injected%-5s wall=$wall%6.2f s " +
         f"rows=$n shuffleWriteMb=${stats.totalShuffleMb()}%9.1f")
     }
