@@ -784,6 +784,50 @@ object StreamingReplayQ {
            |  CAST(SUM(l_id) AS BIGINT) AS l_id_sum
            |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Watermarked stream-stream RIGHT OUTER join, end-to-end — the mirror
+    * of st_outer_join_replay closing the one-sided outer pair: an
+    * unmatched RIGHT event emits (null left) once the LEFT watermark
+    * proves no l_ts in [r_ts-30min, r_ts] can arrive. Same landings,
+    * same sentinel advance-then-flush; eviction safety mirrors the left
+    * case (chronological left arrival means an evicted right row's
+    * candidate lefts all lie below the watermark). Oracle = batch RIGHT
+    * JOIN twin. */
+  val stRightOuterJoinReplay: Q = Q(
+    "st_right_outer_join_replay",
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
+      val left = joinLandingDir(spark, dir, 0)
+      val right = joinLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory("graft_strojoin_sink").toString
+      val ckpt = Files.createTempDirectory("graft_strojoin_ckpt").toString
+      val q = StreamingOps.rightOuterTimeBoundJoin(
+          fileStream(spark, left), fileStream(spark, right),
+          maxGap = "30 minutes", watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("user_id") >= 0) // drop the sentinel user's rows
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("l_id")).as("n_matched"),
+            sum(col("r_id")).as("r_id_sum"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+           |r AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1),
+           |j AS (SELECT r.user_id, l.event_id AS l_id, r.event_id AS r_id
+           |      FROM l RIGHT JOIN r ON l.user_id = r.user_id
+           |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+           |SELECT user_id, COUNT(*) AS n_rows, COUNT(l_id) AS n_matched,
+           |  CAST(SUM(r_id) AS BIGINT) AS r_id_sum
+           |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Watermarked stream-stream FULL OUTER join, end-to-end — the last
     * missing mode of the streaming join matrix (the CDC-reconciliation
     * shape: a row present on either side but not both must surface
@@ -1045,6 +1089,82 @@ object StreamingReplayQ {
            |      FROM events) t
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** Second-half landing for the initial-state key: only events at or
+    * past the full span's epoch midpoint, as 4 chronological slices —
+    * the "live tail" of a backfill-then-stream migration. */
+  private def halfLandingDir(spark: SparkSession, dir: String): String = {
+    val path = fixturePath("stream_half2", dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
+      val build = Files.createTempDirectory("graft_half2_build")
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val mid = t0 + (t1 - t0) / 2
+      writeTimeSlicesOf(ev.filter(unix_millis(col("ts")) >= mid), build)
+      publishDir(build, path)
+    }
+    path
+  }
+
+  /** transformWithState INITIAL STATE under the gate — the
+    * backfill-then-stream migration: per-user totals are SEEDED from a
+    * batch aggregate of the events' first epoch-half, then the second
+    * half streams in as 4 chronological micro-batches through the same
+    * ValueState accumulator ([[StreamingOps.seededRunningTotals]]).
+    * The oracle is the FULL-table total for every user active in the
+    * second half: a lost/ignored seed under-counts exactly the
+    * backfilled half, a seed applied after the first input batch
+    * (ordering bug) double-counts nothing but corrupts n_events for
+    * first-batch users — both hash-fail. Users seeded but absent from
+    * the stream never emit (handleInitialState produces no output),
+    * so the oracle filters to second-half-active users. */
+  val stInitialState: Q = Q(
+    "st_initial_state",
+    (spark, dir) => withRocksDb(spark) {
+      val landing = halfLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stinit_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stinit_ckpt").toString
+      val spark2 = spark; import spark2.implicits._
+      val ev = Tables(spark, dir, "events")
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val mid = t0 + (t1 - t0) / 2
+      val seed = ev.filter(unix_millis(col("ts")) < mid)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("value_micro_total"))
+        .as[graft.streaming.UserTotal]
+      val q = StreamingOps.seededRunningTotals(
+          fileStream(spark, landing).as[graft.streaming.Event], seed)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserTotal], _: Long) =>
+          b.write.mode("append").parquet(sink); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("value_micro_total"))).as("s"))
+          .select(col("user_id"), col("s.n_events").as("n_events"),
+            col("s.value_micro_total").as("value_micro_total"))
+          .orderBy("user_id"),
+        sink, ckpt)
+    },
+    Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+           |e AS (SELECT user_id, value,
+           |        epoch_ms(ts) >= b.t0 + (b.t1 - b.t0) // 2 AS h2
+           |      FROM events, b)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_total
+           |FROM e GROUP BY user_id
+           |HAVING COUNT(*) FILTER (WHERE h2) > 0
+           |ORDER BY user_id""".stripMargin))
+
   /** State-SCHEMA evolution across a restart (round-14 verdict task #6),
     * the checkpoint-compat regression class: run the stream with a v1
     * StatefulProcessor (state = event count), kill it mid-protocol after
@@ -1115,7 +1235,8 @@ object StreamingReplayQ {
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
-    stTypeMapState, stStateEvolve,
-    stJoinReplay, stOuterJoinReplay, stFullOuterJoinReplay, stJoinWindowReplay,
+    stTypeMapState, stStateEvolve, stInitialState,
+    stJoinReplay, stOuterJoinReplay, stRightOuterJoinReplay,
+    stFullOuterJoinReplay, stJoinWindowReplay,
     stWindowReplay, stSessionWindowReplay)
 }

@@ -113,6 +113,30 @@ object StreamingOps {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** RIGHT OUTER watermarked stream-stream join — [[leftOuterTimeBoundJoin]]
+    * mirrored: a right event with no left event whose forward window
+    * covers it is emitted (null left columns) once the LEFT watermark
+    * proves no l_ts in [r_ts-maxGap, r_ts] can arrive. Kept as its own
+    * mode rather than "swap the inputs and use left outer" because the
+    * time condition is asymmetric (right events trail left events), so
+    * the swap would also have to invert the interval — error-prone at a
+    * call site; here the planner does it. */
+  def rightOuterTimeBoundJoin(left: DataFrame, right: DataFrame,
+                              maxGap: String = "30 minutes",
+                              watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+      "right_outer")
+      .select(col("r_user").as("user_id"),
+        col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** FULL OUTER watermarked stream-stream join — the last mode of the
     * streaming join matrix (CDC reconciliation's shape: rows present on
     * either side but not both must surface exactly once). Semantics are
@@ -328,6 +352,24 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Warm-start running totals: [[runningTotals]] seeded from a BATCH
+    * aggregate via transformWithState's INITIAL-STATE arm — the
+    * backfill-then-stream migration every production pipeline performs
+    * (bootstrap state from the historical table, stream the live tail).
+    * `handleInitialState` runs once per seeded key at query start,
+    * before any input batch; keys absent from the seed start cold. At
+    * 100 TB the seed is itself a distributed Dataset co-partitioned
+    * with the state shards — no driver materialization. */
+  def seededRunningTotals(events: Dataset[Event],
+                          seed: Dataset[UserTotal]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    val init = seed.groupByKey(_.user_id)
+      .mapValues(s => TotalState(s.n_events, s.value_micro_total))
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededTotalProcessor, TimeMode.None(),
+        OutputMode.Update(), init)
   }
 
   /** Schema-evolution pair for the checkpoint-compat gate: the SAME
@@ -642,6 +684,35 @@ private final class EvoV2Processor
 final case class UserTotal(user_id: Long, n_events: Long, value_micro_total: Long)
 
 private final case class TotalState(n: Long, totalMicro: Long)
+
+/** [[RunningTotalProcessor]] with the initial-state arm: the seed value
+  * lands in the SAME ValueState the input path accumulates into, so a
+  * lost or ignored seed under-counts exactly the backfilled half. */
+private final class SeededTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Event, UserTotal, TotalState] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[TotalState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TotalState](
+      "totals", org.apache.spark.sql.Encoders.product[TotalState], TTLConfig.NONE)
+
+  override def handleInitialState(userId: Long, initial: TotalState,
+                                  timerValues: TimerValues): Unit =
+    state.update(initial)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = Option(state.get()).getOrElse(TotalState(0L, 0L))
+    var n = prev.n
+    var total = prev.totalMicro
+    rows.foreach { e => n += 1; total += math.round(e.value * 1e6) }
+    state.update(TotalState(n, total))
+    Iterator.single(UserTotal(userId, n, total))
+  }
+}
 
 private final class RunningTotalProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
