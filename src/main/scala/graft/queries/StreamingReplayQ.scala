@@ -106,7 +106,8 @@ object StreamingReplayQ {
     * (lost row) fail rows+hash. */
   val stDedupReplay: Q = Q(
     "st_dedup_replay",
-    (spark, dir) => {
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
       val landing = landingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_stdedup_sink").toString
       val ckpt = Files.createTempDirectory("graft_stdedup_ckpt").toString
@@ -239,7 +240,8 @@ object StreamingReplayQ {
     * gaps-and-islands twin minus each user's final island. */
   val stSessionReplay: Q = Q(
     "st_session_replay",
-    (spark, dir) => {
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
       val landing = sessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_stsess_sink").toString
       val ckpt = Files.createTempDirectory("graft_stsess_ckpt").toString
@@ -407,7 +409,7 @@ object StreamingReplayQ {
     * idempotent under a replayed foreachBatch append. */
   val stRunningTotals: Q = Q(
     "st_running_totals",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = sessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_sttotals_sink").toString
       val ckpt = Files.createTempDirectory("graft_sttotals_ckpt").toString
@@ -433,7 +435,7 @@ object StreamingReplayQ {
             col("s.value_micro_total").as("value_micro_total"))
           .orderBy("user_id"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
            |e AS (SELECT user_id, value,
            |        (epoch_ms(ts) - b.t0) // GREATEST(1, (b.t1 - b.t0) // 4 + 1) AS q
@@ -456,7 +458,7 @@ object StreamingReplayQ {
     * batches containing their rows). */
   val stTypeMapState: Q = Q(
     "st_type_map_state",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = sessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_sttypemap_sink").toString
       val ckpt = Files.createTempDirectory("graft_sttypemap_ckpt").toString
@@ -479,7 +481,7 @@ object StreamingReplayQ {
             col("s.n_events").as("n_events"), col("s.types_str").as("types_str"))
           .orderBy("user_id"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
            |e AS (SELECT user_id, COALESCE(event_type, '∅') AS et,
            |        (epoch_ms(ts) - b.t0) // GREATEST(1, (b.t1 - b.t0) // 4 + 1) AS q
@@ -505,7 +507,7 @@ object StreamingReplayQ {
     * later duplicate non-dup and hash-fails. */
   val stSpanVerdicts: Q = Q(
     "st_span_verdicts",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = docLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_stspan_sink").toString
       val ckpt = Files.createTempDirectory("graft_stspan_ckpt").toString
@@ -523,7 +525,7 @@ object StreamingReplayQ {
           .select(col("doc_id"), col("span_idx"), col("dup"))
           .orderBy("doc_id", "span_idx"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH d AS (SELECT doc_id,
            |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
            |spans0 AS (SELECT doc_id,
@@ -550,7 +552,7 @@ object StreamingReplayQ {
     * happens to survive, so the oracle pins it to COUNT(*). */
   val stHeavyHitters: Q = Q(
     "st_heavy_hitters",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = docLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_sthh_sink").toString
       val ckpt = Files.createTempDirectory("graft_sthh_ckpt").toString
@@ -584,7 +586,7 @@ object StreamingReplayQ {
             lit(n).as("n_total"), lit(seenTotal).as("seen_total"))
           .orderBy("tok"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
            |          FROM documents),
            |n AS (SELECT COUNT(*) AS total FROM t)
@@ -606,7 +608,7 @@ object StreamingReplayQ {
     * each user's last session is withheld. */
   val stTimerSessions: Q = Q(
     "st_timer_sessions",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = timerSessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_sttimer_sink").toString
       val ckpt = Files.createTempDirectory("graft_sttimer_ckpt").toString
@@ -626,7 +628,7 @@ object StreamingReplayQ {
           .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
           .orderBy("user_id", "start_ms"),
         sink, ckpt)
-    },
+    }},
     Some(StreamingBatchQ.sessionIslandsCte + """
            |SELECT user_id,
            |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
@@ -672,8 +674,11 @@ object StreamingReplayQ {
     * that even under a finite watermark, see st_outer_join_replay). The
     * oracle is the DuckDB twin join; lost join state (a dropped buffered
     * row) loses pairs and hash-fails. */
-  /** Session for the stateful-stream replays (joins, tumbling windows,
-    * session windows): every micro-batch pays a fixed state-store
+  /** Session for ALL the stateful-stream replays (joins, windows,
+    * session windows, dedup, fMGWS sessions, and the transformWithState
+    * family — round 15 widened it from the join/window keys after
+    * isolated probes showed the same 2-5x per-batch store-open win
+    * across the board): every micro-batch pays a fixed state-store
     * open/commit cost per shuffle partition (per SIDE for the two-sided
     * join), and at 32 partitions that fixed cost dominates the tiny
     * per-batch data — the same per-query "tune the session to the
@@ -1122,7 +1127,7 @@ object StreamingReplayQ {
     * so the oracle filters to second-half-active users. */
   val stInitialState: Q = Q(
     "st_initial_state",
-    (spark, dir) => withRocksDb(spark) {
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
       val landing = halfLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_stinit_sink").toString
       val ckpt = Files.createTempDirectory("graft_stinit_ckpt").toString
@@ -1154,7 +1159,7 @@ object StreamingReplayQ {
             col("s.value_micro_total").as("value_micro_total"))
           .orderBy("user_id"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
            |e AS (SELECT user_id, value,
            |        epoch_ms(ts) >= b.t0 + (b.t1 - b.t0) // 2 AS h2
@@ -1184,7 +1189,7 @@ object StreamingReplayQ {
     * wins the tie because non-null beats null at equal n_events. */
   val stStateEvolve: Q = Q(
     "st_state_evolve",
-    (spark, dir) => withConfs(spark,
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withConfs(spark,
         "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
         "spark.sql.streaming.stateStore.encodingFormat" -> "avro") {
       val landing = sessionLandingDir(spark, dir)
@@ -1221,7 +1226,7 @@ object StreamingReplayQ {
             col("s.late_micro").as("late_micro"))
           .orderBy("user_id"),
         sink, ckpt)
-    },
+    }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
            |e AS (SELECT user_id, value,
            |        (epoch_ms(ts) - b.t0) // GREATEST(1, (b.t1 - b.t0) // 4 + 1) AS q
