@@ -414,7 +414,47 @@ object SqlSurfaceQ {
            |GROUP BY o_orderstatus, d.lo_cents, d.parity
            |ORDER BY o_orderstatus""".stripMargin))
 
+  /** SQL scripting control-flow + error handling (the arms sql_script's
+    * straight-line shape doesn't touch, all probed working in 4.1.2):
+    * a FOR cursor over an ordered query result (driver-side iteration —
+    * each row binds as a record variable; the LOOP body is plain
+    * statements, so per-iteration work must be O(1) driver-side at any
+    * scale — the aggregate itself already ran distributed), a nested
+    * compound with a DECLARE EXIT HANDLER proving a caught error
+    * (ANSI divide-by-zero) does not poison the script's state, and the
+    * final distributed SELECT carrying the accumulated variables. The
+    * DuckDB twin replaces the cursor with string_agg and the handler
+    * with the constant it must converge to. */
+  val sqlScriptControl: Q = Q(
+    "sql_script_control",
+    (spark, dir) => withViews(spark, dir, "orders", "lineitem")(spark.sql(
+      """BEGIN
+        |  DECLARE n_statuses INT DEFAULT 0;
+        |  DECLARE status_sig STRING DEFAULT '';
+        |  DECLARE caught INT DEFAULT 0;
+        |  FOR r AS SELECT o_orderstatus AS st, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1 ORDER BY 1 DO
+        |    SET n_statuses = n_statuses + 1;
+        |    SET status_sig = status_sig || r.st || ':' || CAST(r.cnt AS STRING) || ';';
+        |  END FOR;
+        |  BEGIN
+        |    DECLARE EXIT HANDLER FOR DIVIDE_BY_ZERO SET caught = 1;
+        |    SELECT 1/0;
+        |  END;
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    n_statuses AS n_statuses, status_sig AS status_sig, caught AS caught
+        |  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag;
+        |END""".stripMargin)),
+    Some("""WITH s AS (SELECT string_agg(st || ':' || cnt, ';' ORDER BY st) || ';' AS sig,
+           |                  COUNT(*) AS ns
+           |           FROM (SELECT o_orderstatus AS st, COUNT(*) AS cnt FROM orders GROUP BY 1) t)
+           |SELECT l_returnflag, COUNT(*) AS n,
+           |  (SELECT ns FROM s) AS n_statuses,
+           |  (SELECT sig FROM s) AS status_sig,
+           |  1 AS caught
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(sqlPipe, sqlParams, sqlExecImmediate, sqlGroupByAll,
     setUnionByName, fStack, sqlUdfScalar, sqlUdfTable, sqlIdentifier,
-    sqlLateralAlias, sqlCtasDdl, sqlScript)
+    sqlLateralAlias, sqlCtasDdl, sqlScript, sqlScriptControl)
 }

@@ -1094,6 +1094,54 @@ object StreamingReplayQ {
            |      FROM events) t
            |WHERE rn = 1 ORDER BY user_id""".stripMargin))
 
+  /** STREAMING Dataset.observe under the gate — the observability
+    * surface a production stream exports to its monitoring plane: named
+    * aggregate metrics piggyback on each micro-batch (computed inside
+    * the batch's own job, no extra pass or shuffle) and surface through
+    * the query's progress events. The replay sums the per-batch
+    * observed metrics across all 4 batches and gates the TOTALS against
+    * the batch twin — a metric that misses rows (computed after a
+    * filter it shouldn't be, or a dropped progress event) or
+    * double-counts a batch breaks the equality. The sink rows
+    * themselves are intentionally NOT the gated value: the point is
+    * that the METRICS channel alone reconstructs the input exactly. */
+  val stObserveReplay: Q = Q(
+    "st_observe_replay",
+    (spark0, dir) => {
+      val spark = tunedStreamSession(spark0)
+      val landing = sessionLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stobs_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stobs_ckpt").toString
+      val q = fileStream(spark, landing)
+        .withColumn("value_cents", cents(col("value")))
+        .observe("m",
+          count(lit(1)).as("n_rows"),
+          sum(col("value_cents")).as("cents_sum"),
+          max(col("event_id")).as("max_id"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ms = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("m")))
+      require(ms.nonEmpty, "no observed metrics surfaced in progress events")
+      val nRows = ms.map(_.getAs[Long]("n_rows")).sum
+      val centsSum = ms.flatMap(r => Option(r.getAs[java.lang.Long]("cents_sum")))
+        .map(_.longValue).sum
+      val maxId = ms.flatMap(r => Option(r.getAs[java.lang.Long]("max_id")))
+        .map(_.longValue).max
+      val spark2 = spark; import spark2.implicits._
+      materializeAndClean(
+        Seq((nRows, centsSum, maxId)).toDF("n_rows", "cents_sum", "max_id"),
+        sink, ckpt)
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           |  MAX(event_id) AS max_id
+           |FROM events""".stripMargin))
+
   /** Second-half landing for the initial-state key: only events at or
     * past the full span's epoch midpoint, as 4 chronological slices —
     * the "live tail" of a backfill-then-stream migration. */
@@ -1240,7 +1288,7 @@ object StreamingReplayQ {
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
-    stTypeMapState, stStateEvolve, stInitialState,
+    stTypeMapState, stStateEvolve, stInitialState, stObserveReplay,
     stJoinReplay, stOuterJoinReplay, stRightOuterJoinReplay,
     stFullOuterJoinReplay, stJoinWindowReplay,
     stWindowReplay, stSessionWindowReplay)
