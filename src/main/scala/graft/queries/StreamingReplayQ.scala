@@ -362,12 +362,17 @@ object StreamingReplayQ {
     * because the fingerprint reaper only scans the CURRENT kind's prefix
     * (ADVICE r14). Lazy — runs once per JVM, before the first
     * timer-session landing is addressed. Matching is whole-kind: the
-    * live "…_t3_v2_" prefix does not start with either retired prefix. */
+    * live "…_t3_v2_" prefix does not start with either retired prefix.
+    * Only dirs older than 24 h are deleted (ADVICE r15: a concurrently
+    * running JVM from an older checkout — e.g. a detached long sweep —
+    * may still be mid-replay on a retired-kind landing; no live drive
+    * spans a day, the same horizon the CTAS reap uses). */
   private lazy val reapRetiredKinds: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val retired = Seq("graft_stream_sessions_t_v2_", "graft_stream_sessions_t2_v2_")
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => retired.exists(f.getName.startsWith))
+      .filter(f => retired.exists(f.getName.startsWith) && f.lastModified() < cutoff)
       .foreach(f => try Fixtures.deleteRecursively(f) catch { case _: Exception => () })
   }
 
@@ -1026,7 +1031,10 @@ object StreamingReplayQ {
       q.awaitTermination()
       materializeAndClean(
         spark.read.parquet(sink)
-          .filter(col("w_start") <= // drop sentinel-era windows (span + 369 d)
+          // Cut at t1 + 24 h: real windows start <= t1, sentinel
+          // self-pair windows land ~369 d past t1 — any constant
+          // strictly between the two is a safe separator.
+          .filter(col("w_start") <=
             lit(new java.sql.Timestamp(t1.getTime + 24L * 3600 * 1000)))
           .select(date_format(col("w_start"), tsSec).as("w_start"),
             col("n_pairs"), col("l_id_sum"), col("r_id_sum"))
@@ -1124,6 +1132,18 @@ object StreamingReplayQ {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // recentProgress is a RING BUFFER (default cap
+      // spark.sql.streaming.numRecentProgressUpdates = 100): if the
+      // landing ever produced more micro-batches than the cap, the
+      // earliest observed metrics would be silently evicted and the
+      // gated totals would under-count. Fail loudly instead: the
+      // retained progress events must cover every committed batch id
+      // from 0 contiguously (ADVICE r15).
+      val ids = q.recentProgress.toSeq.map(_.batchId).sorted
+      require(ids.nonEmpty && ids.head == 0L &&
+        ids.distinct.size == ids.distinct.max + 1,
+        s"recentProgress ring buffer truncated: batch ids $ids do not " +
+          "cover 0..max contiguously — observed totals would under-count")
       val ms = q.recentProgress.toSeq
         .flatMap(p => Option(p.observedMetrics.get("m")))
       require(ms.nonEmpty, "no observed metrics surfaced in progress events")
