@@ -1238,6 +1238,157 @@ object StreamingReplayQ {
            |HAVING COUNT(*) FILTER (WHERE h2) > 0
            |ORDER BY user_id""".stripMargin))
 
+  /** First-half landing for the state-migration key: only events strictly
+    * before the full span's epoch midpoint, as 4 chronological slices —
+    * the "already running" phase of a stateful job about to be re-scaled.
+    * Exact complement of [[halfLandingDir]]. */
+  private def half1LandingDir(spark: SparkSession, dir: String): String = {
+    val path = fixturePath("stream_half1", dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
+      val build = Files.createTempDirectory("graft_half1_build")
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val mid = t0 + (t1 - t0) / 2
+      writeTimeSlicesOf(ev.filter(unix_millis(col("ts")) < mid), build)
+      publishDir(build, path)
+    }
+    path
+  }
+
+  /** Completed source checkpoint for the state-migration key: one
+    * [[StreamingOps.runningTotals]] replay over the FIRST-half landing at
+    * the creating session's shuffle-partition count (the count is frozen
+    * into the checkpoint for its lifetime — that freeze is exactly the
+    * operational wall the migration key exists to climb), RocksDB
+    * provider (TWS requires it), sink discarded. Built per invocation in
+    * a scratch dir and NEVER moved: unlike the dedup checkpoint fixture
+    * ([[StateReadQ.ckptFixture]]), a transformWithState checkpoint
+    * records ABSOLUTE state-schema file paths in its operator metadata,
+    * so a renamed/published TWS checkpoint fails its own schema lookup
+    * on read-back. Caller deletes the returned dir. */
+  private def migSourceCkpt(spark: SparkSession, dir: String): String = {
+    val landing = half1LandingDir(spark, dir)
+    val ckpt = Files.createTempDirectory("graft_mig_src_ckpt")
+    val sink = Files.createTempDirectory("graft_mig_src_sink")
+    val spark2 = spark; import spark2.implicits._
+    val q = StreamingOps.runningTotals(
+        fileStream(spark, landing).as[graft.streaming.Event])
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserTotal], _: Long) =>
+        b.write.mode("append").parquet(sink.toString); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(sink.toFile)
+    ckpt.toString
+  }
+
+  /** 8-partition session clone for the migration TARGET — deliberately
+    * different from [[tunedStreamSession]]'s 4, so the migrated
+    * checkpoint's sharding can be asserted distinct from the source's.
+    * Same weak-keyed cache discipline. */
+  private val migStreamSessions: java.util.Map[SparkSession, SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def migStreamSession(spark: SparkSession): SparkSession =
+    migStreamSessions.computeIfAbsent(spark, parent => {
+      val c = parent.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      c
+    })
+
+  /** OFFLINE STATE-PARTITION MIGRATION under the gate (round-15 verdict
+    * task #2) — the operational wall every scaling stateful deployment
+    * hits: a checkpoint's shuffle-partition count is frozen at creation
+    * for the checkpoint's lifetime, so a job outgrowing its parallelism
+    * cannot simply restart with more partitions. The supported path this
+    * key pins end-to-end:
+    *
+    *   1. a COMPLETED 4-partition runningTotals checkpoint over the
+    *      first-half landing (cross-session fixture, like
+    *      [[StateReadQ.ckptFixture]]);
+    *   2. its keyed state extracted through `format("statestore")` with
+    *      `stateVarName` — a distributed read, one file set per source
+    *      shard, never through the driver;
+    *   3. the state RE-KEYED into a FRESH checkpoint at 8 partitions via
+    *      transformWithState's initial-state arm
+    *      ([[StreamingOps.seededRunningTotals]] — the seed shuffles to
+    *      the NEW sharding like any keyed Dataset);
+    *   4. the stream RESUMED there over the second-half landing.
+    *
+    * Both checkpoints' sharding is asserted from `format("state-metadata")`
+    * (source = 4, target = 8) and the target count is a gated column.
+    * The oracle is the FULL-table per-user total for second-half-active
+    * users — identical to st_initial_state's twin, which is the point:
+    * a migration that loses a shard's state, drops a key in the re-key
+    * shuffle, or double-applies the seed under-/over-counts exactly the
+    * affected users and hash-fails. 100 TB reading: every step is
+    * distributed (state read scales with source shards, seed shuffle
+    * with target shards); the driver sees only the two 1-row metadata
+    * asserts. */
+  val stStateRepartition: Q = Q(
+    "st_state_repartition",
+    (spark0, dir) => {
+      val src = tunedStreamSession(spark0) // 4-partition source world
+      val srcCkpt = withRocksDb(src) { migSourceCkpt(src, dir) }
+      val spark = migStreamSession(spark0) // 8-partition target world
+      withRocksDb(spark) {
+        val srcParts = spark.read.format("state-metadata").load(srcCkpt)
+          .select(col("numPartitions")).head().getInt(0)
+        require(srcParts == 4,
+          s"source checkpoint has $srcParts state partitions, expected 4")
+        val spark2 = spark; import spark2.implicits._
+        val seed = spark.read.format("statestore")
+          .option("path", srcCkpt).option("stateVarName", "totals").load()
+          .select(col("key.value").as("user_id"),
+            col("value.n").as("n_events"),
+            col("value.totalMicro").as("value_micro_total"))
+          .as[graft.streaming.UserTotal]
+        val landing = halfLandingDir(spark, dir)
+        val sink = Files.createTempDirectory("graft_stmig_sink").toString
+        val ckpt = Files.createTempDirectory("graft_stmig_ckpt").toString
+        val q = StreamingOps.seededRunningTotals(
+            fileStream(spark, landing).as[graft.streaming.Event], seed)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserTotal], _: Long) =>
+            b.write.mode("append").parquet(sink); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val tgtParts = spark.read.format("state-metadata").load(ckpt)
+          .select(col("numPartitions")).head().getInt(0)
+        require(tgtParts == 8,
+          s"migrated checkpoint has $tgtParts state partitions, expected 8")
+        materializeAndClean(
+          spark.read.parquet(sink)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("n_events"), col("value_micro_total"))).as("s"))
+            .select(col("user_id"), col("s.n_events").as("n_events"),
+              col("s.value_micro_total").as("value_micro_total"),
+              lit(tgtParts.toLong).as("n_state_parts"))
+            .orderBy("user_id"),
+          sink, ckpt, srcCkpt)
+      }
+    },
+    Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+           |e AS (SELECT user_id, value,
+           |        epoch_ms(ts) >= b.t0 + (b.t1 - b.t0) // 2 AS h2
+           |      FROM events, b)
+           |SELECT user_id, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro_total,
+           |  CAST(8 AS BIGINT) AS n_state_parts
+           |FROM e GROUP BY user_id
+           |HAVING COUNT(*) FILTER (WHERE h2) > 0
+           |ORDER BY user_id""".stripMargin))
+
   /** State-SCHEMA evolution across a restart (round-14 verdict task #6),
     * the checkpoint-compat regression class: run the stream with a v1
     * StatefulProcessor (state = event count), kill it mid-protocol after
@@ -1308,7 +1459,8 @@ object StreamingReplayQ {
 
   val all: Seq[Q] = Seq(stDedupReplay, stUpsertReplay, stSessionReplay,
     stRunningTotals, stSpanVerdicts, stHeavyHitters, stTimerSessions, stUpsertCrash,
-    stTypeMapState, stStateEvolve, stInitialState, stObserveReplay,
+    stTypeMapState, stStateEvolve, stInitialState, stStateRepartition,
+    stObserveReplay,
     stJoinReplay, stOuterJoinReplay, stRightOuterJoinReplay,
     stFullOuterJoinReplay, stJoinWindowReplay,
     stWindowReplay, stSessionWindowReplay)
