@@ -1052,6 +1052,155 @@ object StreamingReplayQ {
            |  CAST(SUM(r_id) AS BIGINT) AS r_id_sum
            |FROM j GROUP BY 1 ORDER BY w_start""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Multiple-watermark policy (round-15 verdict task #4): when a query
+  // has SEVERAL withWatermark inputs with DIFFERENT delays, the global
+  // watermark is min (default — safest: nothing is dropped that any
+  // input still considers live) or max (lowest latency: the fastest
+  // input drives eviction and slower inputs' stragglers get dropped)
+  // over the per-input watermarks, selected by
+  // spark.sql.streaming.multipleWatermarkPolicy. The pair of keys below
+  // pins BOTH contracts with deterministic landings where the policies
+  // provably diverge.
+  // ---------------------------------------------------------------------
+
+  /** Margin placing the slow stream's straggler rows safely on the
+    * dropped side under the max policy: the fast stream's quarter-0
+    * watermark is maxQ0 - 30 min, and a window-aggregate drops a late
+    * row only when its WINDOW'S END falls at or below the watermark —
+    * so stragglers at ts <= maxQ0 - 41 min (window end <= ts + 10 min
+    * <= maxQ0 - 31 min < watermark) are dropped with a full minute of
+    * slack, while under min (idle second input pins the global
+    * watermark at 0) they are all accepted. */
+  private val WmPolicyLateMarginMs = 41L * 60 * 1000
+
+  /** Paired landings for the watermark-policy keys, 5 aligned slices per
+    * side. Fast side (0): the event-time quarter 0 as batch 0,
+    * everything after as batch 1, an empty batch 2. Slow side (1): TWO
+    * empty batches (the idle input whose unset watermark the min policy
+    * must respect), then the quarter-0 stragglers
+    * (ts <= maxQ0 - [[WmPolicyLateMarginMs]]) as batch 2. The stragglers
+    * deliberately arrive one batch AFTER the fast side's quarters
+    * advanced the watermark: Spark filters late events with the
+    * PREVIOUS batch's watermark and evicts with the current one
+    * (SPARK-24588's two-watermark design), so a straggler landing in
+    * the same batch as the advance would still be accepted under
+    * either policy — probed empirically before this layout was pinned.
+    * Slices 3-4 on both sides are the usual two-step far-future
+    * sentinels so every real window provably flushes under EITHER
+    * policy (the slow side's 365-day delay still lands its sentinel
+    * watermark 5 days past the real span). */
+  private def wmPolicyLandingDir(spark: SparkSession, dir: String, side: Int): String = {
+    val path = fixturePath(if (side == 0) "stream_wmpol2_l" else "stream_wmpol2_r", dir)
+    if (!Files.exists(java.nio.file.Paths.get(path))) {
+      val build = Files.createTempDirectory("graft_wmpol_build")
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val cut = t0 + math.max(1L, (t1 - t0) / 4 + 1)
+      val q0 = ev.filter(unix_millis(col("ts")) < cut)
+      if (side == 0) {
+        writeSlice(build, 0, q0)
+        writeSlice(build, 1, ev.filter(unix_millis(col("ts")) >= cut))
+        writeSlice(build, 2, q0.limit(0))
+      } else {
+        writeSlice(build, 0, q0.limit(0))
+        writeSlice(build, 1, q0.limit(0))
+        val maxQ0 = q0.agg(max(unix_millis(col("ts")))).head().getLong(0)
+        writeSlice(build, 2,
+          q0.filter(unix_millis(col("ts")) <= maxQ0 - WmPolicyLateMarginMs))
+      }
+      val spark2 = spark; import spark2.implicits._
+      val day = 24L * 3600 * 1000
+      val s1 = t1 + 370 * day
+      Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
+        writeSlice(build, 3 + i, Seq(graft.streaming.Event(
+          -1L - i - side * 2, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
+      }
+      publishDir(build, path)
+    }
+    path
+  }
+
+  /** Shared runner: union of the fast input (30-minute delay) and the
+    * slow input (365-DAY delay) into a 10-minute tumbling count keyed by
+    * source tag, append mode, under the given multipleWatermarkPolicy.
+    * Post-sink cut at t1 + 24 h drops the sentinel-era windows exactly
+    * as in st_join_window_replay (real windows start <= t1, sentinel
+    * windows land ~370 d out). */
+  private def wmPolicyRun(spark: SparkSession, dir: String, policy: String): DataFrame =
+    withConfs(spark, "spark.sql.streaming.multipleWatermarkPolicy" -> policy) {
+      val lDir = wmPolicyLandingDir(spark, dir, 0)
+      val rDir = wmPolicyLandingDir(spark, dir, 1)
+      val sink = Files.createTempDirectory(s"graft_wmpol_${policy}_sink").toString
+      val ckpt = Files.createTempDirectory(s"graft_wmpol_${policy}_ckpt").toString
+      val t1 = Tables(spark, dir, "events")
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val l = fileStream(spark, lDir)
+        .withWatermark("ts", "30 minutes").withColumn("src", lit("l"))
+      val r = fileStream(spark, rDir)
+        .withWatermark("ts", "365 days").withColumn("src", lit("r"))
+      val q = l.unionByName(r)
+        .groupBy(window(col("ts"), "10 minutes"), col("src"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("id_sum"))
+        .select(col("window.start").as("w_start"), col("src"),
+          col("n_events"), col("id_sum"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("w_start") <=
+            lit(new java.sql.Timestamp(t1.getTime + 24L * 3600 * 1000)))
+          .select(date_format(col("w_start"), tsSec).as("w_start"),
+            col("src"), col("n_events"), col("id_sum"))
+          .orderBy("w_start", "src"),
+        sink, ckpt)
+    }
+
+  /** multipleWatermarkPolicy = MIN (the default) under the gate: the
+    * slow input's idle batches 0-1 (no data → per-input watermark unset)
+    * pin the GLOBAL watermark at zero, so its quarter-0 stragglers
+    * arriving in batch 2 — well below the fast input's own watermark —
+    * are all ACCEPTED; the oracle is the batch twin over all fast rows
+    * plus the full straggler set. A policy regression to max-like
+    * behavior loses exactly the straggler windows and hash-fails. */
+  val stWmPolicyMin: Q = Q(
+    "st_wm_policy_min",
+    (spark0, dir) => wmPolicyRun(tunedStreamSession(spark0), dir, "min"),
+    Some(s"""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+            |c AS (SELECT t0 + GREATEST(1, (t1 - t0) // 4 + 1) AS cut FROM b),
+            |q0 AS (SELECT e.* FROM events e, c WHERE epoch_ms(e.ts) < c.cut),
+            |mq AS (SELECT MAX(epoch_ms(ts)) AS m FROM q0),
+            |late AS (SELECT q0.* FROM q0, mq
+            |         WHERE epoch_ms(q0.ts) <= mq.m - ${WmPolicyLateMarginMs}),
+            |u AS (SELECT ts, event_id, 'l' AS src FROM events
+            |      UNION ALL SELECT ts, event_id, 'r' AS src FROM late)
+            |SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+            |  src, COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS id_sum
+            |FROM u GROUP BY 1, 2 ORDER BY w_start, src""".stripMargin))
+
+  /** multipleWatermarkPolicy = MAX under the gate: the fast input's
+    * quarter-0 watermark becomes GLOBAL despite the slow input's idle
+    * start, so by the stragglers' batch the late-event filter (previous
+    * batch's watermark = the fast side's full-span advance) sits far
+    * above every straggler's window end and all stragglers are DROPPED
+    * — the oracle is the fast rows alone. A
+    * policy regression to min-like behavior ADDS the straggler windows
+    * (extra 'r' rows) and hash-fails. Together with st_wm_policy_min
+    * this pins the policy contract from both sides. */
+  val stWmPolicyMax: Q = Q(
+    "st_wm_policy_max",
+    (spark0, dir) => wmPolicyRun(tunedStreamSession(spark0), dir, "max"),
+    Some("""SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+           |  'l' AS src, COUNT(*) AS n_events, CAST(SUM(event_id) AS BIGINT) AS id_sum
+           |FROM events GROUP BY 1, 2 ORDER BY w_start, src""".stripMargin))
+
   private def hasInjectedCrash(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .exists(x => Option(x.getMessage).exists(_.contains("graft-injected-crash")))
@@ -1463,5 +1612,6 @@ object StreamingReplayQ {
     stObserveReplay,
     stJoinReplay, stOuterJoinReplay, stRightOuterJoinReplay,
     stFullOuterJoinReplay, stJoinWindowReplay,
-    stWindowReplay, stSessionWindowReplay)
+    stWindowReplay, stSessionWindowReplay,
+    stWmPolicyMin, stWmPolicyMax)
 }
