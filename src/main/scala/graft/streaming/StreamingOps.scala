@@ -36,6 +36,31 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** CHAINED stateful pipeline: watermarked tumbling-window aggregation
+    * feeding a transformWithState rollup in the SAME query — the
+    * "aggregate of finalized aggregates" shape (Spark 4.x multi-stateful
+    * support with TWS downstream). The window operator emits a
+    * (window, event_type) row exactly once when the watermark proves the
+    * window closed; the TWS stage then folds those CLOSED windows into a
+    * per-type running rollup in ValueState, emitting the running totals
+    * each batch it receives windows. Callers pre-scale `value` to integer
+    * cents so every accumulation is addition-order-exact. At 100 TB the
+    * first stage's state is O(open windows) and the second's O(distinct
+    * types) — both watermark/cardinality-bounded, sharded across
+    * executors' RocksDB stores (TWS requires the RocksDB provider). */
+  def windowRollup(events: DataFrame, window_ : String = "10 minutes",
+                   watermark: String = "30 minutes"): Dataset[WindowRollup] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("cents_sum"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("cents_sum"))
+      .as[WinRow]
+      .groupByKey(_.event_type)
+      .transformWithState(new WindowRollupProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Sliding-window counts (overlapping windows). */
   def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
                     slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
@@ -677,6 +702,43 @@ private final class EvoV2Processor
     rows.foreach { e => n += 1; micro += math.round(e.value * 1e6) }
     state.update(EvoStateV2(n, Some(micro)))
     Iterator.single(EvoOut(userId, n, Some(micro)))
+  }
+}
+
+/** One CLOSED tumbling window entering [[StreamingOps.windowRollup]]'s
+  * downstream stage (cents_sum pre-scaled to integer cents). */
+final case class WinRow(w_start: java.sql.Timestamp, event_type: String,
+                        n_events: Long, cents_sum: Long)
+
+/** Running per-type rollup of closed windows ([[StreamingOps.windowRollup]]). */
+final case class WindowRollup(event_type: String, n_windows: Long,
+                              ev_total: Long, cents_total: Long)
+
+private final case class RollState(nw: Long, ev: Long, cents: Long)
+
+/** Folds closed-window rows into a per-type running rollup. Every
+  * emission strictly grows n_windows (a key is handed rows only in
+  * batches where at least one of its windows closed), so downstream
+  * consumers can select the final row by monotone max. */
+private final class WindowRollupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, WinRow, WindowRollup] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[RollState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[RollState](
+      "rollup", org.apache.spark.sql.Encoders.product[RollState], TTLConfig.NONE)
+
+  override def handleInputRows(eventType: String, rows: Iterator[WinRow],
+                               timerValues: TimerValues): Iterator[WindowRollup] = {
+    val prev = Option(state.get()).getOrElse(RollState(0L, 0L, 0L))
+    var nw = prev.nw
+    var ev = prev.ev
+    var cents = prev.cents
+    rows.foreach { w => nw += 1; ev += w.n_events; cents += w.cents_sum }
+    state.update(RollState(nw, ev, cents))
+    Iterator.single(WindowRollup(eventType, nw, ev, cents))
   }
 }
 
