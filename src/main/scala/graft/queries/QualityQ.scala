@@ -299,6 +299,76 @@ object QualityQ {
            |FROM obs JOIN exp ON obs.digit = exp.digit
            |ORDER BY obs.digit""".stripMargin))
 
+  /** Flag threshold for [[qRowgroupAudit]]: a single-row-group file
+    * holding more rows than this caps its scan at one task. In
+    * production you would derive this from maxPartitionBytes / average
+    * row width; here it is pinned small so the gated fixture exercises
+    * the flag at sf0.01 (2 500 flagged rows) while staying legitimately
+    * unflagged at sf0.001 (250 — the oracle's CASE reproduces the same
+    * conditionality). */
+  private val RgFlagRows = 1000L
+
+  /** Audit fixture: the events table written in two deliberate physical
+    * layouts under ONE directory — event_id % 4 != 0 as 3 round-robin
+    * files with a 32 KB row-group target (healthy: any file past the
+    * flag threshold has split into multiple groups), and
+    * event_id % 4 == 0 as a single file with a 1 GB target (the
+    * pathological single-giant-row-group file the audit exists to
+    * catch). Content-fingerprinted + atomically published like every
+    * cross-session fixture. */
+  private def rgFixtureDir(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = Fixtures.fingerprintedPath(
+      s"${sys.props("java.io.tmpdir")}/graft_rgaudit_${sys.props("user.name")}$dirTag",
+      Seq(s"$dir/events.parquet"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val build = java.nio.file.Files.createTempDirectory("graft_rgaudit_build")
+      val ev = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+        .repartition(3)
+        .write.option("parquet.block.size", 32768)
+        .mode("overwrite").parquet(build.toString)
+      ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .coalesce(1)
+        .write.option("parquet.block.size", 1073741824)
+        .mode("append").parquet(build.toString)
+      Fixtures.publishDir(build, path)
+    }
+    path
+  }
+
+  /** Parquet row-group layout audit under the gate
+    * ([[graft.ops.RowGroupAudit]], round-15 verdict task #6): footers
+    * only, no data pages — flags files whose SINGLE row group holds more
+    * rows than the scan-parallelism threshold (such a file scans as one
+    * task no matter what maxPartitionBytes says). Gated columns pin the
+    * audit end-to-end against the deterministic fixture: file count (3
+    * healthy round-robin files + 1 pathological), the flagged file and
+    * its exact row count (= the event_id % 4 == 0 class, conditional on
+    * the threshold exactly as the oracle's CASE), and total footer rows
+    * == COUNT(*) of the source table — the self-consistency check that
+    * the audit accounts for every row without reading any. */
+  val qRowgroupAudit: Q = Q(
+    "q_rowgroup_audit",
+    (spark, dir) => {
+      val fx = rgFixtureDir(spark, dir)
+      val flagged = col("n_rowgroups") === 1 && col("n_rows") > RgFlagRows
+      graft.ops.RowGroupAudit.audit(spark, fx)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(flagged, 1L).otherwise(0L)).as("flagged_files"),
+          sum(when(flagged, col("n_rows")).otherwise(0L)).as("flagged_rows"),
+          sum(col("n_rows")).as("total_rows"))
+    },
+    Some(s"""SELECT CAST(4 AS BIGINT) AS n_files,
+            |  CAST(CASE WHEN COUNT(*) FILTER (WHERE event_id % 4 = 0) > $RgFlagRows
+            |       THEN 1 ELSE 0 END AS BIGINT) AS flagged_files,
+            |  CAST(CASE WHEN COUNT(*) FILTER (WHERE event_id % 4 = 0) > $RgFlagRows
+            |       THEN COUNT(*) FILTER (WHERE event_id % 4 = 0) ELSE 0 END AS BIGINT) AS flagged_rows,
+            |  COUNT(*) AS total_rows
+            |FROM events""".stripMargin))
+
   val all: Seq[Q] = Seq(qConstraints, aHistogram, qDrift, qConfusion, qSkew, qAuc,
-    qBenford)
+    qBenford, qRowgroupAudit)
 }

