@@ -369,7 +369,8 @@ object StreamingReplayQ {
     * spans a day, the same horizon the CTAS reap uses). */
   private lazy val reapRetiredKinds: Unit = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    val retired = Seq("graft_stream_sessions_t_v2_", "graft_stream_sessions_t2_v2_")
+    val retired = Seq("graft_stream_sessions_t_v2_", "graft_stream_sessions_t2_v2_",
+      "graft_stream_half1_v2_", "graft_stream_wmpol_l_v2_", "graft_stream_wmpol_r_v2_")
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => retired.exists(f.getName.startsWith) && f.lastModified() < cutoff)
@@ -1437,11 +1438,15 @@ object StreamingReplayQ {
            |ORDER BY user_id""".stripMargin))
 
   /** First-half landing for the state-migration key: only events strictly
-    * before the full span's epoch midpoint, as 4 chronological slices —
+    * before the full span's epoch midpoint, as 2 chronological slices —
     * the "already running" phase of a stateful job about to be re-scaled.
-    * Exact complement of [[halfLandingDir]]. */
+    * Exact complement of [[halfLandingDir]]. Two slices, not four: the
+    * source leg only needs cross-batch state carry to hold (one boundary
+    * suffices — batching-independence at depth is st_running_totals'
+    * job), and the migration key pays for TWO full stream runs per
+    * invocation, so every skipped micro-batch is a real floor saving. */
   private def half1LandingDir(spark: SparkSession, dir: String): String = {
-    val path = fixturePath("stream_half1", dir)
+    val path = fixturePath("stream_half1b", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_half1_build")
       val ev = Tables(spark, dir, "events")
@@ -1450,7 +1455,10 @@ object StreamingReplayQ {
       val Array(t0, t1) = ev.agg(min(col("ts")), max(col("ts"))).head()
         .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
       val mid = t0 + (t1 - t0) / 2
-      writeTimeSlicesOf(ev.filter(unix_millis(col("ts")) < mid), build)
+      val h1 = ev.filter(unix_millis(col("ts")) < mid)
+      val q1 = t0 + (mid - t0) / 2
+      writeSlice(build, 0, h1.filter(unix_millis(col("ts")) < q1))
+      writeSlice(build, 1, h1.filter(unix_millis(col("ts")) >= q1))
       publishDir(build, path)
     }
     path
