@@ -29,7 +29,7 @@ object Fixtures {
     md.take(8).map("%02x".format(_)).mkString
   }
 
-  private[queries] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }

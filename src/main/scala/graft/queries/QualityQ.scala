@@ -299,27 +299,31 @@ object QualityQ {
            |FROM obs JOIN exp ON obs.digit = exp.digit
            |ORDER BY obs.digit""".stripMargin))
 
-  /** Flag threshold for [[qRowgroupAudit]]: a single-row-group file
-    * holding more rows than this caps its scan at one task. In
-    * production you would derive this from maxPartitionBytes / average
-    * row width; here it is pinned small so the gated fixture exercises
-    * the flag at sf0.01 (2 500 flagged rows) while staying legitimately
-    * unflagged at sf0.001 (250 — the oracle's CASE reproduces the same
-    * conditionality). */
+  /** Flag threshold for [[qRowgroupAudit]]: a file whose LARGEST row
+    * group holds more rows than this under-parallelizes its scan (row
+    * groups are the minimum split unit). In production you would derive
+    * this from maxPartitionBytes / average row width; here it is pinned
+    * small so the gated fixture exercises the flag at sf0.01 (2 500
+    * flagged rows) while staying legitimately unflagged at sf0.001
+    * (250 — the oracle's CASE reproduces the same conditionality). */
   private val RgFlagRows = 1000L
 
   /** Audit fixture: the events table written in two deliberate physical
     * layouts under ONE directory — event_id % 4 != 0 as 3 round-robin
-    * files with a 32 KB row-group target (healthy: any file past the
-    * flag threshold has split into multiple groups), and
+    * files with a 16 KB row-group target (healthy: measured ~300-650
+    * rows per group, 3×+ under the flag threshold at any scale — group
+    * size tracks the byte target, not the file's row count), and
     * event_id % 4 == 0 as a single file with a 1 GB target (the
-    * pathological single-giant-row-group file the audit exists to
-    * catch). Content-fingerprinted + atomically published like every
-    * cross-session fixture. */
+    * pathological giant-row-group file the audit exists to catch; at
+    * any tested scale it is one group, and were it ever to split past
+    * 1 GB each group would still dwarf the threshold, so the
+    * max_rg_rows flag — unlike an n_rowgroups==1 flag — matches the
+    * oracle at every decade). Content-fingerprinted + atomically
+    * published like every cross-session fixture. */
   private def rgFixtureDir(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = Fixtures.fingerprintedPath(
-      s"${sys.props("java.io.tmpdir")}/graft_rgaudit_${sys.props("user.name")}$dirTag",
+      s"${sys.props("java.io.tmpdir")}/graft_rgaudit2_${sys.props("user.name")}$dirTag",
       Seq(s"$dir/events.parquet"))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
       val build = java.nio.file.Files.createTempDirectory("graft_rgaudit_build")
@@ -328,7 +332,7 @@ object QualityQ {
           col("event_type"), col("value"))
       ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
         .repartition(3)
-        .write.option("parquet.block.size", 32768)
+        .write.option("parquet.block.size", 16384)
         .mode("overwrite").parquet(build.toString)
       ev.filter(pmod(col("event_id"), lit(4)) === 0)
         .coalesce(1)
@@ -341,10 +345,11 @@ object QualityQ {
 
   /** Parquet row-group layout audit under the gate
     * ([[graft.ops.RowGroupAudit]], round-15 verdict task #6): footers
-    * only, no data pages — flags files whose SINGLE row group holds more
-    * rows than the scan-parallelism threshold (such a file scans as one
-    * task no matter what maxPartitionBytes says). Gated columns pin the
-    * audit end-to-end against the deterministic fixture: file count (3
+    * only, no data pages — flags files whose largest row group holds
+    * more rows than the scan-parallelism threshold (row groups are the
+    * minimum split unit, so such a file under-parallelizes its scan no
+    * matter what maxPartitionBytes says). Gated columns pin the audit
+    * end-to-end against the deterministic fixture: file count (3
     * healthy round-robin files + 1 pathological), the flagged file and
     * its exact row count (= the event_id % 4 == 0 class, conditional on
     * the threshold exactly as the oracle's CASE), and total footer rows
@@ -354,7 +359,7 @@ object QualityQ {
     "q_rowgroup_audit",
     (spark, dir) => {
       val fx = rgFixtureDir(spark, dir)
-      val flagged = col("n_rowgroups") === 1 && col("n_rows") > RgFlagRows
+      val flagged = col("max_rg_rows") > RgFlagRows
       graft.ops.RowGroupAudit.audit(spark, fx)
         .agg(count(lit(1)).as("n_files"),
           sum(when(flagged, 1L).otherwise(0L)).as("flagged_files"),

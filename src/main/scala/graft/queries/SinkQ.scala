@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object SinkQ {
 
-  private def tmp(name: String, dir: String): String =
+  private[graft] def tmp(name: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   // Amortized layout writes key their tmp path on a content fingerprint
   // of the source, so regenerating the testdata under the SAME path
   // invalidates the cached layout (and reaps the superseded one) instead
   // of silently reusing stale data.
-  private def keyed(prefix: String, source: String): String =
+  private[graft] def keyed(prefix: String, source: String): String =
     Fixtures.fingerprintedPath(prefix, Seq(source))
 
   /** ORC write + read-back (columnar interchange beyond parquet; same

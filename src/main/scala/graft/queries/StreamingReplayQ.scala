@@ -76,7 +76,7 @@ object StreamingReplayQ {
     path
   }
 
-  private def fileStream(spark: SparkSession, landing: String): DataFrame = {
+  private[graft] def fileStream(spark: SparkSession, landing: String): DataFrame = {
     val schema = spark.read.parquet(landing).schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
@@ -166,7 +166,7 @@ object StreamingReplayQ {
   /** Write one single-file parquet slice `slice-kk.parquet` into `build`
     * with an mtime strictly increasing in k — the file source orders
     * admissions by mtime, so slice index IS micro-batch order. */
-  private def writeSlice(build: java.nio.file.Path, k: Int, df: DataFrame): Unit = {
+  private[graft] def writeSlice(build: java.nio.file.Path, k: Int, df: DataFrame): Unit = {
     val scratch = Files.createTempDirectory(s"graft_slice$k")
     df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val part = scratch.toFile.listFiles()
@@ -328,20 +328,22 @@ object StreamingReplayQ {
     * now-expired event-time timers fire — so every real session closes
     * via handleExpiredTimer (or an inline gap split), with no reliance on
     * the engine scheduling an extra empty batch after the last file. */
-  /** Append the two-step watermark sentinels as slices 4 and 5: one
-    * synthetic user -1 row at t1 + 370 d (advances the watermark beyond
-    * every real row's horizon) and one an hour later (the data batch
-    * DURING which the now-provable state — expired timers, unmatched
-    * outer rows — flushes). Shared by the timer-session and the
-    * stream-join landings so the mechanism can't desynchronize. */
+  /** Append the two-step watermark sentinels as slices startSlice and
+    * startSlice+1: one synthetic user -1 row at t1 + 370 d (advances the
+    * watermark beyond every real row's horizon) and one an hour later
+    * (the data batch DURING which the now-provable state — expired
+    * timers, unmatched outer rows, closed windows — flushes). Shared by
+    * the timer-session, stream-join, and watermark-policy landings so
+    * the mechanism can't desynchronize. */
   private def appendSentinelSlices(spark: SparkSession,
                                    build: java.nio.file.Path,
-                                   t1: Long, idBase: Long): Unit = {
+                                   t1: Long, idBase: Long,
+                                   startSlice: Int = 4): Unit = {
     val spark2 = spark; import spark2.implicits._
     val day = 24L * 3600 * 1000
     val s1 = t1 + 370 * day
     Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
-      writeSlice(build, 4 + i, Seq(graft.streaming.Event(
+      writeSlice(build, startSlice + i, Seq(graft.streaming.Event(
         idBase - i, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
     }
   }
@@ -700,16 +702,26 @@ object StreamingReplayQ {
   // synchronized wrapper locks its default-method computeIfAbsent too;
   // the clone holds the SparkContext/SharedState, not the parent
   // SESSION object, so the weak key stays collectable.
-  private val tunedStreamSessions: java.util.Map[SparkSession, SparkSession] =
+  private val streamSessions
+      : java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[Integer, SparkSession]] =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, SparkSession]())
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[Integer, SparkSession]]())
+
+  /** One cached clone per (parent session, shuffle-partition count): the
+    * outer weak map keeps parents collectable, the inner CHM handles its
+    * own concurrency for the per-count clones. */
+  private def streamSession(spark: SparkSession, partitions: Int): SparkSession =
+    streamSessions
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap)
+      .computeIfAbsent(partitions, _ => {
+        val c = spark.newSession()
+        c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+        c
+      })
 
   private def tunedStreamSession(spark: SparkSession): SparkSession =
-    tunedStreamSessions.computeIfAbsent(spark, parent => {
-      val c = parent.newSession()
-      c.conf.set("spark.sql.shuffle.partitions", "4")
-      c
-    })
+    streamSession(spark, 4)
 
   val stJoinReplay: Q = Q(
     "st_join_replay",
@@ -1066,10 +1078,12 @@ object StreamingReplayQ {
     * max(struct(n_windows, …)); the oracle pins all three accumulators
     * at once — a window emitted twice into the TWS stage (n_windows
     * high), withheld (low), or a reset ValueState (all three low)
-    * hash-fails. Sentinel-typed windows (straddler user) are dropped
-    * post-sink; the true sentinels' own windows never close (nothing
-    * advances the watermark past t1 + 370 d), so they never reach the
-    * rollup. */
+    * hash-fails. ALL sentinel-typed windows are dropped post-sink — the
+    * straddler user's mid-span windows always close, and the first true
+    * sentinel's own window [t1+370d, +10min) closes too whenever the
+    * engine schedules a batch after the second sentinel (the watermark
+    * then sits at t1+370d+30min) — the post-sink event_type filter, not
+    * any never-closes assumption, is what keeps the gated frame exact. */
   val stWindowTwsReplay: Q = Q(
     "st_window_tws_replay",
     (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
@@ -1159,16 +1173,17 @@ object StreamingReplayQ {
         writeSlice(build, 0, q0.limit(0))
         writeSlice(build, 1, q0.limit(0))
         val maxQ0 = q0.agg(max(unix_millis(col("ts")))).head().getLong(0)
-        writeSlice(build, 2,
-          q0.filter(unix_millis(col("ts")) <= maxQ0 - WmPolicyLateMarginMs))
+        val late = q0.filter(unix_millis(col("ts")) <= maxQ0 - WmPolicyLateMarginMs)
+        // Loud, not silent: with no stragglers the min and max keys
+        // degenerate into identical nothing-pinning queries that still
+        // pass both oracles (same require discipline as
+        // timerSessionLandingDir's straddler placement).
+        require(late.limit(1).count() > 0,
+          s"events quarter 0 spans <= ${WmPolicyLateMarginMs / 60000} min in $dir — " +
+            "no stragglers; the watermark-policy keys would not exercise the policy")
+        writeSlice(build, 2, late)
       }
-      val spark2 = spark; import spark2.implicits._
-      val day = 24L * 3600 * 1000
-      val s1 = t1 + 370 * day
-      Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
-        writeSlice(build, 3 + i, Seq(graft.streaming.Event(
-          -1L - i - side * 2, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
-      }
+      appendSentinelSlices(spark, build, t1, idBase = -1L - side * 2, startSlice = 3)
       publishDir(build, path)
     }
     path
@@ -1496,18 +1511,9 @@ object StreamingReplayQ {
 
   /** 8-partition session clone for the migration TARGET — deliberately
     * different from [[tunedStreamSession]]'s 4, so the migrated
-    * checkpoint's sharding can be asserted distinct from the source's.
-    * Same weak-keyed cache discipline. */
-  private val migStreamSessions: java.util.Map[SparkSession, SparkSession] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, SparkSession]())
-
+    * checkpoint's sharding can be asserted distinct from the source's. */
   private def migStreamSession(spark: SparkSession): SparkSession =
-    migStreamSessions.computeIfAbsent(spark, parent => {
-      val c = parent.newSession()
-      c.conf.set("spark.sql.shuffle.partitions", "8")
-      c
-    })
+    streamSession(spark, 8)
 
   /** OFFLINE STATE-PARTITION MIGRATION under the gate (round-15 verdict
     * task #2) — the operational wall every scaling stateful deployment
@@ -1544,7 +1550,11 @@ object StreamingReplayQ {
       val src = tunedStreamSession(spark0) // 4-partition source world
       val srcCkpt = withRocksDb(src) { migSourceCkpt(src, dir) }
       val spark = migStreamSession(spark0) // 8-partition target world
-      withRocksDb(spark) {
+      // The source checkpoint is rebuilt EVERY invocation (it cannot be
+      // a fixture — TWS metadata pins absolute paths), so a failure
+      // between here and materializeAndClean must not strand a full
+      // RocksDB checkpoint per attempt: delete it on the way out.
+      try withRocksDb(spark) {
         val srcParts = spark.read.format("state-metadata").load(srcCkpt)
           .select(col("numPartitions")).head().getInt(0)
         require(srcParts == 4,
@@ -1582,6 +1592,9 @@ object StreamingReplayQ {
               lit(tgtParts.toLong).as("n_state_parts"))
             .orderBy("user_id"),
           sink, ckpt, srcCkpt)
+      } catch {
+        case e: Throwable =>
+          deleteRecursively(new java.io.File(srcCkpt)); throw e
       }
     },
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),

@@ -51,17 +51,14 @@ object StreamScaleProbe {
       val right = graft.queries.StreamingReplayQ.joinLandingDir(spark, dir, 1)
       val sink = Files.createTempDirectory("graft_ssp_join_sink").toString
       val ckpt = Files.createTempDirectory("graft_ssp_join_ckpt").toString
-      def fs(d: String) = {
-        val schema = spark.read.parquet(d).schema
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d)
-      }
+      def fs(d: String) = graft.queries.StreamingReplayQ.fileStream(spark, d)
       val q = graft.streaming.StreamingOps.timeBoundJoin(fs(left), fs(right),
           maxGap = "30 minutes", watermark = "3650 days")
         .writeStream.format("parquet").option("path", sink)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       report("join", q)
-      Seq(sink, ckpt).foreach(p => rm(new java.io.File(p)))
+      Seq(sink, ckpt).foreach(p => graft.queries.Fixtures.deleteRecursively(new java.io.File(p)))
     }
 
     // 2. transformWithState running totals (the st_running_totals shape).
@@ -71,10 +68,9 @@ object StreamScaleProbe {
       val landing = graft.queries.StreamingReplayQ.sessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_ssp_tws_sink").toString
       val ckpt = Files.createTempDirectory("graft_ssp_tws_ckpt").toString
-      val schema = spark.read.parquet(landing).schema
       val q = graft.streaming.StreamingOps.runningTotals(
-          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-            .parquet(landing).as[graft.streaming.Event])
+          graft.queries.StreamingReplayQ.fileStream(spark, landing)
+            .as[graft.streaming.Event])
         .writeStream.outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.UserTotal], _: Long) =>
@@ -82,14 +78,9 @@ object StreamScaleProbe {
         }
         .trigger(Trigger.AvailableNow()).start()
       report("tws_totals", q)
-      Seq(sink, ckpt).foreach(p => rm(new java.io.File(p)))
+      Seq(sink, ckpt).foreach(p => graft.queries.Fixtures.deleteRecursively(new java.io.File(p)))
     }
 
     spark.stop()
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
   }
 }

@@ -61,12 +61,8 @@ object TwsStateProbe {
     println("state rows: " + st.count() +
       "  distinct users: " + ev.select(countDistinct(col("user_id"))).head().getLong(0))
 
-    Seq(landing, sink, ckpt).foreach(p => rm(new java.io.File(p)))
+    Seq(landing, sink, ckpt).foreach(p =>
+      graft.queries.Fixtures.deleteRecursively(new java.io.File(p)))
     spark.stop()
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
   }
 }

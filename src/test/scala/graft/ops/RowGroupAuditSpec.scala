@@ -30,13 +30,14 @@ class RowGroupAuditSpec extends SparkSpec {
     // sink_clustered writes the engine's largest clustered output; its
     // 8 range files at sf0.001 must each hold either multiple row groups
     // or fewer rows than the audit's scan-parallelism flag would fire on
-    // at production block sizes. Running the query builds the fixture.
+    // at production block sizes. Running the query builds the fixture;
+    // the path is derived from the same helpers the query uses (exact,
+    // not a newest-mtime scan that could pick another scale's fixture).
     graft.SparkEntry.queries("sink_clustered")(spark, dir).collect()
-    val base = sys.props("java.io.tmpdir")
-    val fx = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_sink_clustered_") && f.isDirectory)
-      .maxBy(_.lastModified)
-    val audit = RowGroupAudit.audit(spark, fx.toString).collect()
+    val fx = graft.queries.SinkQ.keyed(
+      graft.queries.SinkQ.tmp("sink_clustered", dir), s"$dir/lineitem.parquet")
+    assert(new java.io.File(fx).isDirectory, s"sink_clustered fixture missing at $fx")
+    val audit = RowGroupAudit.audit(spark, fx).collect()
     assert(audit.nonEmpty)
     // default 128MB block size: a flagged file would need >128MB in ONE
     // group; these files are far smaller, so the real assertion is that

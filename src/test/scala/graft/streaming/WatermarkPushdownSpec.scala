@@ -28,17 +28,11 @@ class WatermarkPushdownSpec extends SparkSpec {
   private val Day = 24L * 3600 * 1000
   private val T0 = 1700000000000L // fixed epoch base; any constant works
 
-  private def writeSlice(build: java.io.File, k: Int, df: DataFrame): Unit = {
-    val scratch = Files.createTempDirectory(s"graft_wmpd_slice$k")
-    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = scratch.toFile.listFiles()
-      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      .getOrElse(sys.error(s"slice $k produced no parquet file"))
-    val dest = new java.io.File(build, f"slice-$k%02d.parquet").toPath
-    Files.move(part.toPath, dest)
-    Files.setLastModifiedTime(dest,
-      java.nio.file.attribute.FileTime.fromMillis(1600000000000L + k * 60000L))
-  }
+  // slice writing + stream opening reuse the canonical replay helpers
+  // (graft.queries.StreamingReplayQ) so the mtime/ordering contract
+  // can't drift from the production landings this spec reasons about
+  private def writeSlice(build: java.io.File, k: Int, df: DataFrame): Unit =
+    graft.queries.StreamingReplayQ.writeSlice(build.toPath, k, df)
 
   /** One side's landing: the real rows as batch 0, then the two-step
     * far-future sentinels (advance, then flush) as batches 1-2. */
@@ -67,9 +61,7 @@ class WatermarkPushdownSpec extends SparkSpec {
       (5L, T0 + 13 * Minute), (7L, T0 + 26 * Minute)), sentinelIdBase = -20L)
     val sink = Files.createTempDirectory("graft_wmpd_sink").toString
     val ckpt = Files.createTempDirectory("graft_wmpd_ckpt").toString
-    val schema = spark.read.parquet(left).schema
-    def fs(d: String) = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(d)
+    def fs(d: String) = graft.queries.StreamingReplayQ.fileStream(spark, d)
     val joined = StreamingOps.timeBoundJoin(fs(left), fs(right),
       maxGap = "30 minutes", watermark = "30 minutes")
     val filtered = if (inStreamFilter) joined.filter(col("user_id") >= 0) else joined
@@ -88,14 +80,11 @@ class WatermarkPushdownSpec extends SparkSpec {
       .orderBy("w_start")
       .collect().toSeq
       .map(r => (r.getTimestamp(0), r.getLong(1)))
-    Seq(left, right, sink, ckpt).foreach(p => rm(new java.io.File(p)))
+    Seq(left, right, sink, ckpt).foreach(p =>
+      graft.queries.Fixtures.deleteRecursively(new java.io.File(p)))
     out
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
-  }
 
   test("post-sink sentinel handling emits every real window") {
     val windows = run(inStreamFilter = false)
