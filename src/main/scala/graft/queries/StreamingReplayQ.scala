@@ -1116,6 +1116,80 @@ object StreamingReplayQ {
            |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents_total
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Streaming NEAR-dup (MinHash-LSH first-claim) under the gate — the
+    * dedup family's missing streaming cell: the batch family
+    * (d_minhash_lsh, d_incremental) re-bands a delta against a
+    * persistent index per ingest; this key maintains the index IN
+    * STREAM ([[StreamingOps.lshBandClaims]]): per-document banding is
+    * stateless (array_min over the shingle-hash array — no watermark
+    * needed), and a corpus-wide (band, signature) → first-owner
+    * registry lives in RocksDB ValueState. The corpus replays over the
+    * doc-id-ordered 4-slice landing, so cross-batch first-claim
+    * attribution equals the batch min-doc owner (the st_span_verdicts
+    * argument at band granularity — a doc claiming a band in batch 3
+    * must pair with the batch-0 owner, which only state can know).
+    * Gated rollup: (dup_doc, first_doc) pairs agreeing on >= 3 of 6
+    * bands — same threshold convention as d_incremental; the oracle is
+    * the all-SQL twin with owner = MIN(doc_id) per signature. A lost
+    * registry shard (pairs vanish), a reset owner (wrong first_doc), or
+    * batch-collapsed attribution (in-batch pairs mis-owned) hash-fails. */
+  val stLshDedup: Q = Q(
+    "st_lsh_dedup",
+    (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
+      val landing = docLandingDir(spark, dir)
+      val sink = Files.createTempDirectory("graft_stlsh_sink").toString
+      val ckpt = Files.createTempDirectory("graft_stlsh_ckpt").toString
+      val spark2 = spark; import spark2.implicits._
+      // Corpus bound (doc_id < 4000): spans all four landing slices at
+      // the gated scale, stays a bounded set at every decade (MakeSf
+      // remaps ids upward), and keeps the oracle's DuckDB shingle CTE
+      // feasible — the same reason d_minhash_lsh pins doc_id < 100.
+      val q = StreamingOps.lshBandClaims(
+          fileStream(spark, landing).filter(col("doc_id") < 4000)
+            .as[graft.streaming.DocIn])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      materializeAndClean(
+        spark.read.parquet(sink)
+          .filter(col("owner_doc") < col("doc_id"))
+          .groupBy(col("doc_id"), col("owner_doc"))
+          .agg(countDistinct(col("band")).as("n_bands"))
+          .filter(col("n_bands") >= 3)
+          .select(col("doc_id").as("dup_doc"),
+            col("owner_doc").as("first_doc"), col("n_bands"))
+          .orderBy("dup_doc", "first_doc"),
+        sink, ckpt)
+    }},
+    Some {
+      import graft.ops.TextHash._
+      val minExprs = (0 until NumHashes)
+        .map(j => s"MIN(${minHashOfSql("h0", j)}) AS mh$j").mkString(",\n  ")
+      val bandRows = (0 until Bands).map { b =>
+        val sig = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ',' || ")
+        s"SELECT doc_id, CAST($b AS BIGINT) AS band, $sig AS sig FROM mins"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS (SELECT DISTINCT doc_id, ${shinglesSqlFrom(ShingleLen)} AS sh
+         |           FROM documents WHERE doc_id < 4000),
+         |h AS (SELECT doc_id, ${polyHashSql("sh", ShingleLen)} AS h0 FROM sh),
+         |mins AS (SELECT doc_id,
+         |  $minExprs
+         |  FROM h GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |own AS (SELECT band, sig, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2),
+         |p AS (SELECT b.doc_id, o.owner, b.band FROM bands b
+         |      JOIN own o ON b.band = o.band AND b.sig = o.sig
+         |      WHERE o.owner < b.doc_id)
+         |SELECT doc_id AS dup_doc, owner AS first_doc,
+         |  COUNT(DISTINCT band) AS n_bands
+         |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT band) >= 3
+         |ORDER BY dup_doc, first_doc""".stripMargin
+    })
+
   // ---------------------------------------------------------------------
   // Multiple-watermark policy (round-15 verdict task #4): when a query
   // has SEVERAL withWatermark inputs with DIFFERENT delays, the global
@@ -1683,5 +1757,5 @@ object StreamingReplayQ {
     stJoinReplay, stOuterJoinReplay, stRightOuterJoinReplay,
     stFullOuterJoinReplay, stJoinWindowReplay,
     stWindowReplay, stSessionWindowReplay,
-    stWmPolicyMin, stWmPolicyMax, stWindowTwsReplay)
+    stWmPolicyMin, stWmPolicyMax, stWindowTwsReplay, stLshDedup)
 }

@@ -447,6 +447,43 @@ object StreamingOps {
       .transformWithState(new SpanDedupProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Incremental NEAR-dup detection via transformWithState — the
+    * streaming twin of the batch MinHash-LSH family: documents arrive as
+    * a stream, each is shingled/minhashed/banded STATELESSLY per row
+    * (array_min over the shingle-hash array — no shuffle aggregation, so
+    * the stage needs no watermark), and each (band, signature) is a key
+    * into a corpus-wide FIRST-CLAIM registry sharded across executors'
+    * RocksDB stores. A document whose band was already claimed by an
+    * earlier document emits a (doc, band, owner) claim; downstream a
+    * stateless rollup counts agreeing bands per (doc, owner) pair — the
+    * nightly-ingest dedup flow (d_incremental) with the index maintained
+    * IN STREAM instead of rebuilt per delta. Arrival in doc_id order
+    * makes first-claim attribution coincide with the batch min-doc
+    * owner no matter where micro-batch boundaries fall (same argument
+    * as [[spanVerdicts]]). At 100 TB: state is one long per distinct
+    * band signature, hash-partitioned; per-batch work is the delta's
+    * banding plus point lookups. */
+  def lshBandClaims(docs: Dataset[DocIn]): Dataset[BandClaim] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.TextHash._
+    val mhs = (0 until NumHashes).map(j =>
+      array_min(transform(col("h0s"), x => minHashOf(x, j))).as(s"mh$j"))
+    val bandSigs = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(j => col(s"mh$j").cast("string"))
+      struct(lit(b.toLong).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }
+    docs.toDF()
+      .withColumn("h0s", graft.functions.shingle_hashes(col("text"), ShingleLen))
+      .filter(size(col("h0s")) > 0) // sub-shingle-length docs band nowhere
+      .select(col("doc_id") +: mhs: _*)
+      .select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .as[BandIn]
+      .groupByKey(b => b.band + "|" + b.sig)
+      .transformWithState(new BandFirstClaimProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-user typed-state composition via transformWithState LISTSTATE +
     * MAPSTATE (the v2 arms the ValueState keys don't touch): MapState
     * keyed by event_type holds the per-type running counts (the keyed
@@ -702,6 +739,40 @@ private final class EvoV2Processor
     rows.foreach { e => n += 1; micro += math.round(e.value * 1e6) }
     state.update(EvoStateV2(n, Some(micro)))
     Iterator.single(EvoOut(userId, n, Some(micro)))
+  }
+}
+
+/** One (doc, LSH band, signature) row entering the first-claim registry
+  * ([[StreamingOps.lshBandClaims]]). */
+final case class BandIn(doc_id: Long, band: Long, sig: String)
+
+/** A band claim: owner_doc is the FIRST document to have claimed this
+  * (band, signature); rows with owner_doc == doc_id are first claims,
+  * rows with owner_doc < doc_id are near-dup evidence. */
+final case class BandClaim(doc_id: Long, band: Long, owner_doc: Long)
+
+/** First-claim registry keyed by band|signature: ValueState holds the
+  * minimum doc_id seen for the key; within a batch ties resolve by
+  * doc_id, so doc-ordered replay matches batch min-doc attribution
+  * exactly (the [[SpanDedupProcessor]] argument at band granularity). */
+private final class BandFirstClaimProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandIn, BandClaim] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long](
+      "bandOwner", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[BandIn],
+                               timerValues: TimerValues): Iterator[BandClaim] = {
+    val sorted = rows.toArray.sortBy(_.doc_id)
+    val first =
+      if (owner.exists()) math.min(owner.get(), sorted.head.doc_id)
+      else sorted.head.doc_id
+    owner.update(first)
+    sorted.iterator.map(b => BandClaim(b.doc_id, b.band, first))
   }
 }
 
