@@ -21,14 +21,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RowGroupAudit {
 
-  /** Footer stats for every data file under `dir` (non-recursive,
-    * `part-*.parquet`-style files; `_SUCCESS`/hidden files skipped). */
+  /** Footer stats for every data file under `dir` (recursive, so a
+    * partitioned directory tree is covered; `part-*.parquet`-style
+    * files, `_SUCCESS`/hidden files skipped). Listing goes through the
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] API — the SAME layer the
+    * per-task footer reads use — so the audit works against any store
+    * Spark can read (`hdfs://`, `s3a://`, local), not just
+    * `java.io.File` paths (ADVICE r16: the old driver-local listFiles()
+    * returned null on non-local stores and aborted the very pre-flight
+    * whose point is a 100 TB remote table). */
   def audit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getAbsolutePath).toSeq.sorted
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val listed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    def hiddenAncestor(p: org.apache.hadoop.fs.Path): Boolean =
+      Iterator.iterate(p)(_.getParent).takeWhile(q => q != null && q != root)
+        .exists(q => q.getName.startsWith("_") || q.getName.startsWith("."))
+    val files = listed
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !hiddenAncestor(s.getPath))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no parquet data files under $dir")
     files.toDS()
       .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))

@@ -338,6 +338,18 @@ object QualityQ {
         .coalesce(1)
         .write.option("parquet.block.size", 1073741824)
         .mode("append").parquet(build.toString)
+      // The oracle pins n_files = 4 (3 round-robin + 1 coalesced). That
+      // couples the gate to repartition(3)/coalesce(1) materializing
+      // exactly 4 part files — fail HERE, at fixture build, if a layout
+      // writer change ever shifts the count, instead of hash-failing at
+      // the oracle with a misleading signature (ADVICE r16).
+      val nData = Option(build.toFile.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      require(nData == 4,
+        s"rgaudit fixture build produced $nData data files, expected 4 " +
+          "(3 round-robin + 1 coalesced) — the writer's layout behavior " +
+          "changed; q_rowgroup_audit's oracle n_files must move with it")
       Fixtures.publishDir(build, path)
     }
     path

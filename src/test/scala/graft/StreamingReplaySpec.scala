@@ -106,14 +106,15 @@ class StreamingReplaySpec extends SparkSpec {
 
   test("st_join_replay: multi-batch landings, stream result equals the batch twin") {
     assert(innerJoinRows.nonEmpty, "no join pairs at sf0.001")
-    // each side's landing: 4 quarter slices + 2 sentinels = 6 data files
-    // → ≥6 micro-batches per side under maxFilesPerTrigger=1, so join
-    // state genuinely buffered across batches
-    Seq("stream_join_l", "stream_join_r").foreach { kind =>
+    // each side's landing: 2 half slices + 2 sentinels = 4 data files
+    // → ≥4 micro-batches per side under maxFilesPerTrigger=1, so join
+    // state genuinely buffered across batches (a batch-0 row pairing
+    // with a batch-1 row of the other side)
+    Seq("stream_join2_l", "stream_join2_r").foreach { kind =>
       val p = queries.StreamingReplayQ.fixturePath(kind, dir)
       val files = new java.io.File(p).listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      assert(files.length == 6, s"$kind staged ${files.length} files, expected 6")
+      assert(files.length == 4, s"$kind staged ${files.length} files, expected 4")
     }
     val twin = batchInnerTwin()
     assert(innerJoinRows.map(_.getLong(0)).toSet == twin.keySet,
@@ -145,7 +146,7 @@ class StreamingReplaySpec extends SparkSpec {
 
   test("st_session_window_replay: a landing session spans a slice boundary, count equals batch") {
     val out = SparkEntry.queries("st_session_window_replay")(spark, dir).collect()
-    // the raw events' sessions never straddle the quarter cuts (verified
+    // the raw events' sessions never straddle the slice cuts (verified
     // at sf0.001 and sf0.01) — the landing injects a straddler user to
     // force the merge path; assert over the LANDING that the crossing
     // really exists (and would catch a regression in its construction)
@@ -155,12 +156,13 @@ class StreamingReplaySpec extends SparkSpec {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(unix_millis(col("ts"))).as("lo"), max(unix_millis(col("ts"))).as("hi"))
       .select(col("lo"), col("hi")).collect()
-    // the landing's quarter cuts (same arithmetic as writeTimeSlicesOf)
+    // the landing's mid-span cut (same arithmetic as writeTimeSlicesOf
+    // with nSlices = 2)
     val Array(t0, t1) = Tables(spark, dir, "events")
       .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val step = math.max(1L, (t1 - t0) / 4 + 1)
-    val cuts = (1 to 3).map(k => t0 + k * step)
+    val step = math.max(1L, (t1 - t0) / 2 + 1)
+    val cuts = Seq(t0 + step)
     assert(sess.exists(r => cuts.exists(c => r.getLong(0) < c && r.getLong(1) >= c)),
       "no landing session crosses a slice boundary — the merge path was never exercised")
     // the straddler is filtered from the output, so the streamed count

@@ -26,6 +26,24 @@ class RowGroupAuditSpec extends SparkSpec {
     assert(audit.forall(r => r.getLong(3) <= r.getLong(2)), "max_rg_rows > n_rows")
   }
 
+  test("audit recurses a partitioned directory tree via the Hadoop FS layer") {
+    // ADVICE r16: the old java.io.File listing was flat and local-only;
+    // the listing now goes through org.apache.hadoop.fs.FileSystem with
+    // recursion, so a partitionBy() tree — subdirectories per partition
+    // value — must be fully covered, while _SUCCESS markers and any
+    // file under a hidden/_-prefixed directory stay excluded.
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_rgspec_part").toString
+    val df = (1L to 3000L).toDF("id").withColumn("part", pmod(col("id"), lit(3)))
+    df.repartition(1).write.partitionBy("part").mode("overwrite").parquet(out)
+    val audit = RowGroupAudit.audit(spark, out).collect()
+    assert(audit.map(_.getLong(2)).sum == 3000L,
+      s"partitioned-tree footer rows != written rows: ${audit.toSeq}")
+    assert(audit.length == 3,
+      s"expected 3 data files (one per partition dir), audit saw ${audit.length}")
+    graft.queries.Fixtures.deleteRecursively(new java.io.File(out))
+  }
+
   test("the engine's own sink writers stay row-group compliant") {
     // sink_clustered writes the engine's largest clustered output; its
     // 8 range files at sf0.001 must each hold either multiple row groups
