@@ -201,6 +201,28 @@ object GraphQ {
     * filtered to survivor endpoints via two LeftSemi joins. Exposed
     * pre-checkpoint so PlanAuditSpec can pin the per-round join shape
     * that the loop's localCheckpoints truncate out of the final plan. */
+  /** Co-purchase pair supports mined with ONE order-grain shuffle: lines
+    * group by order into a sorted DISTINCT part set (collect_set dedups,
+    * so no separate distinct pass), the C(n,2) ordered pairs (x < y) are
+    * emitted map-side from that bounded array, and one pair-keyed
+    * aggregate counts how many orders share each pair. Exactly
+    * x_copurchase's mining stage, shared by the graph keys whose edge
+    * set is "part pairs co-bought in ≥ 2 orders" — the old
+    * distinct + self-join + aggregate form moved the same data through
+    * one more exchange plus a join. Output: (x, y, n_pair). */
+  private def copurchasePairs(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> named_struct('x', x, 'y', y))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+      .agg(count(lit(1)).as("n_pair"))
+
   private[graft] def peelRound(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keep = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 3).select(col("x").as("k"))
@@ -212,12 +234,12 @@ object GraphQ {
   val gKcore: Q = Q(
     "g_kcore",
     (spark, dir) => {
-      val li = Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
-        .agg(count(lit(1)).as("n_pair"))
+      // One-shuffle pair mining (r17): group lines by order into a sorted
+      // distinct part set and emit the C(n,2) pairs MAP-side — the
+      // x_copurchase/x_basket_rules shape. The previous distinct +
+      // self-join + pair-aggregate computed the same pair counts with one
+      // more exchange and a materialized join grain (guide §2.4).
+      val pairs = copurchasePairs(spark, dir)
         .filter(col("n_pair") >= 2)
         .select(col("x"), col("y"))
       var edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
@@ -272,12 +294,10 @@ object GraphQ {
   val gBfsDepth: Q = Q(
     "g_bfs_depth",
     (spark, dir) => {
-      val li = Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
-        .agg(count(lit(1)).as("n_pair"))
+      // Same one-shuffle pair mining as g_kcore (r17) — see
+      // [[copurchasePairs]]; the pair counts are identical to the old
+      // distinct + self-join form, one exchange cheaper.
+      val pairs = copurchasePairs(spark, dir)
         .filter(col("n_pair") >= 2)
         .select(col("x"), col("y"))
       val edges = pairs.unionAll(pairs.select(col("y").as("x"), col("x").as("y")))
