@@ -209,7 +209,8 @@ object StreamingReplayQ {
     * cost dominated these replays' floors, not the data). */
   private def writeTimeSlicesOf(ev: DataFrame,
                                 build: java.nio.file.Path,
-                                nSlices: Int = 4): (Long, Long) = {
+                                nSlices: Int = 4,
+                                flushSentinelId: Option[Long] = None): (Long, Long) = {
     val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
     require(!bounds.isNullAt(0),
       s"cannot time-slice an EMPTY events frame into $build — " +
@@ -220,8 +221,30 @@ object StreamingReplayQ {
     (0 until nSlices).foreach { k =>
       val lo = t0 + k * step
       val hi = t0 + (k + 1) * step
-      writeSlice(build, k,
-        ev.filter(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi))
+      val slice = ev.filter(unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+      // r17 (second pass): the watermark-advance sentinel rides IN the
+      // last real slice instead of being its own file — a batch's own
+      // rows only ever affect the watermark of LATER batches, so
+      // embedding it changes nothing about how the real rows are
+      // filtered/evicted, while saving one micro-batch per replay run.
+      // The flush batch itself is the engine's no-data micro-batch
+      // (spark.sql.streaming.noDataMicroBatches.enabled, default on and
+      // pinned explicitly in the tuned stream session): StreamProbe
+      // showed AvailableNow always schedules exactly one after the final
+      // data batch whenever that batch advanced the watermark, and it
+      // evicts with the advanced watermark — so the old two-step
+      // sentinel pair (advance file + flush file) collapses into one
+      // embedded row. A Spark regression that stops scheduling the
+      // no-data batch would withhold every final window/session/
+      // unmatched row and hash-fail the oracle loudly.
+      val withSent = flushSentinelId match {
+        case Some(id) if k == nSlices - 1 =>
+          val s1 = t1 + 370L * 24 * 3600 * 1000
+          slice.unionByName(ev.sparkSession.createDataFrame(Seq(
+            graft.streaming.Event(id, new java.sql.Timestamp(s1), -1L, "sentinel", 0.0))))
+        case _ => slice
+      }
+      writeSlice(build, k, withSent)
     }
     (t0, t1)
   }
@@ -350,33 +373,15 @@ object StreamingReplayQ {
   }
 
   /** Landing for the timer-sessionization gate: the 2 event-time half
-    * slices plus TWO sentinel slices far past the data's span (one
-    * synthetic user, ts = max + 370 d and +1 h more). The first sentinel
-    * batch advances the watermark beyond every real session's
-    * (lastMs + gap); the second is a data batch DURING which all those
-    * now-expired event-time timers fire — so every real session closes
-    * via handleExpiredTimer (or an inline gap split), with no reliance on
-    * the engine scheduling an extra empty batch after the last file. */
-  /** Append the two-step watermark sentinels as slices startSlice and
-    * startSlice+1: one synthetic user -1 row at t1 + 370 d (advances the
-    * watermark beyond every real row's horizon) and one an hour later
-    * (the data batch DURING which the now-provable state — expired
-    * timers, unmatched outer rows, closed windows — flushes). Shared by
-    * the timer-session, stream-join, and watermark-policy landings so
-    * the mechanism can't desynchronize. */
-  private def appendSentinelSlices(spark: SparkSession,
-                                   build: java.nio.file.Path,
-                                   t1: Long, idBase: Long,
-                                   startSlice: Int = 4): Unit = {
-    val spark2 = spark; import spark2.implicits._
-    val day = 24L * 3600 * 1000
-    val s1 = t1 + 370 * day
-    Seq(s1, s1 + 3600 * 1000).zipWithIndex.foreach { case (ms, i) =>
-      writeSlice(build, startSlice + i, Seq(graft.streaming.Event(
-        idBase - i, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0)).toDF())
-    }
-  }
-
+    * slices with the watermark-advance sentinel (one synthetic user -1
+    * row, ts = max + 370 d) embedded in the second half. The sentinel
+    * advances the watermark beyond every real session's (lastMs + gap)
+    * at the END of the final data batch; the engine's no-data
+    * micro-batch is then the batch DURING which all the now-expired
+    * event-time timers fire — so every real session closes via
+    * handleExpiredTimer (or an inline gap split). See
+    * [[writeTimeSlicesOf]] for why relying on the no-data batch is safe
+    * and loudly gated. */
   /** The synthetic events-table sessions turn out to never straddle the
     * quarter cuts (verified at sf0.001 AND sf0.01: zero sessions with
     * events on both sides of a cut) — so a landing of the raw table
@@ -404,7 +409,12 @@ object StreamingReplayQ {
       "graft_stream_half1_v2_", "graft_stream_wmpol_l_v2_", "graft_stream_wmpol_r_v2_",
       // r17 half-slice relayouts (fewer micro-batches per replay):
       "graft_stream_sessions_t3_v2_", "graft_stream_join_l_v2_",
-      "graft_stream_join_r_v2_", "graft_stream_docs_v2_", "graft_stream_half2_v2_")
+      "graft_stream_join_r_v2_", "graft_stream_docs_v2_", "graft_stream_half2_v2_",
+      // r17 second pass (sentinel embedded in the last real slice,
+      // flush via the engine's no-data batch):
+      "graft_stream_sessions_t4_v2_", "graft_stream_join2_l_v2_",
+      "graft_stream_join2_r_v2_", "graft_stream_wmpol2_l_v2_",
+      "graft_stream_wmpol2_r_v2_")
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => retired.exists(f.getName.startsWith) && f.lastModified() < cutoff)
@@ -412,7 +422,7 @@ object StreamingReplayQ {
   }
 
   private[graft] def timerSessionLandingDir(spark: SparkSession, dir: String): String = {
-    val path = fixturePath("stream_sessions_t4", dir)
+    val path = fixturePath("stream_sessions_t5", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_sessions_t_build")
       val ev = Tables(spark, dir, "events")
@@ -423,8 +433,10 @@ object StreamingReplayQ {
       // 2 event-time halves, not 4 quarters (r17): all four consumers'
       // oracles are batch twins independent of batch boundaries, so the
       // single mid-span cut (straddled by the injected user) pins the
-      // cross-batch session-merge/stitch property while halving the
-      // per-replay micro-batch count alongside the two sentinels.
+      // cross-batch session-merge/stitch property. The watermark-advance
+      // sentinel rides in the second half and the flush happens in the
+      // engine's no-data batch (see [[writeTimeSlicesOf]]) — 2 files,
+      // 3 micro-batches per replay run (was 4 / 5).
       val cut = t0 + math.max(1L, (t1 - t0) / 2 + 1)
       val m5 = 5L * 60 * 1000
       require(cut - m5 > t0 && cut + m5 < t1,
@@ -433,8 +445,8 @@ object StreamingReplayQ {
       val straddler = Seq(
         graft.streaming.Event(-10L, new java.sql.Timestamp(cut - m5), -2L, "sentinel", 0.0),
         graft.streaming.Event(-11L, new java.sql.Timestamp(cut + m5), -2L, "sentinel", 0.0)).toDF()
-      val (_, t1b) = writeTimeSlicesOf(ev.unionByName(straddler), build, nSlices = 2)
-      appendSentinelSlices(spark, build, t1b, idBase = -1L, startSlice = 2)
+      writeTimeSlicesOf(ev.unionByName(straddler), build, nSlices = 2,
+        flushSentinelId = Some(-1L))
       publishDir(build, path)
     }
     path
@@ -640,15 +652,16 @@ object StreamingReplayQ {
            |ORDER BY tok""".stripMargin))
 
   /** Timer-driven sessionization through transformWithState EVENT-TIME
-    * TIMERS, end-to-end: 2 chronological halves + 2 sentinel batches
-    * (see [[timerSessionLandingDir]]) force every real session to close —
-    * mid-stream ones inline or via timers as the watermark passes their
-    * gap, final ones via handleExpiredTimer during the second sentinel
-    * batch. The sink therefore holds EVERY gap session of every real
-    * user exactly once (the stale-timer guard prevents double-close),
-    * and the oracle is the complete gaps-and-islands twin — unlike
-    * st_session_replay's v1 run, where the timeout path never fires and
-    * each user's last session is withheld. */
+    * TIMERS, end-to-end: 2 chronological halves with an embedded
+    * watermark sentinel (see [[timerSessionLandingDir]]) force every
+    * real session to close — mid-stream ones inline or via timers as
+    * the watermark passes their gap, final ones via handleExpiredTimer
+    * during the engine's no-data flush batch. The sink therefore holds
+    * EVERY gap session of every real user exactly once (the stale-timer
+    * guard prevents double-close), and the oracle is the complete
+    * gaps-and-islands twin — unlike st_session_replay's v1 run, where
+    * the timeout path never fires and each user's last session is
+    * withheld. */
   val stTimerSessions: Q = Q(
     "st_timer_sessions",
     (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
@@ -682,16 +695,19 @@ object StreamingReplayQ {
 
   /** Landing pair for the stream-stream join replays: events split by
     * event_id parity into a left (even) and right (odd) stream, each
-    * staged as 2 chronological event-time halves PLUS two sentinel
-    * slices far past the data's span (one synthetic user -1 row each,
-    * same two-step rationale as [[timerSessionLandingDir]]: the first
-    * sentinel batch advances BOTH sides' watermarks beyond every real
-    * row's join horizon, the second is a data batch during which the
-    * outer join flushes its proven-unmatched state). The inner key
-    * shares the fixture — under its span-proof watermark the sentinels
-    * are just two more (filtered) rows. */
+    * staged as 2 chronological event-time halves, with the
+    * watermark-advance sentinel row (one synthetic user -1 row, 370 d
+    * past the span) embedded IN each side's second half. A sentinel
+    * affects only the watermark of batches AFTER its own, so the halves'
+    * rows are filtered/evicted exactly as before; the flush of
+    * proven-unmatched outer state then happens in the engine's no-data
+    * micro-batch (see [[writeTimeSlicesOf]]) instead of a dedicated
+    * second sentinel batch — 2 files per side, 3 micro-batches per run
+    * (was 4 files / 5 batches). The inner key shares the fixture —
+    * under its span-proof watermark the sentinel is just one more
+    * (filtered) row. */
   private[graft] def joinLandingDir(spark: SparkSession, dir: String, side: Int): String = {
-    val kind = s"stream_join2_${if (side == 0) "l" else "r"}"
+    val kind = s"stream_join3_${if (side == 0) "l" else "r"}"
     val path = fixturePath(kind, dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory(s"graft_${kind}_build")
@@ -699,18 +715,16 @@ object StreamingReplayQ {
         .filter(pmod(col("event_id"), lit(2)) === side)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      // 2 event-time halves per side, not 4 quarters (r17): every join
-      // key's oracle is the batch join twin, independent of batch
-      // boundaries — the chronological-arrival eviction proofs hold for
-      // ANY chronological slicing, and one mid-span boundary already
-      // forces cross-batch buffered-row pairing (a batch-0 left row
-      // matching a batch-1 right row). The join replays pay the
-      // suite's largest per-batch fixed cost (4 join state stores per
-      // partition per batch), so 6 → 4 micro-batches is the single
-      // biggest floor cut available to them.
-      val (_, t1) = writeTimeSlicesOf(ev, build, nSlices = 2)
-      appendSentinelSlices(spark, build, t1, idBase = -(side * 2 + 1).toLong,
-        startSlice = 2)
+      // 2 event-time halves per side (r17): every join key's oracle is
+      // the batch join twin, independent of batch boundaries — the
+      // chronological-arrival eviction proofs hold for ANY chronological
+      // slicing, and one mid-span boundary already forces cross-batch
+      // buffered-row pairing (a batch-0 left row matching a batch-1
+      // right row). The join replays pay the suite's largest per-batch
+      // fixed cost (4 join state stores per partition per batch), so
+      // every dropped micro-batch is the biggest floor cut available.
+      writeTimeSlicesOf(ev, build, nSlices = 2,
+        flushSentinelId = Some(-(side * 2 + 1).toLong))
       publishDir(build, path)
     }
     path
@@ -762,6 +776,12 @@ object StreamingReplayQ {
       .computeIfAbsent(partitions, _ => {
         val c = spark.newSession()
         c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+        // Default-on, pinned explicitly because the replay landings RELY
+        // on it since r17: the final flush batch of the join/window/
+        // timer replays is the engine's no-data micro-batch (scheduled
+        // after the last data batch advanced the watermark), not a
+        // dedicated sentinel file — see writeTimeSlicesOf.
+        c.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         c
       })
 
@@ -807,10 +827,11 @@ object StreamingReplayQ {
   /** Watermarked stream-stream LEFT OUTER join, end-to-end — the
     * proof-then-emit semantics under the gate: an unmatched left event is
     * emitted (null right) only once the watermark PROVES no match can
-    * arrive, so the run uses a real 30-minute watermark and the two
-    * sentinel batches to push it past every real row's horizon (first
-    * sentinel advances, second is the batch during which the flush
-    * happens). Inner matches are complete despite eviction: arrival is
+    * arrive, so the run uses a real 30-minute watermark and the embedded
+    * sentinel to push it past every real row's horizon at the end of the
+    * final data batch (the engine's no-data batch is then the batch
+    * during which the flush happens — see [[writeTimeSlicesOf]]).
+    * Inner matches are complete despite eviction: arrival is
     * chronological per side, so any evicted left row's match window lies
     * entirely below the watermark — i.e. below every future right row
     * (the scaladoc-level proof a 100 TB deployment relies on). The oracle
@@ -856,7 +877,8 @@ object StreamingReplayQ {
     * of st_outer_join_replay closing the one-sided outer pair: an
     * unmatched RIGHT event emits (null left) once the LEFT watermark
     * proves no l_ts in [r_ts-30min, r_ts] can arrive. Same landings,
-    * same sentinel advance-then-flush; eviction safety mirrors the left
+    * same embedded-sentinel advance + no-data-batch flush; eviction
+    * safety mirrors the left
     * case (chronological left arrival means an evicted right row's
     * candidate lefts all lie below the watermark). Oracle = batch RIGHT
     * JOIN twin. */
@@ -899,11 +921,12 @@ object StreamingReplayQ {
   /** Watermarked stream-stream FULL OUTER join, end-to-end — the last
     * missing mode of the streaming join matrix (the CDC-reconciliation
     * shape: a row present on either side but not both must surface
-    * exactly once). Both sides' unmatched rows flush at eviction time,
-    * so the run needs both sentinel batches: the first advances BOTH
-    * watermarks past every real row's join horizon, the second is the
-    * data batch during which the proven-unmatched state on each side
-    * emits. Completeness of the matched pairs under the finite
+    * exactly once). Both sides' unmatched rows flush at eviction time:
+    * the embedded sentinels advance BOTH watermarks past every real
+    * row's join horizon at the end of the final data batch, and the
+    * engine's no-data batch is the batch during which the
+    * proven-unmatched state on each side emits. Completeness of the
+    * matched pairs under the finite
     * watermark follows from chronological per-side arrival exactly as
     * in st_outer_join_replay (an evicted row's match window lies
     * entirely below the other side's future rows). The oracle is the
@@ -957,8 +980,9 @@ object StreamingReplayQ {
     * the canonical Structured Streaming shape, upgraded from
     * g_window_tumbling's batch twin to a TRUE replay: 2 chronological
     * event-time halves under a real 30-minute watermark (append mode
-    * emits a window only once the watermark PROVES it closed), plus the
-    * two sentinel batches that advance-then-flush the final windows.
+    * emits a window only once the watermark PROVES it closed), with the
+    * embedded sentinel advancing the watermark and the engine's no-data
+    * batch flushing the final windows (see [[writeTimeSlicesOf]]).
     * Chronological arrival means nothing is ever late-dropped (batch
     * k+1's rows sit at or above batch k's max event time), so the sink
     * must equal the batch twin exactly — a window emitted early
@@ -1003,8 +1027,8 @@ object StreamingReplayQ {
     * must MERGE a new event into an open session and stitch sessions
     * that span micro-batch boundaries, then emit each one exactly once
     * when the watermark passes its close. Same landing as the timer key
-    * (2 chronological halves + 2 sentinel batches to flush the final
-    * sessions); the oracle is the batch gaps-and-islands twin — a
+    * (2 chronological halves, embedded sentinel, no-data-batch flush of
+    * the final sessions); the oracle is the batch gaps-and-islands twin — a
     * session split at a batch boundary (broken merge), emitted twice, or
     * withheld hash-fails. */
   val stSessionWindowReplay: Q = Q(
@@ -1042,8 +1066,9 @@ object StreamingReplayQ {
     * the downstream windows. The sentinel filter between the operators
     * is stateless, so the pipeline is join-state → filter → window-state.
     * Append mode: a window emits only once the join's output watermark
-    * proves it closed; the two sentinel batches advance-then-flush the
-    * final windows exactly as in st_window_replay. The oracle is the
+    * proves it closed; the embedded sentinels advance the watermark and
+    * the engine's no-data batch flushes the final windows exactly as in
+    * st_window_replay. The oracle is the
     * batch twin of the whole composition — broken watermark propagation
     * (windows withheld or emitted early), lost join state, or a
     * double-counted pair hash-fails.
@@ -1115,20 +1140,20 @@ object StreamingReplayQ {
     * after r15's join→window: a watermarked 10-minute tumbling aggregate
     * (state store #1) feeds a TWS per-type rollup of the CLOSED windows
     * (state store #2, ValueState in RocksDB) in the same checkpoint,
-    * via [[StreamingOps.windowRollup]]. The landing's two far-future
-    * sentinel batches advance-then-flush the final real windows; closed
-    * windows reach the TWS stage spread across batches (the watermark
-    * advances slice by slice), so the rollup state genuinely carries
-    * across micro-batches. Final row per type = monotone
-    * max(struct(n_windows, …)); the oracle pins all three accumulators
-    * at once — a window emitted twice into the TWS stage (n_windows
-    * high), withheld (low), or a reset ValueState (all three low)
-    * hash-fails. ALL sentinel-typed windows are dropped post-sink — the
-    * straddler user's mid-span windows always close, and the first true
-    * sentinel's own window [t1+370d, +10min) closes too whenever the
-    * engine schedules a batch after the second sentinel (the watermark
-    * then sits at t1+370d+30min) — the post-sink event_type filter, not
-    * any never-closes assumption, is what keeps the gated frame exact. */
+    * via [[StreamingOps.windowRollup]]. The landing's embedded far-future
+    * sentinel advances the watermark and the engine's no-data batch
+    * flushes the final real windows; closed windows reach the TWS stage
+    * spread across batches (the watermark advances slice by slice), so
+    * the rollup state genuinely carries across micro-batches. Final row
+    * per type = monotone max(struct(n_windows, …)); the oracle pins all
+    * three accumulators at once — a window emitted twice into the TWS
+    * stage (n_windows high), withheld (low), or a reset ValueState (all
+    * three low) hash-fails. ALL sentinel-typed windows are dropped
+    * post-sink — the straddler user's mid-span windows always close,
+    * while the sentinel's own window [t1+370d, +10min) never does under
+    * the single-sentinel landing (the watermark stops 30 min below it),
+    * but the post-sink event_type filter, not any never-closes
+    * assumption, is what keeps the gated frame exact either way. */
   val stWindowTwsReplay: Q = Q(
     "st_window_tws_replay",
     (spark0, dir) => { val spark = tunedStreamSession(spark0); withRocksDb(spark) {
@@ -1257,24 +1282,28 @@ object StreamingReplayQ {
     * watermark at 0) they are all accepted. */
   private val WmPolicyLateMarginMs = 41L * 60 * 1000
 
-  /** Paired landings for the watermark-policy keys, 5 aligned slices per
+  /** Paired landings for the watermark-policy keys, 3 aligned slices per
     * side. Fast side (0): the event-time quarter 0 as batch 0,
-    * everything after as batch 1, an empty batch 2. Slow side (1): TWO
-    * empty batches (the idle input whose unset watermark the min policy
-    * must respect), then the quarter-0 stragglers
-    * (ts <= maxQ0 - [[WmPolicyLateMarginMs]]) as batch 2. The stragglers
-    * deliberately arrive one batch AFTER the fast side's quarters
-    * advanced the watermark: Spark filters late events with the
-    * PREVIOUS batch's watermark and evicts with the current one
-    * (SPARK-24588's two-watermark design), so a straggler landing in
-    * the same batch as the advance would still be accepted under
-    * either policy — probed empirically before this layout was pinned.
-    * Slices 3-4 on both sides are the usual two-step far-future
-    * sentinels so every real window provably flushes under EITHER
-    * policy (the slow side's 365-day delay still lands its sentinel
-    * watermark 5 days past the real span). */
+    * everything after as batch 1, batch 2 carrying only the far-future
+    * sentinel. Slow side (1): TWO empty batches (the idle input whose
+    * unset watermark the min policy must respect), then the quarter-0
+    * stragglers (ts <= maxQ0 - [[WmPolicyLateMarginMs]]) plus the
+    * sentinel as batch 2. The stragglers deliberately arrive one batch
+    * AFTER the fast side's quarters advanced the watermark: Spark
+    * filters late events with the PREVIOUS batch's watermark and evicts
+    * with the current one (SPARK-24588's two-watermark design), so a
+    * straggler landing in the same batch as the advance would still be
+    * accepted under either policy — probed empirically before this
+    * layout was pinned. Embedding the sentinels in slice 2 is therefore
+    * invisible to the policy divergence (a batch's own rows only move
+    * the watermark of LATER batches); the flush of every real window
+    * happens in the engine's no-data batch under EITHER policy (the
+    * slow side's 365-day delay still lands its sentinel watermark 5
+    * days past the real span — see [[writeTimeSlicesOf]] for the
+    * no-data-batch contract; this collapsed the r16 5-slice layout's
+    * two dedicated sentinel batches). */
   private def wmPolicyLandingDir(spark: SparkSession, dir: String, side: Int): String = {
-    val path = fixturePath(if (side == 0) "stream_wmpol2_l" else "stream_wmpol2_r", dir)
+    val path = fixturePath(if (side == 0) "stream_wmpol3_l" else "stream_wmpol3_r", dir)
     if (!Files.exists(java.nio.file.Paths.get(path))) {
       val build = Files.createTempDirectory("graft_wmpol_build")
       val ev = Tables(spark, dir, "events")
@@ -1284,10 +1313,13 @@ object StreamingReplayQ {
         .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
       val cut = t0 + math.max(1L, (t1 - t0) / 4 + 1)
       val q0 = ev.filter(unix_millis(col("ts")) < cut)
+      val sentinel = spark.createDataFrame(Seq(graft.streaming.Event(
+        -1L - side * 2, new java.sql.Timestamp(t1 + 370L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0)))
       if (side == 0) {
         writeSlice(build, 0, q0)
         writeSlice(build, 1, ev.filter(unix_millis(col("ts")) >= cut))
-        writeSlice(build, 2, q0.limit(0))
+        writeSlice(build, 2, sentinel)
       } else {
         writeSlice(build, 0, q0.limit(0))
         writeSlice(build, 1, q0.limit(0))
@@ -1300,9 +1332,8 @@ object StreamingReplayQ {
         require(late.limit(1).count() > 0,
           s"events quarter 0 spans <= ${WmPolicyLateMarginMs / 60000} min in $dir — " +
             "no stragglers; the watermark-policy keys would not exercise the policy")
-        writeSlice(build, 2, late)
+        writeSlice(build, 2, late.unionByName(sentinel))
       }
-      appendSentinelSlices(spark, build, t1, idBase = -1L - side * 2, startSlice = 3)
       publishDir(build, path)
     }
     path

@@ -106,15 +106,16 @@ class StreamingReplaySpec extends SparkSpec {
 
   test("st_join_replay: multi-batch landings, stream result equals the batch twin") {
     assert(innerJoinRows.nonEmpty, "no join pairs at sf0.001")
-    // each side's landing: 2 half slices + 2 sentinels = 4 data files
-    // → ≥4 micro-batches per side under maxFilesPerTrigger=1, so join
-    // state genuinely buffered across batches (a batch-0 row pairing
-    // with a batch-1 row of the other side)
-    Seq("stream_join2_l", "stream_join2_r").foreach { kind =>
+    // each side's landing: 2 half slices (watermark sentinel embedded in
+    // the second) → ≥2 micro-batches per side under maxFilesPerTrigger=1,
+    // so join state genuinely buffered across batches (a batch-0 row
+    // pairing with a batch-1 row of the other side); the flush batch is
+    // the engine's no-data micro-batch
+    Seq("stream_join3_l", "stream_join3_r").foreach { kind =>
       val p = queries.StreamingReplayQ.fixturePath(kind, dir)
       val files = new java.io.File(p).listFiles()
         .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      assert(files.length == 4, s"$kind staged ${files.length} files, expected 4")
+      assert(files.length == 2, s"$kind staged ${files.length} files, expected 2")
     }
     val twin = batchInnerTwin()
     assert(innerJoinRows.map(_.getLong(0)).toSet == twin.keySet,
