@@ -264,7 +264,7 @@ object StreamingReplayQ {
   }
 
   /** Streaming sessionization, end-to-end through the
-    * flatMapGroupsWithState machine: time-sliced landing → 4
+    * flatMapGroupsWithState machine: time-sliced landing →
     * chronological micro-batches → per-user session fold with state
     * carried ACROSS batches (a session spanning a slice boundary must
     * be stitched by the state store, not the batch) → append sink of
@@ -274,12 +274,23 @@ object StreamingReplayQ {
     * gap — hence the sink holds every session EXCEPT each user's last,
     * regardless of batch boundaries (chronological arrival makes the
     * fold exactly batch gap sessionization). The DuckDB oracle is the
-    * gaps-and-islands twin minus each user's final island. */
+    * gaps-and-islands twin minus each user's final island.
+    *
+    * Runs on the 2-slice timer landing (r17: 3 micro-batches instead of
+    * the 4-quarter landing's 5) with NO output filter needed for its
+    * synthetic users: the sentinel (user -1, one event) and the
+    * straddler (user -2, two events 10 min apart = ONE session under
+    * the 30-min gap) each own exactly one session, which is their LAST
+    * — and under the span-proof watermark a last session is never
+    * closed, so neither can ever reach the sink. The oracle over the
+    * ORIGINAL events is unchanged; a session machine that wrongly
+    * closed either synthetic session would surface it as an extra row
+    * and hash-fail. */
   val stSessionReplay: Q = Q(
     "st_session_replay",
     (spark0, dir) => {
       val spark = tunedStreamSession(spark0)
-      val landing = sessionLandingDir(spark, dir)
+      val landing = timerSessionLandingDir(spark, dir)
       val sink = Files.createTempDirectory("graft_stsess_sink").toString
       val ckpt = Files.createTempDirectory("graft_stsess_ckpt").toString
       val spark2 = spark; import spark2.implicits._

@@ -39,18 +39,20 @@ class StreamingReplaySpec extends SparkSpec {
     assume(new java.io.File(sf01, "events.parquet").exists(), s"fixture missing: $sf01")
     val out = SparkEntry.queries("st_session_replay")(spark, sf01).collect()
     assert(out.nonEmpty, "no closed sessions emitted")
-    // the landing cuts event time into 4 equal quarters. A session whose
-    // user's NEXT session starts after a cut while it ended before the
-    // cut was CLOSED by an event from a later micro-batch — only possible
-    // if the open-session state survived the batch boundary. (Sessions
-    // here are sub-second, so span-straddling is the wrong probe; the
-    // closure edge is where cross-batch state is actually exercised.
-    // Measured: 450 such closures at sf0.01.)
+    // the landing (timer landing since r17) cuts event time at the
+    // mid-span point. A session whose user's NEXT session starts after
+    // the cut while it ended before the cut was CLOSED by an event from
+    // a later micro-batch — only possible if the open-session state
+    // survived the batch boundary. (Sessions here are sub-second, so
+    // span-straddling is the wrong probe; the closure edge is where
+    // cross-batch state is actually exercised. Measured: 450 closures
+    // across 3 quarter-cuts at sf0.01 pre-r17; the single mid cut
+    // retains its share.)
     val ev = Tables(spark, sf01, "events")
       .agg(min(col("ts")), max(col("ts"))).head()
     val (t0, t1) = (ev.getTimestamp(0).getTime, ev.getTimestamp(1).getTime)
-    val step = math.max(1L, (t1 - t0) / 4 + 1)
-    val cuts = (1 to 3).map(k => t0 + k * step)
+    val step = math.max(1L, (t1 - t0) / 2 + 1)
+    val cuts = Seq(t0 + step)
     val crossClosures = out.groupBy(_.getLong(0)).valuesIterator.map { rs =>
       val sorted = rs.sortBy(_.getLong(1))
       sorted.sliding(2).count {
