@@ -77,12 +77,29 @@ object StreamingReplayQ {
     path
   }
 
-  private[graft] def fileStream(spark: SparkSession, landing: String): DataFrame = {
-    val schema = spark.read.parquet(landing).schema
+  /** Static landing schemas (r18, guide §1.2 fixed-cost elimination):
+    * every landing's layout is authored by a builder in this file, so the
+    * schema is a compile-time constant — inferring it per invocation via
+    * `spark.read.parquet(landing).schema` paid a footer-read job per
+    * stream construction (two per join replay). All-nullable like the
+    * inferred parquet schema it replaces; column order matches the
+    * builders' `select`. */
+  private[graft] val eventLandingSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+  }
+  private[graft] val docLandingSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+  }
+
+  private[graft] def fileStream(spark: SparkSession, landing: String,
+      schema: org.apache.spark.sql.types.StructType = eventLandingSchema): DataFrame =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one file per micro-batch
       .parquet(landing)
-  }
 
   // Delay longer than any fixture's event-time span: nothing is ever
   // late-dropped or evicted, so the replay is batching-independent.
@@ -92,7 +109,19 @@ object StreamingReplayQ {
     * then delete the sink + checkpoint: repeated bench/verify rounds must
     * not grow /tmp without bound (each stream run writes a fresh sink by
     * design — the run IS the operator — but its bytes need only outlive
-    * the localCheckpoint that materializes them). */
+    * the localCheckpoint that materializes them).
+    *
+    * Presentation sorts (r18, guide §2.4 remove shuffles outright): every
+    * caller sorts its read-back frame via `coalesce(1).sortWithinPartitions`
+    * instead of `orderBy` — a global sort range-partitions, which costs a
+    * separate SAMPLING job (a second scan of the sink) plus an exchange,
+    * all to order a frame bounded by the events/documents grain (≤ ~100k
+    * rows at the bench SF, and a grouped rollup for most keys). The
+    * single-partition local sort produces the identical total order in
+    * one job with no exchange. Cluster note: these are final presentation
+    * frames whose size is the DECLARED RESULT's size (small by contract),
+    * not a data-scale intermediate — a 100 TB run's heavy lifting happens
+    * upstream in the stream itself. */
   private def materializeAndClean(out: DataFrame, dirs: String*): DataFrame = {
     val checkpointed = out.localCheckpoint()
     dirs.foreach(d => deleteRecursively(new java.io.File(d)))
@@ -123,7 +152,7 @@ object StreamingReplayQ {
         spark.read.parquet(sink)
           .select(col("event_id"), date_format(col("ts"), tsSec).as("ts_s"),
             col("user_id"), col("event_type"), cents(col("value")).as("value_cents"))
-          .orderBy("event_id"),
+          .coalesce(1).sortWithinPartitions("event_id"),
         sink, ckpt)
     },
     Some("""SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -159,7 +188,7 @@ object StreamingReplayQ {
         spark.read.parquet(latest)
           .select(col("user_id"), date_format(col("ts"), tsSec).as("ts_s"),
             col("event_id"), cents(col("value")).as("value_cents"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         snap, ckpt)
     },
     Some("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -306,7 +335,7 @@ object StreamingReplayQ {
       materializeAndClean(
         spark.read.parquet(sink)
           .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
-          .orderBy("user_id", "start_ms"),
+          .coalesce(1).sortWithinPartitions("user_id", "start_ms"),
         sink, ckpt)
     },
     Some(StreamingBatchQ.sessionIslandsCte + """,
@@ -353,10 +382,19 @@ object StreamingReplayQ {
   private val RocksDbChangelog =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
+  // trackTotalNumberOfRows=false (r18): with tracking on (default) every
+  // put/delete does a read-before-write just to maintain the numRowsTotal
+  // METRIC; the documented operational knob drops that bookkeeping. No
+  // query here reads numRowsTotal — results come from the sink (and the
+  // statestore reader reads state itself, not metrics).
+  private val RocksDbNoRowCount =
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+
   private def withRocksDb[A](spark: SparkSession)(f: => A): A =
     withConfs(spark,
       "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
-      RocksDbChangelog -> "true")(f)
+      RocksDbChangelog -> "true",
+      RocksDbNoRowCount -> "false")(f)
 
   /** Documents landing: 2 single-file slices covering equal DOC-ID
     * halves, mtimes ascending — so the stream replays the corpus in
@@ -499,7 +537,7 @@ object StreamingReplayQ {
           .select(col("user_id"), col("n_updates"),
             col("s.n_events").as("n_events"),
             col("s.value_micro_total").as("value_micro_total"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
@@ -545,7 +583,7 @@ object StreamingReplayQ {
           .agg(max(struct(col("n_events"), col("n_batches"), col("types_str"))).as("s"))
           .select(col("user_id"), col("s.n_batches").as("n_batches"),
             col("s.n_events").as("n_events"), col("s.types_str").as("types_str"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
@@ -579,7 +617,7 @@ object StreamingReplayQ {
       val ckpt = Files.createTempDirectory("graft_stspan_ckpt").toString
       val spark2 = spark; import spark2.implicits._
       val q = StreamingOps.spanVerdicts(
-          fileStream(spark, landing).as[graft.streaming.DocIn])
+          fileStream(spark, landing, docLandingSchema).as[graft.streaming.DocIn])
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
@@ -589,7 +627,7 @@ object StreamingReplayQ {
       materializeAndClean(
         spark.read.parquet(sink)
           .select(col("doc_id"), col("span_idx"), col("dup"))
-          .orderBy("doc_id", "span_idx"),
+          .coalesce(1).sortWithinPartitions("doc_id", "span_idx"),
         sink, ckpt)
     }},
     Some("""WITH d AS (SELECT doc_id,
@@ -624,7 +662,7 @@ object StreamingReplayQ {
       val ckpt = Files.createTempDirectory("graft_sthh_ckpt").toString
       val spark2 = spark; import spark2.implicits._
       val k = 32
-      val toks = fileStream(spark, landing).as[graft.streaming.DocIn]
+      val toks = fileStream(spark, landing, docLandingSchema).as[graft.streaming.DocIn]
         .flatMap(d => d.text.split(" ").iterator
           .filter(_.nonEmpty).map(graft.streaming.TokIn(_)))
       val q = StreamingOps.bucketHeavyHitters(toks, k = k, buckets = 32)
@@ -650,7 +688,7 @@ object StreamingReplayQ {
           .filter(col("cnt") * (k + 1) > n)
           .select(col("tok"), col("cnt"),
             lit(n).as("n_total"), lit(seenTotal).as("seen_total"))
-          .orderBy("tok"),
+          .coalesce(1).sortWithinPartitions("tok"),
         sink, ckpt)
     }},
     Some("""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
@@ -693,7 +731,7 @@ object StreamingReplayQ {
         spark.read.parquet(sink)
           .filter(col("user_id") >= 0) // drop the sentinel's own session
           .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
-          .orderBy("user_id", "start_ms"),
+          .coalesce(1).sortWithinPartitions("user_id", "start_ms"),
         sink, ckpt)
     }},
     Some(StreamingBatchQ.sessionIslandsCte + """
@@ -799,6 +837,19 @@ object StreamingReplayQ {
   private def tunedStreamSession(spark: SparkSession): SparkSession =
     streamSession(spark, 4)
 
+  // Join state format v3 — EVALUATED AND REJECTED (r18, guide §1.1
+  // measure-first): `spark.sql.streaming.join.stateFormatVersion = 3`
+  // collapses the four join-state facets into one RocksDB store with
+  // virtual column families (16 -> 4 store commits per micro-batch at the
+  // tuned 4-partition session), but StreamProbe measured the WARM data
+  // batches at 1.35 s -> 2.45 s: at ~50k rows/batch the per-row RocksDB
+  // JNI put/get cost dwarfs the saved per-store commit overhead, while
+  // the HDFS-backed provider's in-JVM maps ride whole-stage codegen.
+  // The commit-count win only pays when per-commit cost dominates per-row
+  // cost (huge partition counts, remote checkpoint uploads) — a cluster
+  // knob, not a local one; the joins stay on the session-default
+  // HDFS-backed provider.
+
   val stJoinReplay: Q = Q(
     "st_join_replay",
     (spark0, dir) => {
@@ -822,7 +873,7 @@ object StreamingReplayQ {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("l_id")).as("l_id_sum"), sum(col("r_id")).as("r_id_sum"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     },
     Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
@@ -872,7 +923,7 @@ object StreamingReplayQ {
           .agg(count(lit(1)).as("n_rows"),
             count(col("r_id")).as("n_matched"),
             sum(col("l_id")).as("l_id_sum"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     },
     Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
@@ -917,7 +968,7 @@ object StreamingReplayQ {
           .agg(count(lit(1)).as("n_rows"),
             count(col("l_id")).as("n_matched"),
             sum(col("r_id")).as("r_id_sum"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     },
     Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
@@ -970,7 +1021,7 @@ object StreamingReplayQ {
             count(when(col("r_id").isNull, lit(1))).as("n_left_only"),
             count(when(col("l_id").isNull, lit(1))).as("n_right_only"),
             sum(col("l_id")).as("l_id_sum"), sum(col("r_id")).as("r_id_sum"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     },
     Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
@@ -1023,7 +1074,7 @@ object StreamingReplayQ {
           .select(date_format(col("w_start"), tsSec).as("w_start"),
             col("event_type"), col("n_events"),
             col("value_sum").as("value_cents"))
-          .orderBy("w_start", "event_type"),
+          .coalesce(1).sortWithinPartitions("w_start", "event_type"),
         sink, ckpt)
     },
     Some("""SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -1062,7 +1113,7 @@ object StreamingReplayQ {
           .filter(col("user_id") >= 0) // drop the sentinel user's sessions
           .select(col("user_id"), date_format(col("w_start"), tsSec).as("w_start"),
             col("n_events"))
-          .orderBy("user_id", "w_start"),
+          .coalesce(1).sortWithinPartitions("user_id", "w_start"),
         sink, ckpt)
     },
     Some(StreamingBatchQ.sessionIslandsCte + """
@@ -1132,7 +1183,7 @@ object StreamingReplayQ {
             lit(new java.sql.Timestamp(t1.getTime + 24L * 3600 * 1000)))
           .select(date_format(col("w_start"), tsSec).as("w_start"),
             col("n_pairs"), col("l_id_sum"), col("r_id_sum"))
-          .orderBy("w_start"),
+          .coalesce(1).sortWithinPartitions("w_start"),
         sink, ckpt)
     },
     Some("""WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
@@ -1188,7 +1239,7 @@ object StreamingReplayQ {
           .agg(max(struct(col("n_windows"), col("ev_total"), col("cents_total"))).as("s"))
           .select(col("event_type"), col("s.n_windows").as("n_windows"),
             col("s.ev_total").as("ev_total"), col("s.cents_total").as("cents_total"))
-          .orderBy("event_type"),
+          .coalesce(1).sortWithinPartitions("event_type"),
         sink, ckpt)
     }},
     Some("""SELECT event_type,
@@ -1226,7 +1277,7 @@ object StreamingReplayQ {
       // remaps ids upward), and keeps the oracle's DuckDB shingle CTE
       // feasible — the same reason d_minhash_lsh pins doc_id < 100.
       val q = StreamingOps.lshBandClaims(
-          fileStream(spark, landing).filter(col("doc_id") < 4000)
+          fileStream(spark, landing, docLandingSchema).filter(col("doc_id") < 4000)
             .as[graft.streaming.DocIn])
         .writeStream.format("parquet")
         .option("path", sink)
@@ -1242,7 +1293,7 @@ object StreamingReplayQ {
           .filter(col("n_bands") >= 3)
           .select(col("doc_id").as("dup_doc"),
             col("owner_doc").as("first_doc"), col("n_bands"))
-          .orderBy("dup_doc", "first_doc"),
+          .coalesce(1).sortWithinPartitions("dup_doc", "first_doc"),
         sink, ckpt)
     }},
     Some {
@@ -1385,7 +1436,7 @@ object StreamingReplayQ {
             lit(new java.sql.Timestamp(t1.getTime + 24L * 3600 * 1000)))
           .select(date_format(col("w_start"), tsSec).as("w_start"),
             col("src"), col("n_events"), col("id_sum"))
-          .orderBy("w_start", "src"),
+          .coalesce(1).sortWithinPartitions("w_start", "src"),
         sink, ckpt)
     }
 
@@ -1472,7 +1523,7 @@ object StreamingReplayQ {
         spark.read.parquet(latest)
           .select(col("user_id"), date_format(col("ts"), tsSec).as("ts_s"),
             col("event_id"), cents(col("value")).as("value_cents"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         snap, ckpt)
     },
     Some("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -1610,7 +1661,7 @@ object StreamingReplayQ {
           .agg(max(struct(col("n_events"), col("value_micro_total"))).as("s"))
           .select(col("user_id"), col("s.n_events").as("n_events"),
             col("s.value_micro_total").as("value_micro_total"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
@@ -1772,7 +1823,7 @@ object StreamingReplayQ {
             .select(col("user_id"), col("s.n_events").as("n_events"),
               col("s.value_micro_total").as("value_micro_total"),
               lit(tgtParts.toLong).as("n_state_parts"))
-            .orderBy("user_id"),
+            .coalesce(1).sortWithinPartitions("user_id"),
           sink, ckpt, srcCkpt)
       } catch {
         case e: Throwable =>
@@ -1845,7 +1896,7 @@ object StreamingReplayQ {
           .agg(max(struct(col("n_events"), col("late_micro"))).as("s"))
           .select(col("user_id"), col("s.n_events").as("n_events"),
             col("s.late_micro").as("late_micro"))
-          .orderBy("user_id"),
+          .coalesce(1).sortWithinPartitions("user_id"),
         sink, ckpt)
     }},
     Some("""WITH b AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
