@@ -237,18 +237,32 @@ object AnalyticsExtQ {
   val xCopurchase: Q = Q(
     "x_copurchase",
     (spark, dir) => {
+      // Packed pair key (r18, guide §2.3 shuffle fewer bytes): the C(n,2)
+      // pairs are emitted and aggregated as ONE long `(a << 32) | b`
+      // instead of a struct<part_a,part_b> — an 8-byte fixed-width
+      // grouping key halves the exchange row and hashes/compares as a
+      // primitive, on the suite's largest shuffle (~900k near-unique
+      // pairs). Sorted-set emission guarantees a < b, so packing is
+      // bijective while part keys stay below 2^31 (sf0.1 max 20 000;
+      // MakeSf's stride remap keeps sf100 ≈ 2.0e6 — re-widen the key
+      // before any decade where partkey could cross 2^31). Numeric order
+      // of the packed key IS (part_a, part_b) lexicographic order, so
+      // unpacking after the top-20 selection changes no result.
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
             |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> named_struct('part_a', x, 'part_b', y))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+            |            y -> shiftleft(x, 32) + y)))""".stripMargin))
+          .as("pp"))
+        .groupBy(col("pp"))
         .agg(count(lit(1)).as("n_orders"))
-        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .orderBy(col("n_orders").desc, col("pp"))
         .limit(20)
+        .select(shiftright(col("pp"), 32).as("part_a"),
+          col("pp").bitwiseAND(lit(4294967295L)).as("part_b"),
+          col("n_orders"))
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
            |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
@@ -320,17 +334,23 @@ object AnalyticsExtQ {
       val li = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
         .localCheckpoint()
+      // Packed pair key (r18): same one-long `(a << 32) | b` grouping key
+      // as x_copurchase — see the rationale there; unpacked only after
+      // the top-20 selection, so the mined support set is unchanged.
       val pairs = li.groupBy(col("ok"))
         .agg(array_sort(collect_set(col("pk"))).as("ps"))
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
             |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> named_struct('part_a', x, 'part_b', y))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+            |            y -> shiftleft(x, 32) + y)))""".stripMargin))
+          .as("pp"))
+        .groupBy(col("pp"))
         .agg(count(lit(1)).as("n_pair"))
-        .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+        .orderBy(col("n_pair").desc, col("pp"))
         .limit(20)
+        .select(shiftright(col("pp"), 32).as("part_a"),
+          col("pp").bitwiseAND(lit(4294967295L)).as("part_b"),
+          col("n_pair"))
         // The two-shuffle pair mining is the dominant cost and feeds four
         // downstream references (two union branches × two joins);
         // materialize its 20 rows once instead of re-mining per reference.

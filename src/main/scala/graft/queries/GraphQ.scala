@@ -212,16 +212,23 @@ object GraphQ {
     * one more exchange plus a join. Output: (x, y, n_pair). */
   private def copurchasePairs(spark: org.apache.spark.sql.SparkSession,
                               dir: String): org.apache.spark.sql.DataFrame =
+    // Packed pair key (r18): pairs are emitted and aggregated as one long
+    // `(x << 32) | y` instead of a struct — 8-byte primitive grouping key
+    // on the mining shuffle, unpacked map-side after the aggregate (the
+    // x_copurchase rationale; sorted-set emission guarantees x < y and
+    // part keys sit far below 2^31 at every gated decade).
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)),
-          |            y -> named_struct('x', x, 'y', y))))""".stripMargin))
-        .as("pr"))
-      .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+          |            y -> shiftleft(x, 32) + y)))""".stripMargin))
+        .as("pp"))
+      .groupBy(col("pp"))
       .agg(count(lit(1)).as("n_pair"))
+      .select(shiftright(col("pp"), 32).as("x"),
+        col("pp").bitwiseAND(lit(4294967295L)).as("y"), col("n_pair"))
 
   private[graft] def peelRound(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keep = edges.groupBy(col("x")).agg(count(lit(1)).as("deg"))
