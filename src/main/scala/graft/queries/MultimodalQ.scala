@@ -172,20 +172,54 @@ object MultimodalQ {
     * exposed so PhashEdgeSpec can brute-force the hamming≤1 clique over
     * the SAME fingerprints and prove the spanning-edge output yields the
     * identical connected components. */
+  /** Exact JVM mirror of the r12 fingerprint expression, one tight pass
+    * (r18, guide §1.2 per-task work): the expression-tree form evaluated
+    * ~1 500 INTERPRETED lambda invocations per row (higher-order
+    * functions don't participate in whole-stage codegen, and each of the
+    * 240 `ascii(substring(text, p, 1))` calls re-scans the string's head
+    * to find code-point p). Semantics preserved bit-for-bit:
+    * `substring(_, p, 1)` counts CODE POINTS (UTF8String semantics) and
+    * `ascii` is `codePointAt(0)` of that one-char string (0 when empty,
+    * i.e. past end-of-string; NULL text folded to 0 by the old
+    * `coalesce`) — so the loop walks the first 240 code points once via
+    * `String.codePointAt`, then derives block sums / total / threshold
+    * bits in branch-free long arithmetic. PhashEdgeSpec and the DuckDB
+    * oracle (unchanged, still the substring/ascii form) pin the mirror. */
+  private[graft] def phashFp(text: String): Long = {
+    val vals = new Array[Long](240)
+    if (text != null) {
+      var idx = 0 // UTF-16 index
+      var j = 0   // code-point index
+      while (j < 240 && idx < text.length) {
+        val cp = text.codePointAt(idx)
+        vals(j) = cp
+        idx += Character.charCount(cp)
+        j += 1
+      }
+    }
+    val bs = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < 60) {
+      val s = vals(i * 4) + vals(i * 4 + 1) + vals(i * 4 + 2) + vals(i * 4 + 3)
+      bs(i) = s; total += s; i += 1
+    }
+    var f = 0L
+    i = 0
+    while (i < 60) { if (bs(i) * 60 > total) f |= (1L << i); i += 1 }
+    f
+  }
+
   private[graft] def phashFingerprints(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("bs", expr(
-        """transform(sequence(0, 59), i ->
-          |  aggregate(sequence(1, 4), 0L,
-          |    (acc, k) -> acc + coalesce(ascii(substring(text, i*4+k, 1)), 0)))""".stripMargin))
-      .withColumn("total", expr("aggregate(bs, 0L, (acc, x) -> acc + x)"))
-      .withColumn("fp", expr(
-        """aggregate(sequence(0, 59), 0L, (acc, i) ->
-          |  acc + CASE WHEN element_at(bs, i+1) * 60 > total
-          |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), col("text")) // explicit projection: the typed
+      // map is opaque to column pruning (guide §2.3)
+      .as[(Long, String)]
+      .map { case (id, text) => (id, phashFp(text)) }
+      .toDF("doc_id", "fp")
+  }
 
   val mmPhashNeardup: Q = Q(
     "mm_phash_neardup",
