@@ -105,6 +105,19 @@ object StreamingReplayQ {
   // late-dropped or evicted, so the replay is batching-independent.
   private val SpanProofWatermark = "3650 days"
 
+  /** Watermark-advance sentinel offset: 370 days past the real span max,
+    * used by BOTH sentinel construction sites ([[writeTimeSlicesOf]] and
+    * [[wmPolicyLandingDir]]) — ADVICE r17 asked for the shared constant.
+    * The margin is load-bearing twice over: (a) the wm-policy slow side
+    * carries a 365-DAY watermark delay, so its sentinel still lands the
+    * per-input watermark 5 days PAST the real span and the flush evicts
+    * every real window under either policy; (b) the post-sink cuts in
+    * st_join_window_replay / wmPolicyRun drop sentinel-era windows at
+    * t1 + 24 h — safe because real windows start <= t1 while
+    * sentinel-era windows start ~369-370 d out (>= offset − the 30-min
+    * join gap − window width), far above any cut between the two. */
+  private val SentinelOffsetMs = 370L * 24 * 3600 * 1000
+
   /** Materialize the query's presentation frame off its scratch sink,
     * then delete the sink + checkpoint: repeated bench/verify rounds must
     * not grow /tmp without bound (each stream run writes a fresh sink by
@@ -266,9 +279,20 @@ object StreamingReplayQ {
       // embedded row. A Spark regression that stops scheduling the
       // no-data batch would withhold every final window/session/
       // unmatched row and hash-fail the oracle loudly.
+      // flushSentinelId contract (ADVICE r17): the sentinel row (user_id
+      // -1, event_type "sentinel", far-future ts) lands IN the gated
+      // stream, so every consumer of a landing built with it must either
+      // filter it post-sink (user_id >= 0, the null-safe
+      // !(event_type <=> 'sentinel'), or the t1+24h window cut) or
+      // prove the row can never be emitted
+      // (st_session_replay: a lone event is its user's LAST session,
+      // never closed under the span-proof watermark). A consumer that
+      // does neither silently gains a synthetic row until the oracle
+      // hash catches it — mirror the st_observe_replay rationale in
+      // OPTIMIZATION_r17.md before reusing this landing kind.
       val withSent = flushSentinelId match {
         case Some(id) if k == nSlices - 1 =>
-          val s1 = t1 + 370L * 24 * 3600 * 1000
+          val s1 = t1 + SentinelOffsetMs
           slice.unionByName(ev.sparkSession.createDataFrame(Seq(
             graft.streaming.Event(id, new java.sql.Timestamp(s1), -1L, "sentinel", 0.0))))
         case _ => slice
@@ -1376,7 +1400,7 @@ object StreamingReplayQ {
       val cut = t0 + math.max(1L, (t1 - t0) / 4 + 1)
       val q0 = ev.filter(unix_millis(col("ts")) < cut)
       val sentinel = spark.createDataFrame(Seq(graft.streaming.Event(
-        -1L - side * 2, new java.sql.Timestamp(t1 + 370L * 24 * 3600 * 1000),
+        -1L - side * 2, new java.sql.Timestamp(t1 + SentinelOffsetMs),
         -1L, "sentinel", 0.0)))
       if (side == 0) {
         writeSlice(build, 0, q0)

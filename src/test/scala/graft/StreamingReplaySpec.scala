@@ -32,6 +32,30 @@ class StreamingReplaySpec extends SparkSpec {
     assert(ids.length == nEvents, "dedup output != original event count")
   }
 
+  test("st_timer_sessions emits each user's final session (no-data flush batch is live)") {
+    // ADVICE r17 tripwire: since the r17 sentinel collapse, every final
+    // window/session/unmatched-row flush rides the ONE no-data
+    // micro-batch Trigger.AvailableNow schedules after the last data
+    // batch advanced the watermark. A user's FINAL session can only
+    // close via handleExpiredTimer during that batch (no later data
+    // batch exists), so its presence in the sink — end_ms equal to the
+    // user's last event time — is exactly the output a no-data-batch
+    // scheduling regression would withhold. Asserted here so `sbt test`
+    // catches such a regression without the full oracle drive.
+    val lastSession = SparkEntry.queries("st_timer_sessions")(spark, dir)
+      .groupBy("user_id").agg(max("end_ms").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastEvent = Tables(spark, dir, "events").groupBy("user_id")
+      .agg(max(unix_millis(col("ts"))).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lastEvent.nonEmpty)
+    lastEvent.foreach { case (u, m) =>
+      assert(lastSession.get(u).contains(m),
+        s"user $u final session (end_ms=$m) missing from the sink — " +
+          "the engine's no-data flush micro-batch did not run or did not evict")
+    }
+  }
+
   test("st_session_replay: session closures cross slice boundaries (state stitched across batches)") {
     // sf0.01: sessions at sf0.001 are too sparse for boundary-crossing
     // evidence; guarded like RoundTwelveOpsSpec's g_scc tests
